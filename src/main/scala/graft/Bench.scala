@@ -1,24 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.{ExtractorConfig, PageLite}
+import graft.pipeline.ExtractPipeline
+import graft.sources.PageSource
+
+/** Benchmark main (driver contract + BASELINE.md protocol).
+  *
+  * Two parts:
+  *  1. per-query timings of every SparkEntry query at $SPARK_GRAFT_SF_DIR;
+  *  2. the HEADLINE pipeline bench: full read→extract→write over a
+  *     seed-fixed synthetic pages corpus (FIXTURES.md §1, generated once
+  *     and reused so N-core and 4N-core runs read the SAME input files),
+  *     reported as documents/sec.
+  *
+  * Scaling evidence (BASELINE.json north_rule; no real cluster in this
+  * sandbox): run this main twice on the same corpus with
+  * SPARK_GRAFT_CPUS=8 and =32; efficiency = (docs/sec@32 / docs/sec@8) / 4.
+  *
+  * Output: ONE JSON line {"metric","value","unit","queries",...,"sf"}.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "500000").toLong
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/data/bench_pages")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // ---- 1. per-query timings --------------------------------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- 2. headline pipeline bench ---------------------------------
+    // One-time corpus generation (NOT timed); both parallelism levels
+    // read these same files. Partition count >> 32 per BASELINE.md.
+    val fs = new org.apache.hadoop.fs.Path(benchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$benchDir/_SUCCESS"))) {
+      PageSource.genPages(spark, benchPages, 128).toDF()
+        .write.mode(SaveMode.Overwrite).parquet(benchDir)
+    }
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val t0 = System.nanoTime()
+    val pages = graft.pipeline.ParquetTableIO.readPages(spark, benchDir)
+    val extracted = ExtractPipeline.extract(
+      ExtractPipeline.dedupLatest(ExtractPipeline.inputGate(pages))
+        .select(col("url"), col("html")).as[PageLite],
+      ExtractorConfig.default)
+    val keyed = ExtractPipeline.withPartId(extracted.toDF(), 1024)
+    ExtractPipeline.clusterForWrite(keyed, spark.sparkContext.defaultParallelism * 4)
+      .drop("url_hash")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/pages_extracted")
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val rowsOut = spark.read.parquet(s"$outDir/pages_extracted").count()
+    val digest = ExtractPipeline.globalDigest(
+      spark.read.parquet(s"$outDir/pages_extracted")).collect()(0).getLong(0)
+    val docsPerSec = rowsOut / pipelineSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipelineSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pipeline_docs_per_sec":$docsPerSec,"pipeline_rows":$rowsOut,""" +
+      s""""pipeline_sec":$pipelineSec,"pipeline_digest":$digest,""" +
+      s""""cpus":$cpus,"bench_pages":$benchPages,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

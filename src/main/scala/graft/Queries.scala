@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.extract._
+import graft.ops.{Multimodal, TextOps, VectorOps}
+import graft.pipeline.ExtractPipeline
+import graft.sources.PageSource
+
+/** Query implementations behind SparkEntry (SURVEY.md §7.4). Extraction
+  * queries run over pages synthesized 1:1 from the driver's read-only
+  * documents.parquet (PageSource.fromDocuments) — every derived field is
+  * reconstructable in ANSI SQL, so the DuckDB oracle can check the whole
+  * pipeline INCLUDING byte-identity of extracted text.
+  */
+object Queries {
+
+  /** One exploded row per (page, block) with scores — the relational
+    * formulation of stages M1+M2 (X1 explode surface).
+    */
+  final case class ScoredBlockRow(
+      url: String, blockId: Int, tag: String, depth: Int,
+      nChars: Int, nLinkChars: Int, nTags: Int,
+      score: Float, linkScore: Float)
+
+  def pages(s: SparkSession, sfDir: String, withDups: Boolean = false): Dataset[Page] =
+    PageSource.fromDocuments(s, sfDir, withDups)
+
+  def extracted(s: SparkSession, sfDir: String): Dataset[ExtractedPage] = {
+    import s.implicits._
+    ExtractPipeline.extract(
+      pages(s, sfDir).select(col("url"), col("html")).as[PageLite],
+      ExtractorConfig.spaceJoined)
+  }
+
+  def scoredBlocks(s: SparkSession, sfDir: String): Dataset[ScoredBlockRow] = {
+    import s.implicits._
+    pages(s, sfDir).mapPartitions { it =>
+      it.flatMap { p =>
+        val blocks = HtmlTokenizer.tokenize(p.html, ExtractorConfig.spaceJoined)
+        val sp = Scorer.score(p.url, blocks)
+        blocks.indices.iterator.map { i =>
+          val b = blocks(i)
+          ScoredBlockRow(p.url, b.blockId, b.tag, b.depth, b.nChars,
+            b.nLinkChars, b.nTags, sp.scores(i), sp.linkScores(i))
+        }
+      }
+    }
+  }
+
+  // ---------------- generic relational (driver tables) ----------------
+
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def qJoinSegment(s: SparkSession, d: String): DataFrame = {
+    val orders = s.read.parquet(s"$d/orders.parquet")
+    val customer = s.read.parquet(s"$d/customer.parquet")
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def qJoinNationRegion(s: SparkSession, d: String): DataFrame = {
+    val nation = s.read.parquet(s"$d/nation.parquet")
+    val region = s.read.parquet(s"$d/region.parquet")
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
+  def eventsJson(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  def eventsWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  def docsByLang(s: SparkSession, d: String): DataFrame =
+    TextOps.readDocs(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  // ---------------- training-data ops (documents/embeddings) ----------
+
+  /** Corpus with exact copies (doc_id+2000000 for doc_id%20==0) for the
+    * exact-dedup oracle.
+    */
+  private def corpusWithExactDups(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    TextOps.dedupExact(corpusWithExactDups(TextOps.readDocs(s, d)))
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    TextOps.dedupMinhash(s, TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    TextOps.dedupSimhash(s, TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    TextOps.tokenCounts(TextOps.readDocs(s, d))
+
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityScores(TextOps.readDocs(s, d))
+
+  def langIdQ(s: SparkSession, d: String): DataFrame =
+    TextOps.langIds(s, TextOps.readDocs(s, d))
+
+  def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    TextOps.fingerprints(s, TextOps.readDocs(s, d))
+
+  def annCosine(s: SparkSession, d: String): DataFrame =
+    VectorOps.annBrute(VectorOps.readEmbeddings(s, d))
+
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    VectorOps.annLsh(s, VectorOps.readEmbeddings(s, d))
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    VectorOps.dedupEmbedding(s, VectorOps.readEmbeddings(s, d), minSimMicro = 300000L)
+
+  def embedStats(s: SparkSession, d: String): DataFrame =
+    VectorOps.embedStats(VectorOps.readEmbeddings(s, d))
+
+  def mmDecodeStub(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAssets(s, d)
+
+  // ---------------- extraction pipeline (pages) ------------------------
+
+  def scanPages(s: SparkSession, d: String): DataFrame =
+    pages(s, d).toDF().select(col("url"), col("lang")).orderBy(col("url"))
+
+  def filterNonempty(s: SparkSession, d: String): DataFrame =
+    ExtractPipeline.inputGate(pages(s, d).toDF())
+      .agg(count(lit(1)).as("n_pages"))
+
+  def filterLang(s: SparkSession, d: String): DataFrame =
+    pages(s, d).toDF().filter(col("lang") === "en")
+      .select(col("url"), col("lang")).orderBy(col("url"))
+
+  def tokenizeBlocks(s: SparkSession, d: String): DataFrame =
+    scoredBlocks(s, d).toDF()
+      .groupBy(col("url"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("tag") === "p", col("nChars")).otherwise(0)).cast("long").as("content_chars"),
+        sum(when(col("tag") =!= "p", col("nChars")).otherwise(0)).cast("long").as("boiler_chars"))
+      .orderBy(col("url"))
+
+  def scoreBlocks(s: SparkSession, d: String): DataFrame =
+    extracted(s, d).toDF()
+      .select(col("url"), col("n_blocks").cast("long").as("n_blocks"),
+        col("n_kept").cast("long").as("n_kept"))
+      .orderBy(col("url"))
+
+  /** Relational region grouping (M3 as Window) — cross-checks the
+    * in-row Assembler implementation.
+    */
+  def groupRegions(s: SparkSession, d: String): DataFrame = {
+    val kept = scoredBlocks(s, d).toDF()
+      .filter(col("score") >= ExtractorConfig.spaceJoined.textThreshold)
+    val w = Window.partitionBy(col("url")).orderBy(col("blockId"))
+    kept
+      .withColumn("prevId", lag(col("blockId"), 1).over(w))
+      .withColumn("prevLink", lag(col("linkScore"), 1).over(w))
+      .withColumn("newRegion",
+        when(col("prevId").isNull, 1)
+          .when(col("prevId") + 1 =!= col("blockId"), 1)
+          .when(col("prevLink") < ExtractorConfig.spaceJoined.linkThreshold, 1)
+          .otherwise(0))
+      .groupBy(col("url"))
+      .agg(sum(col("newRegion")).cast("long").as("n_regions"))
+      .orderBy(col("url"))
+  }
+
+  def assembleSpans(s: SparkSession, d: String): DataFrame =
+    extracted(s, d).toDF()
+      .select(col("url"), size(col("spans")).cast("long").as("n_spans"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("url"))
+
+  /** The flagship: full fused pipeline; extracted text is byte-identical
+    * to documents.text (verified by the DuckDB oracle via sha256 AND by
+    * direct value compare here).
+    */
+  def extractPipeline(s: SparkSession, d: String): DataFrame =
+    extracted(s, d).toDF().select(col("url"), col("text")).orderBy(col("url"))
+
+  def digestOutput(s: SparkSession, d: String): DataFrame =
+    extracted(s, d).toDF()
+      .select(col("url"), sha2(col("text"), 256).as("text_sha"))
+      .orderBy(col("url"))
+
+  def dedupLatest(s: SparkSession, d: String): DataFrame =
+    ExtractPipeline.dedupLatest(pages(s, d, withDups = true).toDF())
+      .select(col("url"), col("warc_ts").cast("long").as("warc_epoch"))
+      .orderBy(col("url"))
+
+  def metricsByHost(s: SparkSession, d: String): DataFrame =
+    extracted(s, d).toDF()
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_text_chars"))
+      .orderBy(col("host"))
+
+  def skewTopk(s: SparkSession, d: String): DataFrame =
+    pages(s, d).toDF()
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("host").asc)
+      .limit(5)
+
+  def scoreHistogram(s: SparkSession, d: String): DataFrame =
+    scoredBlocks(s, d).toDF()
+      .select(floor(col("score") / 8.0).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_blocks"))
+      .orderBy(col("bucket"))
+
+  def resumeAntijoin(s: SparkSession, d: String): DataFrame = {
+    // committed logical partitions 0..31 of 64 (doc-keyed for SQL
+    // mirror; engine-internal part_id uses xxhash64(url) — unit-tested)
+    val committed = s.range(0, 32).toDF("part_id")
+    pages(s, d).toDF()
+      .withColumn("part_id",
+        regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long") % 64)
+      .join(broadcast(committed), Seq("part_id"), "left_anti")
+      .select(col("url")).orderBy(col("url"))
+  }
+
+  def repartitionRange(s: SparkSession, d: String): DataFrame =
+    ExtractPipeline.clusterForWrite(
+        ExtractPipeline.withPartId(extracted(s, d).toDF(), 256), 8)
+      .select(col("url")).orderBy(col("url"))
+
+  def saltedPartition(s: SparkSession, d: String): DataFrame =
+    pages(s, d).toDF()
+      .withColumn("salt",
+        regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long") % 8)
+      .groupBy(col("salt"))
+      .agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("salt"))
+}

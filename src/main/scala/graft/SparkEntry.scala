@@ -1,13 +1,185 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.4 + the builder prompt.
+  *
+  * Extraction queries run over pages synthesized deterministically from
+  * the driver's read-only documents.parquet (PageSource.fromDocuments);
+  * every derived field (url, warc epoch, paragraph structure) is
+  * reconstructable in the DuckDB oracle SQL below, so the oracle checks
+  * the full pipeline INCLUDING per-url byte-identity of extracted text
+  * (`extract_pipeline` / `digest_output`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full fused extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.extractPipeline(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // generic relational operators (driver tables)
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_join_segment" -> (Queries.qJoinSegment _),
+    "q_join_nation_region" -> (Queries.qJoinNationRegion _),
+    "events_json" -> (Queries.eventsJson _),
+    "events_window" -> (Queries.eventsWindow _),
+    "docs_by_lang" -> (Queries.docsByLang _),
+    // training-data ops: dedup / text analysis / similarity / multimodal
+    "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_minhash" -> (Queries.dedupMinhash _),
+    "dedup_simhash" -> (Queries.dedupSimhash _),
+    "token_count" -> (Queries.tokenCount _),
+    "quality_score" -> (Queries.qualityScore _),
+    "lang_id" -> (Queries.langIdQ _),
+    "doc_fingerprint" -> (Queries.fingerprintQ _),
+    "ann_cosine" -> (Queries.annCosine _),
+    "ann_lsh" -> (Queries.annLsh _),
+    "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "embed_stats" -> (Queries.embedStats _),
+    "mm_decode_stub" -> (Queries.mmDecodeStub _),
+    // extraction pipeline operators (pages derived from documents)
+    "scan_pages" -> (Queries.scanPages _),
+    "filter_nonempty" -> (Queries.filterNonempty _),
+    "filter_lang" -> (Queries.filterLang _),
+    "tokenize_blocks" -> (Queries.tokenizeBlocks _),
+    "score_blocks" -> (Queries.scoreBlocks _),
+    "group_regions" -> (Queries.groupRegions _),
+    "assemble_spans" -> (Queries.assembleSpans _),
+    "extract_pipeline" -> (Queries.extractPipeline _),
+    "digest_output" -> (Queries.digestOutput _),
+    "dedup_latest" -> (Queries.dedupLatest _),
+    "metrics_by_host" -> (Queries.metricsByHost _),
+    "skew_topk" -> (Queries.skewTopk _),
+    "score_histogram" -> (Queries.scoreHistogram _),
+    "resume_antijoin" -> (Queries.resumeAntijoin _),
+    "repartition_range" -> (Queries.repartitionRange _),
+    "salted_partition" -> (Queries.saltedPartition _)
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL (same parquet tables). Shared fragments:
+  // ------------------------------------------------------------------
+  /** word count of single-space-separated text */
+  private val nw = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  /** paragraph count used by the page wrapper (8 words per <p>) */
+  private val pCnt = s"(($nw + 7) // 8)"
+  /** skewed host id — mirror of PageSource.hostId */
+  private val hid =
+    "CASE WHEN doc_id % 2 = 0 THEN 0 WHEN doc_id % 4 = 3 THEN 1 + (doc_id % 9) ELSE 10 + (doc_id % 990) END"
+  /** page url — mirror of PageSource.urlOf */
+  private val urlSql =
+    s"'https://host' || CAST($hid AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)"
+  private val hostSql = s"'host' || CAST($hid AS VARCHAR) || '.example'"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_nation_region" ->
+      """SELECT r_name, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_window" ->
+      """SELECT user_id, first_event_type FROM (
+        |  SELECT user_id, event_type AS first_event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "docs_by_lang" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+        |       count(*) AS n_dups
+        |FROM corpus GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
+    "token_count" ->
+      s"""SELECT doc_id, CAST($nw AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""SELECT doc_id, n_chars, CAST(nw AS BIGINT) AS n_tokens,
+         |  CAST(stop AS BIGINT) AS n_stopwords,
+         |  CAST(((n_chars - (nw - 1)) * 100) // nw AS BIGINT) AS avg_word_len_c,
+         |  (nw >= 10 AND ((n_chars - (nw - 1)) * 100) // nw BETWEEN 200 AND 1200) AS is_quality
+         |FROM (
+         |  SELECT doc_id, n_chars, $nw AS nw,
+         |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop
+         |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "embed_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        |  CAST(max(len(embedding)) AS BIGINT) AS max_dim,
+        |  CAST(sum(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |       * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS sum_norm_milli2,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec_id
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "mm_decode_stub" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+        |  CAST(64 + doc_id % 512 AS INTEGER) AS height,
+        |  CAST(1 + strlen(text) % 10 AS INTEGER) AS n_frames,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "scan_pages" ->
+      s"SELECT $urlSql AS url, lang FROM documents ORDER BY url",
+    "filter_nonempty" ->
+      "SELECT count(*) AS n_pages FROM documents",
+    "filter_lang" ->
+      s"SELECT $urlSql AS url, lang FROM documents WHERE lang = 'en' ORDER BY url",
+    "tokenize_blocks" ->
+      s"""SELECT $urlSql AS url, CAST(p + 2 AS BIGINT) AS n_blocks,
+         |  CAST(length(text) - (p - 1) AS BIGINT) AS content_chars,
+         |  CAST(31 AS BIGINT) AS boiler_chars
+         |FROM (SELECT doc_id, text, $pCnt AS p FROM documents) t
+         |ORDER BY url""".stripMargin,
+    "score_blocks" ->
+      s"""SELECT $urlSql AS url, CAST(p + 2 AS BIGINT) AS n_blocks, CAST(p AS BIGINT) AS n_kept
+         |FROM (SELECT doc_id, $pCnt AS p FROM documents) t ORDER BY url""".stripMargin,
+    "group_regions" ->
+      s"SELECT $urlSql AS url, CAST(1 AS BIGINT) AS n_regions FROM documents ORDER BY url",
+    "assemble_spans" ->
+      s"""SELECT $urlSql AS url, CAST(p AS BIGINT) AS n_spans,
+         |  CAST(length(text) AS BIGINT) AS text_len
+         |FROM (SELECT doc_id, text, $pCnt AS p FROM documents) t ORDER BY url""".stripMargin,
+    "extract_pipeline" ->
+      s"SELECT $urlSql AS url, text FROM documents ORDER BY url",
+    "digest_output" ->
+      s"SELECT $urlSql AS url, sha256(text) AS text_sha FROM documents ORDER BY url",
+    "dedup_latest" ->
+      s"""SELECT $urlSql AS url,
+         |  CAST(1735689600 + doc_id + CASE WHEN doc_id % 37 = 0 THEN 86400 ELSE 0 END AS BIGINT) AS warc_epoch
+         |FROM documents ORDER BY url""".stripMargin,
+    "metrics_by_host" ->
+      s"""SELECT host, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+         |FROM (SELECT $hostSql AS host, text FROM documents) t
+         |GROUP BY host ORDER BY host""".stripMargin,
+    "skew_topk" ->
+      s"""SELECT host, count(*) AS n_docs
+         |FROM (SELECT $hostSql AS host FROM documents) t
+         |GROUP BY host ORDER BY n_docs DESC, host ASC LIMIT 5""".stripMargin,
+    "resume_antijoin" ->
+      s"SELECT $urlSql AS url FROM documents WHERE doc_id % 64 >= 32 ORDER BY url",
+    "repartition_range" ->
+      s"SELECT $urlSql AS url FROM documents ORDER BY url",
+    "salted_partition" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS salt, count(*) AS n_pages
+        |FROM documents GROUP BY salt ORDER BY salt""".stripMargin
+    // no oracle (object-mode / hash-library-specific, rows-only check):
+    // dedup_minhash, dedup_simhash, lang_id, doc_fingerprint,
+    // ann_cosine, ann_lsh, dedup_embedding, score_histogram
+  )
 }

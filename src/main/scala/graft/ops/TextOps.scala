@@ -1,0 +1,307 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.PageSource.splitmix64
+
+/** Training-data text operations over the driver's `documents` table:
+  * exact + near dedup (MinHash/LSH, SimHash), language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Scale notes (100 TB framing):
+  *  - exact dedup = hash groupBy (map-side partial agg, one shuffle);
+  *  - MinHash dedup avoids the O(n²) all-pairs comparison: per-doc
+  *    signatures in ONE typed map (no explode shuffle for signature
+  *    building), then an LSH band-bucket join yields candidates, and
+  *    only candidates pay the exact-Jaccard verify;
+  *  - SimHash near-dup uses 4-segment blocking (Hamming ≤3 ⇒ at least
+  *    one of 4 16-bit segments equal) so the join is equi-join-able.
+  */
+object TextOps {
+
+  val MinHashK = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val ShingleWords = 3
+
+  /** FNV-1a 64-bit over UTF-8 bytes — stable, dependency-free. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Word shingles of a single-space-separated text. */
+  def shingles(text: String): Array[String] = {
+    val words = if (text.isEmpty) Array.empty[String] else text.split(' ')
+    if (words.length < ShingleWords) {
+      if (text.isEmpty) Array.empty[String] else Array(text)
+    } else {
+      (0 to words.length - ShingleWords)
+        .map(i => words(i) + " " + words(i + 1) + " " + words(i + 2)).toArray
+    }
+  }
+
+  private val seeds: Array[Long] =
+    Array.tabulate(MinHashK)(i => splitmix64(0x3c6ef372fe94f82aL + i))
+
+  /** MinHash signature in one pass over the shingles (primitive array,
+    * unsigned-min semantics).
+    */
+  def minhashSignature(text: String): Array[Long] = {
+    val sig = Array.fill(MinHashK)(-1L) // unsigned max
+    val sh = shingles(text)
+    var si = 0
+    while (si < sh.length) {
+      val base = fnv1a64(sh(si))
+      var i = 0
+      while (i < MinHashK) {
+        val h = splitmix64(base ^ seeds(i))
+        if (java.lang.Long.compareUnsigned(h, sig(i)) < 0) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  def bandHashes(sig: Array[Long]): Array[Long] =
+    Array.tabulate(Bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < RowsPerBand) {
+        h = splitmix64(h ^ sig(b * RowsPerBand + r))
+        r += 1
+      }
+      h
+    }
+
+  def exactJaccard(a: String, b: String): Double = {
+    val sa = shingles(a).toSet
+    val sb = shingles(b).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter).toDouble
+    }
+  }
+
+  /** 64-bit SimHash over word unigrams. */
+  def simhash(text: String): Long = {
+    val counts = new Array[Int](64)
+    if (text.nonEmpty) {
+      val words = text.split(' ')
+      var wi = 0
+      while (wi < words.length) {
+        val h = fnv1a64(words(wi))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        wi += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Rolling polynomial fingerprint (Rabin–Karp style) over text bytes. */
+  def fingerprint(text: String): Long = {
+    var h = 0L
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** Tiny n-gram language-ID heuristic: char-bigram log-odds profiles
+    * for {en,de,es,fr,zh} built into the code (public-knowledge marker
+    * n-grams), argmax with deterministic tie-break by lang name.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", " t", "e "),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "sch", "ung"),
+    "es" -> Seq("de", "la", "os", "el", "en", "ción", " y "),
+    "fr" -> Seq("le", "de", "es", "on", "nt", " l", "é"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  def langId(text: String): String = {
+    val t = text.toLowerCase
+    val scores = langMarkers.toSeq.map { case (lang, markers) =>
+      var s = 0
+      markers.foreach { m =>
+        var idx = t.indexOf(m)
+        while (idx >= 0) { s += 1; idx = t.indexOf(m, idx + 1) }
+      }
+      (lang, s)
+    }
+    scores.sortBy { case (l, s) => (-s, l) }.head._1
+  }
+
+  // -------------------------------------------------------------------
+  // DataFrame-level operators
+  // -------------------------------------------------------------------
+
+  def readDocs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Mutated-corpus builder: every 10th doc gets a near-duplicate
+    * (doc_id + 1,000,000; last word dropped) so near-dup operators have
+    * deterministic positives. Pure Column exprs — stays in codegen.
+    */
+  def corpusWithNearDups(docs: DataFrame): DataFrame = {
+    val mutated = docs
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      // drop the last word: text up to the last space (docs have >= 8 words)
+      .withColumn("text", expr("substring(text, 1, length(text) - instr(reverse(text), ' '))"))
+    docs.unionByName(mutated)
+  }
+
+  /** Exact dedup: hash-groupBy on sha2(text). One shuffle, partial agg
+    * map-side; the canonical representative is min(doc_id).
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("text_sha"))
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    * Stages: (1) one typed map → signatures + band hashes (no shuffle);
+    * (2) explode bands → groupBy bucket (shuffle #1, tiny rows);
+    * (3) candidate pairs from buckets; (4) join texts back (broadcast
+    * the small pair set at scale) and verify exact Jaccard >= minJ.
+    */
+  def dedupMinhash(spark: SparkSession, docs: DataFrame, minJaccardMilli: Long = 700L): DataFrame = {
+    import spark.implicits._
+    val withSig = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, bandHashes(minhashSignature(text)))
+      })
+      .toDF("doc_id", "bands")
+
+    val buckets = withSig
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+
+    val pairs = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))"
+      )).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+    val texts = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val joined = pairs
+      .join(broadcast(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a")), "doc_a")
+      .join(broadcast(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+
+    joined.mapPartitions(_.map { case (a, b, ta, tb) =>
+      (a, b, math.floor(exactJaccard(ta, tb) * 1000.0).toLong)
+    }).toDF("doc_a", "doc_b", "jaccard_milli")
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup pairs via 4×16-bit segment blocking: Hamming
+    * distance <= maxHamming (pigeonhole: some segment matches exactly),
+    * equi-join on (segment index, segment value), then verify Hamming.
+    */
+  def dedupSimhash(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
+      .toDF("doc_id", "simhash")
+
+    val segs = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("seg", "segval")))
+
+    val cand = segs.as("x").join(segs.as("y"),
+        col("x.seg") === col("y.seg") &&
+          col("x.segval") === col("y.segval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+
+    cand
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Token count — whitespace tokenizer, pure Column exprs (codegen). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")
+    ).orderBy("doc_id")
+
+  /** Quality score: integer-exact shallow text features (length,
+    * word-length, stopword ratio) — Boilerpipe-family features.
+    */
+  def qualityScores(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(filter(split(col("text"), " "),
+          w => w === "the" || w === "a")).cast("long").as("n_stopwords")
+      )
+      .withColumn("avg_word_len_c",
+        expr("(n_chars - (n_tokens - 1)) * 100 DIV n_tokens").cast("long"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 10L && col("avg_word_len_c").between(200L, 1200L))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (typed map; non-SQL-expressible → rows-only
+    * driver check, byte-determinism covered by unit tests).
+    */
+  def langIds(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, langId(t)) })
+      .toDF("doc_id", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprints. */
+  def fingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, fingerprint(t), simhash(t)) })
+      .toDF("doc_id", "fingerprint", "simhash")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.PageSource.splitmix64
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * ARRAY<FLOAT>, label).
+  *
+  * Scale design: the BRUTE-force top-k broadcasts the (small) query set
+  * and makes ONE pass over the base table — no cartesian shuffle; the
+  * dot product stays inside whole-stage codegen (`zip_with` +
+  * `aggregate`, no UDF). The LSH variant buckets base vectors by
+  * random-hyperplane sign bits so each query only scans its bucket —
+  * the 100 TB path where even one full pass per query batch is too much.
+  */
+object VectorOps {
+
+  def readEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Cosine similarity between two ARRAY<FLOAT> columns, computed in
+    * DOUBLE with a fixed left-to-right fold (deterministic, codegen'd).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact brute-force cosine top-k for a query set (vec_id < nQueries).
+    * Deterministic tie-break on neighbor id.
+    */
+  def annBrute(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim, values in {-1,+1}
+    * from splitmix64 — seed-fixed, no RNG state.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        if ((splitmix64(p.toLong * 131071L + d.toLong) & 1L) == 0L) -1.0f else 1.0f
+      }
+    }
+
+  /** Sign-bit LSH bucket id for an embedding (pure Scala, used in a
+    * typed map so the plane matrix lives once per partition).
+    */
+  def lshBucket(planes: Array[Array[Float]])(v: Seq[Float]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      var s = 0.0
+      val plane = planes(p)
+      val n = math.min(plane.length, v.length)
+      var i = 0
+      while (i < n) { s += plane(i) * v(i); i += 1 }
+      if (s >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Approximate top-k: bucket base and queries with sign-bit LSH, then
+    * brute-force WITHIN the bucket (equi-join on bucket — shuffle
+    * bounded by bucket sizes, no global pass per query at scale).
+    */
+  def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val f = lshBucket(planes) _
+        it.map { case (id, v) => (id, v, f(v)) }
+      }
+      .toDF("vec_id", "embedding", "bucket")
+
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = bucketed
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-label vector stats with integer-exact norms (oracle-friendly):
+    * sum over elements of floor(x*1000)² in BIGINT — float→double is
+    * exact, so Spark and DuckDB agree bit-for-bit.
+    */
+  def embedStats(emb: DataFrame): DataFrame =
+    emb.select(col("label"), col("vec_id"),
+        aggregate(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000.0).cast("long") * floor(x.cast("double") * 1000.0).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("norm_milli2"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"),
+        max(col("dim")).as("max_dim"),
+        sum(col("norm_milli2")).as("sum_norm_milli2"),
+        min(col("vec_id")).as("min_vec_id")
+      )
+      .orderBy(col("label"))
+
+  /** Embedding-cosine near-duplicate pairs above a similarity floor,
+    * restricted to LSH bucket mates (the scale path for embedding
+    * near-dedup). Deterministic output ordering.
+    */
+  def dedupEmbedding(spark: SparkSession, emb: DataFrame, minSimMicro: Long = 950000L,
+                     nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val f = lshBucket(planes) _
+        it.map { case (id, v) => (id, v, f(v)) }
+      }
+      .toDF("vec_id", "embedding", "bucket")
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim_micro",
+        floor(cosine(col("x.embedding"), col("y.embedding")) * 1000000.0).cast("long"))
+      .filter(col("sim_micro") >= minSimMicro)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("sim_micro"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract._
+
+/** The Spark-native extraction pipeline (SURVEY.md §3.2): typed Dataset
+  * transformations under Catalyst, NO RDDs (BASELINE.json input_hint).
+  *
+  * The three reference stages (preprocess → detect → recognize) are
+  * FUSED into one `mapPartitions` (SURVEY.md §4.3a): a single
+  * object-mode region means exactly one UnsafeRow⇄object ser/de
+  * round-trip per row — at 10^12 rows the ser/de tax dominates after
+  * tokenization itself, so one boundary, not three. This also mirrors
+  * the reference's shape: one linear per-document pipeline with
+  * per-partition reuse of the tokenizer/scorer (the batched-crops
+  * analog of BASELINE.json north_star).
+  */
+object ExtractPipeline {
+
+  /** Input gate (P4): skip unreadable/empty pages. Expressed as a
+    * Column predicate BEFORE the object map so Catalyst can push it
+    * into the scan.
+    */
+  def inputGate(pages: DataFrame): DataFrame =
+    pages.filter(col("html").isNotNull && length(col("html")) > 0)
+
+  /** Fused M1→M2→M3→M4: one mapPartitions, one ser/de boundary.
+    * Takes the PRUNED projection (url, html) so the parquet/Iceberg scan
+    * never reads the decoy crawl `text` column.
+    */
+  def extract(pages: Dataset[PageLite], cfg: ExtractorConfig): Dataset[ExtractedPage] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ExtractedPage]
+    pages.mapPartitions { it =>
+      // per-partition setup amortized here (cfg is tiny; captured in the
+      // closure = broadcast-by-task-binary, the model-load analog)
+      it.map(p => GoldenExtractor.extractPage(p, cfg))
+    }
+  }
+
+  /** Latest-snapshot dedup (A2/W3): keep the newest warc_ts per url.
+    * Deterministic tie-break on warc_ts only — snapshots of one url
+    * with equal ts are byte-identical by the determinism contract.
+    */
+  def dedupLatest(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
+    pages.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Stable logical partition id (R3): pmod(xxhash64(url), P) —
+    * independent of runtime parallelism, so checkpoint/resume units
+    * survive cluster-size changes (N → 4N executors).
+    */
+  def urlHash: Column = xxhash64(col("url"))
+
+  def withPartId(df: DataFrame, numLogicalParts: Int): DataFrame =
+    df.withColumn("url_hash", urlHash)
+      .withColumn("part_id", pmod(col("url_hash"), lit(numLogicalParts.toLong)).cast("int"))
+
+  /** Output clustering (R1): range-repartition on url_hash — balanced
+    * output files even under host skew, because url_hash (not host)
+    * spreads a hot host's pages by construction (SURVEY.md §2.8 R2).
+    */
+  def clusterForWrite(df: DataFrame, numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, col("url_hash"))
+
+  /** Explicit salting helper (J3/R2) for stage-level skew: a salt
+    * column derived from url bytes, NOT from the skewed host key.
+    */
+  def withSalt(df: DataFrame, buckets: Int): DataFrame =
+    df.withColumn("salt", pmod(xxhash64(col("url"), lit(0x5a17L)), lit(buckets.toLong)).cast("int"))
+
+  /** Per-logical-partition metrics rollup (A1/C1). Aggregated by the
+    * STABLE part_id (not the runtime partition index) so metrics rows
+    * are value-identical across retries/parallelism — accumulator-free
+    * by design (accumulators are not exactly-once on retry).
+    */
+  def metrics(extracted: DataFrame, jobId: String, attempt: Int): DataFrame =
+    extracted.groupBy(col("part_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_blocks")).cast("long").as("n_blocks"),
+        sum(col("n_kept")).cast("long").as("n_kept"),
+        sum(col("bytes_in")).cast("long").as("bytes_in"),
+        sum(col("bytes_out")).cast("long").as("bytes_out"),
+        min(col("url_hash")).as("url_hash_lo"),
+        max(col("url_hash")).as("url_hash_hi")
+      )
+      .withColumn("attempt", lit(attempt))
+      .withColumn("job_id", lit(jobId))
+
+  /** Order-independent global digest (A4): bit_xor of per-row hashes —
+    * partition-count-invariant, so one value certifies byte-identity
+    * across any parallelism level.
+    */
+  def globalDigest(extracted: DataFrame): DataFrame =
+    extracted
+      .select(xxhash64(col("url"), col("text")).as("h"))
+      .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n_rows"))
+}

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract._
+import graft.sources.PageSource
+
+/** Executable-spec tests for the pure extraction core (no Spark).
+  * Fixture classes follow BASELINE.json:6's layout triad mapped to DOM
+  * shapes (FIXTURES.md §3): nested / rotated-table / irregular.
+  */
+class ExtractCoreSpec extends AnyFunSuite {
+
+  private val cfg = ExtractorConfig.default
+  private val cfgSp = ExtractorConfig.spaceJoined
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  // ---- tokenizer -----------------------------------------------------
+
+  test("nested fixture: content vs boilerplate blocks") {
+    val html =
+      """<html><head><title>skip me</title><script>var a='<p>no</p>';</script></head>
+        |<body><nav><a href="/">Home</a> <a href="/x">About</a></nav>
+        |<div><p>hello world one</p><p>second block here</p></div>
+        |<footer><a href="/p">Privacy</a></footer></body></html>""".stripMargin
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    assert(blocks.map(_.tag).toSeq == Seq("nav", "p", "p", "footer"))
+    assert(blocks(1).text == "hello world one")
+    assert(blocks(2).text == "second block here")
+    assert(blocks(0).nLinkChars > 0 && blocks(0).nTags == 2)
+    // title/script content never leaks
+    assert(!blocks.exists(_.text.contains("skip")))
+    assert(!blocks.exists(_.text.contains("no")))
+  }
+
+  test("whitespace collapse and entities are deterministic") {
+    val html = "<p>  a&nbsp;&amp; b\t\n  c &lt;tag&gt; &#65; &unknown; </p>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    assert(blocks.length == 1)
+    assert(blocks(0).text == "a & b c <tag> A &unknown;")
+  }
+
+  test("rotated-table fixture: reading order follows source order") {
+    val html = "<table><tr><td>cell one text</td><td>cell two text</td></tr>" +
+      "<tr><td>cell three text</td></tr></table>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    assert(blocks.map(_.text).toSeq ==
+      Seq("cell one text", "cell two text", "cell three text"))
+    assert(blocks.forall(_.tag == "td"))
+  }
+
+  test("irregular fixture: unclosed/mis-nested tags, comments, lone <") {
+    val html = "<body><p>first para text<p><b>second bold para" +
+      "<!-- <p>comment</p> --><div>third 1 < 2 block</div>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    assert(blocks.map(_.text).toSeq ==
+      Seq("first para text", "second bold para", "third 1 < 2 block"))
+  }
+
+  test("invalid UTF-8 bytes decode deterministically") {
+    val bad = Array[Byte]('<', 'p', '>', 'a', 0x80.toByte, 0xff.toByte, 'b', '<', '/', 'p', '>')
+    val b1 = HtmlTokenizer.tokenize(bad, cfg)
+    val b2 = HtmlTokenizer.tokenize(bad.clone(), cfg)
+    assert(b1.map(_.text).toSeq == b2.map(_.text).toSeq)
+    assert(b1(0).text.startsWith("a") && b1(0).text.endsWith("b"))
+  }
+
+  // ---- scorer ----------------------------------------------------------
+
+  test("scorer separates content from link-heavy boilerplate") {
+    val html = PageSource.NavHtml + "<p>plain content paragraph of words</p>" + PageSource.FooterHtml
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    val sp = Scorer.score("u", blocks)
+    val byTag = blocks.map(_.tag).zip(sp.scores).toMap
+    assert(byTag("p") >= cfg.textThreshold)
+    assert(byTag("nav") < cfg.textThreshold)
+    assert(byTag("footer") < cfg.textThreshold)
+  }
+
+  test("scores are primitive float arrays, bitwise stable") {
+    val html = "<p>alpha beta</p><p>gamma</p>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    val s1 = Scorer.score("u", blocks).scores
+    val s2 = Scorer.score("u", blocks).scores
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.getClass == classOf[Array[Float]])
+  }
+
+  // ---- wrapper invariants the DuckDB oracle relies on ------------------
+
+  test("wrapper: nav/footer constants match oracle (boiler_chars = 31)") {
+    val blocks = HtmlTokenizer.tokenize(PageSource.wrapHtml(7L, "one two three"), cfgSp)
+    val boiler = blocks.filter(_.tag != "p")
+    assert(boiler.map(_.tag).toSeq == Seq("nav", "footer"))
+    assert(boiler.map(_.nChars).sum == 31, s"boiler=${boiler.map(b => (b.tag, b.nChars, b.text)).toSeq}")
+    assert(blocks.count(_.tag == "p") == 1)
+  }
+
+  test("wrapper: n_blocks = paragraphs + 2; paragraph chunking = (nw+7)/8") {
+    val words = (1 to 23).map(i => s"w$i").mkString(" ") // 23 words -> 3 paras
+    val blocks = HtmlTokenizer.tokenize(PageSource.wrapHtml(1L, words), cfgSp)
+    assert(PageSource.paragraphs(words).length == 3)
+    assert(blocks.length == 5)
+  }
+
+  test("byte-identity: extraction of a wrapped doc reproduces the text exactly") {
+    val texts = Seq(
+      "the fast key order sort table scan merge part window",
+      "a", "a b", (1 to 100).map(i => s"tok$i").mkString(" "),
+      "x " * 7 + "y" // 8 words exactly
+    )
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (out, spans) = GoldenExtractor.extract(PageSource.wrapHtml(i.toLong, t), cfgSp)
+      assert(out == t, s"mismatch for input #$i")
+      assert(java.util.Arrays.equals(out.getBytes(StandardCharsets.UTF_8),
+        t.getBytes(StandardCharsets.UTF_8)))
+      assert(spans.length == PageSource.paragraphs(t).length)
+      // spans tile the text with single-space separators
+      if (spans.nonEmpty) {
+        assert(spans.head.start == 0)
+        assert(spans.last.end == t.getBytes(StandardCharsets.UTF_8).length)
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(b.start == a.end + 1)
+          case _           =>
+        }
+      }
+    }
+  }
+
+  test("span byte offsets slice the output text correctly (multi-byte)") {
+    val t = "héllo wörld " * 4 + "end"
+    val (out, spans) = GoldenExtractor.extract(PageSource.wrapHtml(0L, t.trim), cfgSp)
+    val outBytes = out.getBytes(StandardCharsets.UTF_8)
+    spans.foreach { s =>
+      val piece = new String(outBytes.slice(s.start, s.end), StandardCharsets.UTF_8)
+      assert(!piece.startsWith(" ") && !piece.endsWith(" "))
+      assert(s.kind == "content")
+    }
+  }
+
+  test("region grouping: adjacent same-tag kept blocks form one region") {
+    val html = "<div><p>first second third four</p><p>fifth sixth seven eight</p></div>" +
+      PageSource.NavHtml + "<div><p>after nav block text</p></div>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    val sp = Scorer.score("u", blocks)
+    val ids = Assembler.regionIds(sp, cfg)
+    // nav is dropped; the two leading <p>s merge; the trailing <p> is
+    // separated (non-adjacent blockIds)
+    assert(ids.toSeq == Seq(0, 0, 1))
+  }
+
+  test("maxHtmlBytes caps per-page work") {
+    val big = "<p>" + ("word " * 100000) + "</p>"
+    val cfgCap = cfg.copy(maxHtmlBytes = 1024)
+    val blocks = HtmlTokenizer.tokenize(bytes(big), cfgCap)
+    assert(blocks.map(_.nChars).sum <= 1024)
+  }
+
+  test("empty / null html yield empty extraction") {
+    assert(GoldenExtractor.extract(Array.emptyByteArray, cfg)._1 == "")
+    assert(HtmlTokenizer.tokenize(null, cfg).isEmpty)
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.{ExtractorConfig, PageLite}
+import graft.pipeline.{ExtractPipeline, ParquetTableIO}
+import graft.sources.PageSource
+
+/** Spark-level pipeline tests: byte-identity vs the documents oracle,
+  * parallelism invariance (the byte-identity contract operationalized,
+  * SURVEY.md §5.2.2), resume idempotence, plan shape, skew balance.
+  */
+class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("byte-identity: extracted text equals documents.text for every url") {
+    val s = spark
+    import s.implicits._
+    val got = Queries.extracted(spark, sfDir)
+      .toDF().select(col("url"), col("text")).as[(String, String)]
+      .collect().toMap
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => PageSource.urlOf(id) -> t }.toMap
+    assert(got.size == want.size)
+    want.foreach { case (url, t) =>
+      assert(got(url) == t, s"text mismatch for $url")
+    }
+  }
+
+  test("parallelism invariance: digest identical at 1 vs 13 partitions") {
+    val s = spark
+    import s.implicits._
+    val pages = Queries.pages(spark, sfDir).select(col("url"), col("html")).as[PageLite]
+    def digest(np: Int): (Long, Long) = {
+      val d = ExtractPipeline.globalDigest(
+        ExtractPipeline.extract(pages.repartition(np), ExtractorConfig.spaceJoined).toDF())
+      val r = d.collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(digest(1) == digest(13))
+  }
+
+  test("dedup_latest keeps exactly the later snapshot per url") {
+    val s = spark
+    import s.implicits._
+    val deduped = ExtractPipeline.dedupLatest(
+      Queries.pages(spark, sfDir, withDups = true).toDF())
+    val n = deduped.count()
+    val nUrls = deduped.select("url").distinct().count()
+    assert(n == nUrls)
+    val epochs = deduped
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .filter(col("doc_id") % PageSource.DupMod === 0)
+      .select(col("doc_id"), col("warc_ts").cast("long").as("e"))
+      .as[(Long, Long)].collect()
+    assert(epochs.nonEmpty)
+    epochs.foreach { case (id, e) =>
+      assert(e == PageSource.EpochBase + id + PageSource.DupLagSec, s"doc $id kept wrong snapshot")
+    }
+  }
+
+  test("ExtractJob: idempotent re-run and checkpoint resume (anti-join)") {
+    val s = spark
+    import s.implicits._
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 300, 6).toDF().write.parquet(pagesDir)
+
+    // full run
+    val outA = tmp()
+    val (rowsA, _) = ExtractJob.run(spark, pagesDir, outA, numLogicalParts = 16, jobId = "a")
+    assert(rowsA == 300)
+
+    // re-run on the same outDir: everything committed -> no new rows
+    val (rowsA2, resumed) = ExtractJob.run(spark, pagesDir, outA, numLogicalParts = 16, jobId = "a2")
+    assert(rowsA2 == rowsA)
+    assert(resumed == 16)
+
+    // simulated partial failure: pre-seed half the checkpoint, resume
+    val outB = tmp()
+    val ckpt = spark.read.schema(ParquetTableIO.checkpointSchema)
+      .parquet(s"$outA/checkpoint_metrics")
+      .filter(col("part_id") < 8)
+    ParquetTableIO.append(ckpt, s"$outB/checkpoint_metrics")
+    ExtractJob.run(spark, pagesDir, outB, numLogicalParts = 16, jobId = "b")
+    val outRows = spark.read.parquet(s"$outB/pages_extracted")
+    // only the un-committed parts were (re)written, no duplicates
+    assert(outRows.select("url").distinct().count() == outRows.count())
+    val expected = spark.read.parquet(s"$outA/pages_extracted")
+      .filter(col("part_id") >= 8).select("url").as[String].collect().sorted.toSeq
+    val got = outRows.select("url").as[String].collect().sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("plan shape: hot-path scan never reads the decoy crawl text column") {
+    val s = spark
+    import s.implicits._
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 50, 2).toDF().write.parquet(pagesDir)
+    val pages = ParquetTableIO.readPages(spark, pagesDir)
+    val pipeline = ExtractPipeline.extract(
+      ExtractPipeline.dedupLatest(ExtractPipeline.inputGate(pages))
+        .select(col("url"), col("html")).as[PageLite],
+      ExtractorConfig.default)
+    val plan = pipeline.toDF().queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("url") && read.contains("html"), s"plan: $read")
+    assert(!read.contains("text"), s"decoy column read! $read")
+  }
+
+  test("plan shape: input gate is pushed into the parquet scan") {
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 50, 2).toDF().write.parquet(pagesDir)
+    val gated = ExtractPipeline.inputGate(ParquetTableIO.readPages(spark, pagesDir))
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(html)]"), s"plan: $plan")
+  }
+
+  test("skew: url_hash range clustering balances a 50%-one-host corpus") {
+    // PageSource host catalog gives host0 ~50% of pages by construction
+    val pages = PageSource.genPages(spark, 2000, 8).toDF()
+    val clustered = ExtractPipeline.clusterForWrite(
+      ExtractPipeline.withPartId(pages, 64), 16)
+    val sizes = clustered.groupBy(spark_partition_id().as("pid"))
+      .count().select("count").collect().map(_.getLong(0))
+    assert(sizes.length == 16)
+    val avg = sizes.sum.toDouble / sizes.length
+    assert(sizes.max <= avg * 1.5, s"skewed partitions: ${sizes.mkString(",")}")
+  }
+
+  test("stable part_id: in range, parallelism-independent") {
+    val df = ExtractPipeline.withPartId(
+      Queries.pages(spark, sfDir).toDF(), 64)
+    val parts = df.select("part_id").distinct().collect().map(_.getInt(0))
+    assert(parts.forall(p => p >= 0 && p < 64))
+    val a = df.select("url", "part_id").collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val b = ExtractPipeline.withPartId(Queries.pages(spark, sfDir).toDF().repartition(7), 64)
+      .select("url", "part_id").collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
+  test("all SparkEntry queries execute and entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+    // oracle keys must be a subset of query keys
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
