@@ -41,12 +41,15 @@ object Bench {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- 1. per-query timings --------------------------------------
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // ---- 1. per-query timings (skippable for pure scaling runs) -----
+    val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+    val results =
+      if (pipelineOnly) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
 
     // ---- 2. headline pipeline bench ---------------------------------
     // One-time corpus generation (NOT timed); both parallelism levels
@@ -62,10 +65,11 @@ object Bench {
     val t0 = System.nanoTime()
     val pages = graft.pipeline.ParquetTableIO.readPages(spark, benchDir)
     val extracted = ExtractPipeline.extract(
-      ExtractPipeline.dedupLatest(ExtractPipeline.inputGate(pages))
-        .select(col("url"), col("html")).as[PageLite],
+      ExtractPipeline.inputGate(pages)
+        .select(col("url"), col("warc_ts"), col("html")).as[PageLite],
       ExtractorConfig.default)
-    val keyed = ExtractPipeline.withPartId(extracted.toDF(), 1024)
+    val deduped = ExtractPipeline.dedupLatest(extracted.toDF())
+    val keyed = ExtractPipeline.withPartId(deduped, 1024)
     ExtractPipeline.clusterForWrite(keyed, spark.sparkContext.defaultParallelism * 4)
       .drop("url_hash")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/pages_extracted")

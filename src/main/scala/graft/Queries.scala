@@ -31,7 +31,7 @@ object Queries {
   def extracted(s: SparkSession, sfDir: String): Dataset[ExtractedPage] = {
     import s.implicits._
     ExtractPipeline.extract(
-      pages(s, sfDir).select(col("url"), col("html")).as[PageLite],
+      pages(s, sfDir).select(col("url"), col("warc_ts"), col("html")).as[PageLite],
       ExtractorConfig.spaceJoined)
   }
 

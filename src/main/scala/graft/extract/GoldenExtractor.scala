@@ -24,6 +24,7 @@ object GoldenExtractor {
     val bytesIn = if (p.html == null) 0L else p.html.length.toLong
     ExtractedPage(
       url = p.url,
+      warc_ts = p.warc_ts,
       text = text,
       spans = spans,
       n_blocks = blocks.length,

@@ -18,9 +18,11 @@ final case class Page(
 /** Pruned projection of [[Page]] for the extraction hot path: the
   * pipeline never reads the crawl's noisy `text` column (SURVEY.md §4.2
   * column-pruning contract) — selecting into this type lets Catalyst
-  * push the 2-column projection into the scan.
+  * push the 3-column projection into the scan. `warc_ts` rides along so
+  * latest-snapshot dedup can run AFTER extraction (shuffling extracted
+  * text, ~25% of the raw html bytes, instead of the html itself).
   */
-final case class PageLite(url: String, html: Array[Byte])
+final case class PageLite(url: String, warc_ts: Timestamp, html: Array[Byte])
 
 /** One candidate text block produced by the tokenizer (the CRAFT
   * "character region" analog, per BASELINE.json north_star: block
@@ -63,6 +65,7 @@ final case class Span(start: Int, end: Int, blockId: Int, kind: String, score: F
   */
 final case class ExtractedPage(
     url: String,
+    warc_ts: Timestamp,
     text: String,
     spans: Array[Span],
     n_blocks: Int,

@@ -54,7 +54,7 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("parallelism invariance: digest identical at 1 vs 13 partitions") {
     val s = spark
     import s.implicits._
-    val pages = Queries.pages(spark, sfDir).select(col("url"), col("html")).as[PageLite]
+    val pages = Queries.pages(spark, sfDir).select(col("url"), col("warc_ts"), col("html")).as[PageLite]
     def digest(np: Int): (Long, Long) = {
       val d = ExtractPipeline.globalDigest(
         ExtractPipeline.extract(pages.repartition(np), ExtractorConfig.spaceJoined).toDF())
@@ -123,7 +123,7 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pages = ParquetTableIO.readPages(spark, pagesDir)
     val pipeline = ExtractPipeline.extract(
       ExtractPipeline.dedupLatest(ExtractPipeline.inputGate(pages))
-        .select(col("url"), col("html")).as[PageLite],
+        .select(col("url"), col("warc_ts"), col("html")).as[PageLite],
       ExtractorConfig.default)
     val plan = pipeline.toDF().queryExecution.executedPlan.toString
     val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
