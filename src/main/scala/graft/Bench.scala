@@ -68,11 +68,12 @@ object Bench {
       ExtractPipeline.inputGate(pages)
         .select(col("url"), col("warc_ts"), col("html")).as[PageLite],
       ExtractorConfig.default)
-    val deduped = ExtractPipeline.dedupLatest(extracted.toDF())
-    val keyed = ExtractPipeline.withPartId(deduped, 1024)
-    ExtractPipeline.clusterForWrite(keyed, spark.sparkContext.defaultParallelism * 4)
+    val keyed = ExtractPipeline.withPartId(extracted.toDF(), 1024)
+    ExtractPipeline.dedupAndCluster(keyed, 128)
       .drop("url_hash")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/pages_extracted")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.enable.dictionary", "false")
+      .parquet(s"$outDir/pages_extracted")
     val pipelineSec = (System.nanoTime() - t0) / 1e9
     val rowsOut = spark.read.parquet(s"$outDir/pages_extracted").count()
     val digest = ExtractPipeline.globalDigest(

@@ -31,10 +31,18 @@ object BenchScaling {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(s"graft-scaling-$cpus")
-        .config("spark.sql.shuffle.partitions", cpus)
+        // 4x cores: straggler insurance; AQE coalesces the excess
+        .config("spark.sql.shuffle.partitions", cpus * 4)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        // v2 commit: task files moved at task commit, no serial
+        // driver-side rename of every file at job end
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        // shuffle files in tmpfs too — same single-disk-artifact
+        // argument as the output dir
+        .config("spark.local.dir",
+          sys.env.getOrElse("SPARK_GRAFT_OUT_BASE", "/dev/shm") + "/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }
@@ -47,11 +55,13 @@ object BenchScaling {
         ExtractPipeline.inputGate(pages)
           .select(col("url"), col("warc_ts"), col("html")).as[PageLite],
         ExtractorConfig.default)
-      val deduped = ExtractPipeline.dedupLatest(extracted.toDF())
-      val keyed = ExtractPipeline.withPartId(deduped, 1024)
-      ExtractPipeline.clusterForWrite(keyed, spark.sparkContext.defaultParallelism * 4)
+      val keyed = ExtractPipeline.withPartId(extracted.toDF(), 1024)
+      ExtractPipeline.dedupAndCluster(keyed, 128)
         .drop("url_hash")
-        .write.mode(SaveMode.Overwrite).parquet(outDir)
+        .write.mode(SaveMode.Overwrite)
+        // dictionary encoding is pure overhead on unique urls/text
+        .option("parquet.enable.dictionary", "false")
+        .parquet(outDir)
       val sec = (System.nanoTime() - t0) / 1e9
       val out = spark.read.parquet(outDir)
       val d = ExtractPipeline.globalDigest(out).collect()(0)
@@ -63,12 +73,30 @@ object BenchScaling {
       def docsPerSec: Double = rows / medianSec
     }
 
-    val results = levels.map { cpus =>
-      val spark = session(cpus)
-      val outDir = s"/tmp/graft_scaling_out_$cpus"
-      onePass(spark, outDir) // warm-up, discarded
-      val runs = (1 to 3).map(_ => onePass(spark, outDir))
+    // tmpfs output: removes single-local-disk writeback contention (a
+    // sandbox artifact — real clusters write to distributed storage);
+    // both levels use it, so the comparison stays symmetric.
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_OUT_BASE", "/dev/shm")
+    val nWarm = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "2").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
+
+    def passAt(cpus: Int): (Double, Long, Long) = {
+      val spark = session(cpus) // context setup excluded from timing
+      val r = onePass(spark, s"$outBase/graft_scaling_out_$cpus")
       spark.stop()
+      r
+    }
+
+    // INTERLEAVED rounds (8,32,8,32,…): this host is a shared VM with
+    // visible run-to-run noise; interleaving makes any noisy window hit
+    // both levels equally instead of poisoning one level's median.
+    (1 to nWarm).foreach(_ => levels.foreach(passAt)) // warm-ups, discarded
+    val runsByLevel: Map[Int, Seq[(Double, Long, Long)]] =
+      (1 to nRuns).flatMap(_ => levels.map(c => c -> passAt(c)))
+        .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).toSeq }
+
+    val results = levels.toSeq.map { cpus =>
+      val runs = runsByLevel(cpus)
       val digests = runs.map(_._3).distinct
       require(digests.size == 1, s"digest drift across runs: $digests")
       Level(cpus, runs.map(_._1), runs.head._2, digests.head)

@@ -56,20 +56,18 @@ object ExtractJob {
       .withPartId(gated, numLogicalParts)
       .join(broadcast(done), Seq("part_id"), "left_anti")
 
-    // Extract FIRST, then latest-snapshot dedup: extraction is a pure
-    // map (no shuffle), so deduping afterwards shuffles only the
-    // extracted text (~25% of raw html bytes) instead of the html.
+    // Extract FIRST (pure map, no shuffle), then ONE exchange does both
+    // latest-snapshot dedup and url_hash output clustering — the shuffle
+    // carries extracted text (~25% of raw html bytes), never the html,
+    // and there is no range-sampling recompute (see dedupAndCluster).
     val extracted = ExtractPipeline
       .extract(todo.select("url", "warc_ts", "html").as[graft.extract.PageLite], cfg)
-    val deduped = ExtractPipeline.dedupLatest(extracted.toDF())
-    val keyed = ExtractPipeline.withPartId(deduped, numLogicalParts)
-
-    // Write output clustered by url_hash range (balanced files under
-    // host skew), then commit the per-partition lineage rows.
-    val clustered = ExtractPipeline.clusterForWrite(keyed, spark.sparkContext.defaultParallelism)
+    val keyed = ExtractPipeline.withPartId(extracted.toDF(), numLogicalParts)
+    val clustered = ExtractPipeline.dedupAndCluster(
+      keyed, spark.sparkContext.defaultParallelism * 2)
     io.append(clustered.drop("url_hash"), outPath)
 
-    val m = ExtractPipeline.metrics(keyed, jobId, attempt)
+    val m = ExtractPipeline.metrics(clustered, jobId, attempt)
       .select("part_id", "n_docs", "n_blocks", "n_kept", "bytes_in",
         "bytes_out", "url_hash_lo", "url_hash_hi", "attempt", "job_id")
     io.append(m, ckptPath)

@@ -195,9 +195,20 @@ object Queries {
       .orderBy(col("url"))
   }
 
+  /** Exploded row-form spans with exact byte offsets — reconstructed
+    * from the struct-of-arrays storage via the arrays_zip view; the
+    * DuckDB oracle recomputes every offset from the paragraph grammar.
+    */
+  def spansView(s: SparkSession, d: String): DataFrame =
+    ExtractPipeline.spansAsStructs(extracted(s, d).toDF())
+      .select(col("url"), posexplode(col("spans")).as(Seq("i", "span")))
+      .select(col("url"), col("i"),
+        col("span.start").as("start"), col("span.end").as("end"))
+      .orderBy(col("url"), col("i"))
+
   def assembleSpans(s: SparkSession, d: String): DataFrame =
     extracted(s, d).toDF()
-      .select(col("url"), size(col("spans")).cast("long").as("n_spans"),
+      .select(col("url"), size(col("span_starts")).cast("long").as("n_spans"),
         length(col("text")).cast("long").as("text_len"))
       .orderBy(col("url"))
 

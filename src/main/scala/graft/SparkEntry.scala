@@ -46,6 +46,7 @@ object SparkEntry {
     "score_blocks" -> (Queries.scoreBlocks _),
     "group_regions" -> (Queries.groupRegions _),
     "assemble_spans" -> (Queries.assembleSpans _),
+    "spans_view" -> (Queries.spansView _),
     "extract_pipeline" -> (Queries.extractPipeline _),
     "digest_output" -> (Queries.digestOutput _),
     "dedup_latest" -> (Queries.dedupLatest _),
@@ -155,6 +156,21 @@ object SparkEntry {
       s"""SELECT $urlSql AS url, CAST(p AS BIGINT) AS n_spans,
          |  CAST(length(text) AS BIGINT) AS text_len
          |FROM (SELECT doc_id, text, $pCnt AS p FROM documents) t ORDER BY url""".stripMargin,
+    "spans_view" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS words,
+         |         $nw AS nw, $pCnt AS p
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |         length(array_to_string(words[(i*8+1):LEAST((i+1)*8, nw)], ' ')) AS clen
+         |  FROM t, UNNEST(range(p)) AS r(i))
+         |SELECT $urlSql AS url, i,
+         |  CAST(coalesce(sum(clen + 1) OVER (PARTITION BY doc_id ORDER BY i
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS start,
+         |  CAST(coalesce(sum(clen + 1) OVER (PARTITION BY doc_id ORDER BY i
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + clen AS INTEGER) AS "end"
+         |FROM u ORDER BY url, i""".stripMargin,
     "extract_pipeline" ->
       s"SELECT $urlSql AS url, text FROM documents ORDER BY url",
     "digest_output" ->

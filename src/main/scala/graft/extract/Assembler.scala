@@ -16,8 +16,25 @@ import java.nio.charset.StandardCharsets
   */
 object Assembler {
 
-  private def utf8Len(s: String): Int =
-    s.getBytes(StandardCharsets.UTF_8).length
+  /** UTF-8 byte length WITHOUT materializing the bytes (the hot path
+    * runs this per block; an actual getBytes copy would double the
+    * allocation traffic of the whole kernel).
+    */
+  def utf8Len(s: String): Int = {
+    var n = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < len && Character.isLowSurrogate(s.charAt(i + 1))) {
+        n += 4; i += 1
+      } else n += 3
+      i += 1
+    }
+    n
+  }
 
   /** Number of regions among kept blocks (exposed for tests and the
     * relational group_regions cross-check).
@@ -40,29 +57,58 @@ object Assembler {
     ids
   }
 
-  def assemble(sp: ScoredPage, cfg: ExtractorConfig): (String, Array[Span]) = {
+  /** Columnar assembly result: output text + parallel primitive span
+    * arrays (see ExtractedPage scaladoc for the representation choice).
+    */
+  final case class Assembled(
+      text: String,
+      starts: Array[Int],
+      ends: Array[Int],
+      blockIds: Array[Int],
+      scores: Array[Float]) {
+    def nSpans: Int = starts.length
+  }
+
+  def assembleColumnar(sp: ScoredPage, cfg: ExtractorConfig): Assembled = {
     val n = sp.blocks.length
+    var nKept = 0
+    var i = 0
+    while (i < n) { if (sp.scores(i) >= cfg.textThreshold) nKept += 1; i += 1 }
+    val starts = new Array[Int](nKept)
+    val ends = new Array[Int](nKept)
+    val blockIds = new Array[Int](nKept)
+    val scores = new Array[Float](nKept)
     val out = new java.lang.StringBuilder(512)
-    val spans = Array.newBuilder[Span]
     val sepBytes = utf8Len(cfg.blockSep)
     var byteLen = 0
-    var first = true
-    var i = 0
+    var k = 0
+    i = 0
     while (i < n) {
       if (sp.scores(i) >= cfg.textThreshold) {
-        if (!first) {
+        if (k > 0) {
           out.append(cfg.blockSep)
           byteLen += sepBytes
         }
         val t = sp.blocks(i).text
-        val start = byteLen
+        starts(k) = byteLen
         out.append(t)
         byteLen += utf8Len(t)
-        spans += Span(start, byteLen, sp.blocks(i).blockId, "content", sp.scores(i))
-        first = false
+        ends(k) = byteLen
+        blockIds(k) = sp.blocks(i).blockId
+        scores(k) = sp.scores(i)
+        k += 1
       }
       i += 1
     }
-    (out.toString, spans.result())
+    Assembled(out.toString, starts, ends, blockIds, scores)
+  }
+
+  /** Row-form spans (tests / executable-spec surface). */
+  def assemble(sp: ScoredPage, cfg: ExtractorConfig): (String, Array[Span]) = {
+    val a = assembleColumnar(sp, cfg)
+    val spans = Array.tabulate(a.nSpans) { i =>
+      Span(a.starts(i), a.ends(i), a.blockIds(i), "content", a.scores(i))
+    }
+    (a.text, spans)
   }
 }

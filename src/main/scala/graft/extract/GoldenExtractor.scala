@@ -20,17 +20,20 @@ object GoldenExtractor {
   def extractPage(p: PageLite, cfg: ExtractorConfig): ExtractedPage = {
     val blocks = HtmlTokenizer.tokenize(p.html, cfg)
     val scored = Scorer.score(p.url, blocks)
-    val (text, spans) = Assembler.assemble(scored, cfg)
+    val a = Assembler.assembleColumnar(scored, cfg)
     val bytesIn = if (p.html == null) 0L else p.html.length.toLong
     ExtractedPage(
       url = p.url,
       warc_ts = p.warc_ts,
-      text = text,
-      spans = spans,
+      text = a.text,
+      span_starts = a.starts,
+      span_ends = a.ends,
+      span_block_ids = a.blockIds,
+      span_scores = a.scores,
       n_blocks = blocks.length,
-      n_kept = spans.length,
+      n_kept = a.nSpans,
       bytes_in = bytesIn,
-      bytes_out = text.getBytes(StandardCharsets.UTF_8).length.toLong
+      bytes_out = Assembler.utf8Len(a.text).toLong
     )
   }
 }

@@ -74,6 +74,39 @@ object ExtractPipeline {
   def withSalt(df: DataFrame, buckets: Int): DataFrame =
     df.withColumn("salt", pmod(xxhash64(col("url"), lit(0x5a17L)), lit(buckets.toLong)).cast("int"))
 
+  /** Latest-snapshot dedup + output clustering in ONE exchange — the
+    * production write path.
+    *
+    * Why not window-dedup then [[clusterForWrite]]: that is two
+    * exchanges, and repartitionByRange's range-bounds SAMPLING job
+    * re-executes the upstream stage (at 10^12 rows, a second pass over
+    * the shuffle / a second run of the object-mode extraction). Since
+    * url_hash = xxhash64(url) is uniform by construction, hash
+    * clustering on it yields the same balanced output files with NO
+    * sampling pass — and a hot host still cannot pin a partition
+    * because its pages spread across the whole hash space (R2).
+    *
+    * One exchange is enough for BOTH dedup and clustering:
+    * HashPartitioning(url_hash) satisfies the window's
+    * ClusteredDistribution(url_hash, url), so Catalyst inserts no
+    * second shuffle — just the window's partition-local sort, which
+    * also leaves every output file sorted by (url_hash, url).
+    * Plan-shape test asserts exchange count == 1.
+    */
+  def dedupAndCluster(extracted: DataFrame, numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("url_hash"), col("url"))
+      .orderBy(col("warc_ts").desc)
+    val withHash =
+      if (extracted.columns.contains("url_hash")) extracted
+      else extracted.withColumn("url_hash", urlHash)
+    withHash
+      .repartition(numPartitions, col("url_hash"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Per-logical-partition metrics rollup (A1/C1). Aggregated by the
     * STABLE part_id (not the runtime partition index) so metrics rows
     * are value-identical across retries/parallelism — accumulator-free
@@ -92,6 +125,21 @@ object ExtractPipeline {
       )
       .withColumn("attempt", lit(attempt))
       .withColumn("job_id", lit(jobId))
+
+  /** Row-form spans view: reconstructs ARRAY<STRUCT<start,end,blockId,
+    * kind,score>> relationally from the struct-of-arrays storage
+    * representation (zip_with over parallel primitive arrays — pure
+    * Column exprs, stays in codegen).
+    */
+  def spansAsStructs(extracted: DataFrame): DataFrame =
+    extracted.withColumn("spans",
+      expr("""transform(span_starts, (s, i) -> named_struct(
+              |  'start', s,
+              |  'end', span_ends[i],
+              |  'blockId', span_block_ids[i],
+              |  'kind', 'content',
+              |  'score', span_scores[i]))""".stripMargin))
+      .drop("span_starts", "span_ends", "span_block_ids", "span_scores")
 
   /** Order-independent global digest (A4): bit_xor of per-row hashes —
     * partition-count-invariant, so one value certifies byte-identity

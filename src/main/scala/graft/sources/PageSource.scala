@@ -152,9 +152,15 @@ object PageSource {
     * 0 → nested (horizontal analog), 1 → rotated-table (multi-oriented),
     * 2 → irregular (curved) — FIXTURES.md §3.
     */
-  def genPage(id: Long): Page = {
+  def genPage(id: Long): Page = genPageScaled(id, 1)
+
+  /** wordScale scales page sizes: 1 → 100..999 words (~4 KB html,
+    * small-page corpus); 10 → ~33 KB avg, the realistic Common-Crawl
+    * page size regime where extraction CPU dominates I/O.
+    */
+  def genPageScaled(id: Long, wordScale: Int): Page = {
     val h = splitmix64(id)
-    val wordCount = 100 + ((h >>> 16) % 900L).toInt // 100..999 words
+    val wordCount = (100 + ((h >>> 16) % 900L).toInt) * wordScale
     val text = contentText(id, wordCount)
     val langs = Array("en", "en", "en", "de", "es", "fr", "zh")
     val lang = langs(((h >>> 4) % 7L).toInt)
@@ -201,8 +207,8 @@ object PageSource {
   /** Bench corpus: n seed-fixed pages. Generated distributed (range →
     * map), partitioning-independent by construction.
     */
-  def genPages(spark: SparkSession, n: Long, parts: Int): Dataset[Page] = {
+  def genPages(spark: SparkSession, n: Long, parts: Int, wordScale: Int = 1): Dataset[Page] = {
     import spark.implicits._
-    spark.range(0L, n, 1L, parts).as[Long].map(genPage _)
+    spark.range(0L, n, 1L, parts).as[Long].map(id => genPageScaled(id, wordScale))
   }
 }

@@ -131,6 +131,34 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!read.contains("text"), s"decoy column read! $read")
   }
 
+  test("plan shape: dedupAndCluster uses exactly ONE exchange") {
+    val s = spark
+    import s.implicits._
+    val extracted = Queries.extracted(spark, sfDir).toDF()
+    val keyed = ExtractPipeline.withPartId(extracted, 64)
+    val plan = ExtractPipeline.dedupAndCluster(keyed, 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("rangepartitioning"), "no sampling pass expected")
+  }
+
+  test("dedupAndCluster output equals window dedup output (values)") {
+    val s = spark
+    import s.implicits._
+    val pages = Queries.pages(spark, sfDir, withDups = true)
+      .select(col("url"), col("warc_ts"), col("html")).as[PageLite]
+    val extracted = ExtractPipeline.extract(pages, ExtractorConfig.spaceJoined).toDF()
+    val a = ExtractPipeline.dedupAndCluster(
+        ExtractPipeline.withPartId(extracted, 64), 8)
+      .select("url", "warc_ts", "text")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).sortBy(_._1).toSeq
+    val b = ExtractPipeline.dedupLatest(extracted)
+      .select("url", "warc_ts", "text")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("plan shape: input gate is pushed into the parquet scan") {
     val pagesDir = tmp() + "/pages"
     PageSource.genPages(spark, 50, 2).toDF().write.parquet(pagesDir)
