@@ -268,6 +268,88 @@ object Queries {
         ExtractPipeline.withPartId(extracted(s, d).toDF(), 256), 8)
       .select(col("url")).orderBy(col("url"))
 
+  /** Projection-prune query (P1): minimal column set + agg. */
+  def projectPrune(s: SparkSession, d: String): DataFrame =
+    pages(s, d).toDF().select(col("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("lang"))
+
+  /** Salted broadcast join (J3): the skewed big side (host0 owns 50% of
+    * pages) carries a salt from url bytes; the small host-tier dim is
+    * exploded across all salt values so the join key (host, salt)
+    * spreads the hot host over S reducers.
+    */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val S = 8
+    val big = pages(s, d).toDF()
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(S.toLong)).cast("int"))
+    val dim = big.select(col("host")).distinct()
+      .withColumn("hid", regexp_extract(col("host"), "^host(\\d+)\\.", 1).cast("long"))
+      .withColumn("tier",
+        when(col("hid") === 0, "hot")
+          .when(col("hid").between(1, 9), "warm")
+          .otherwise("cold"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    big.join(broadcast(dim), Seq("host", "salt"))
+      .groupBy(col("tier")).agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("tier"))
+  }
+
+  /** Scalar subquery (decorrelated by Catalyst). */
+  def qSubquery(s: SparkSession, d: String): DataFrame = {
+    val orders = s.read.parquet(s"$d/orders.parquet")
+    val half = orders.agg((max(col("o_totalprice")) * 0.5).as("t"))
+    orders.crossJoin(half).filter(col("o_totalprice") > col("t"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  /** ROLLUP grouping sets over documents. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    TextOps.readDocs(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** NOT EXISTS as left-anti join: customers with no orders. */
+  def qAntijoin(s: SparkSession, d: String): DataFrame = {
+    val customer = s.read.parquet(s"$d/customer.parquet")
+    val orders = s.read.parquet(s"$d/orders.parquet")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey")).orderBy(col("c_custkey"))
+  }
+
+  /** Sessionization: a new session starts after a >30 min gap (classic
+    * event-stream window op; the batch formulation of what Structured
+    * Streaming session windows compute).
+    */
+  def eventsSessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          // microsecond diff: exact on both engines (SECOND-granularity
+          // truncates vs counts boundary-crossings — disagrees on
+          // sub-second timestamps)
+          .when(expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Multimodal frame-sampling: explode each asset into one row per
+    * decoded frame (video analog of the decode stub).
+    */
+  def mmFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAssets(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   def saltedPartition(s: SparkSession, d: String): DataFrame =
     pages(s, d).toDF()
       .withColumn("salt",

@@ -55,7 +55,14 @@ object SparkEntry {
     "score_histogram" -> (Queries.scoreHistogram _),
     "resume_antijoin" -> (Queries.resumeAntijoin _),
     "repartition_range" -> (Queries.repartitionRange _),
-    "salted_partition" -> (Queries.saltedPartition _)
+    "salted_partition" -> (Queries.saltedPartition _),
+    "project_prune" -> (Queries.projectPrune _),
+    "salted_join" -> (Queries.saltedJoin _),
+    "q_subquery" -> (Queries.qSubquery _),
+    "q_rollup" -> (Queries.qRollup _),
+    "q_antijoin" -> (Queries.qAntijoin _),
+    "events_sessions" -> (Queries.eventsSessions _),
+    "mm_frames" -> (Queries.mmFrames _)
   )
 
   // ------------------------------------------------------------------
@@ -193,7 +200,41 @@ object SparkEntry {
       s"SELECT $urlSql AS url FROM documents ORDER BY url",
     "salted_partition" ->
       """SELECT CAST(doc_id % 8 AS BIGINT) AS salt, count(*) AS n_pages
-        |FROM documents GROUP BY salt ORDER BY salt""".stripMargin
+        |FROM documents GROUP BY salt ORDER BY salt""".stripMargin,
+    "project_prune" ->
+      "SELECT lang, count(*) AS n_pages FROM documents GROUP BY lang ORDER BY lang",
+    "salted_join" ->
+      s"""SELECT CASE WHEN hid = 0 THEN 'hot'
+         |            WHEN hid BETWEEN 1 AND 9 THEN 'warm'
+         |            ELSE 'cold' END AS tier, count(*) AS n_pages
+         |FROM (SELECT $hid AS hid FROM documents) t
+         |GROUP BY tier ORDER BY tier""".stripMargin,
+    "q_subquery" ->
+      """SELECT count(*) AS n_above FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)""".stripMargin,
+    "q_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "events_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(r.frame_idx AS INTEGER) AS frame_idx
+        |FROM documents, UNNEST(range(1 + strlen(text) % 10)) AS r(frame_idx)
+        |ORDER BY doc_id, frame_idx""".stripMargin
     // no oracle (object-mode / hash-library-specific, rows-only check):
     // dedup_minhash, dedup_simhash, lang_id, doc_fingerprint,
     // ann_cosine, ann_lsh, dedup_embedding, score_histogram
