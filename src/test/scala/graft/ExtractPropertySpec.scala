@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract._
+import graft.sources.PageSource
+
+/** Property tests (SURVEY.md §5.2.2): the extraction core is total,
+  * deterministic and structurally sound on ADVERSARIAL inputs — random
+  * byte garbage, random tag soup, random wrapped documents.
+  */
+class ExtractPropertySpec extends AnyFunSuite {
+
+  /** Seed-fixed sampling: deterministic property evaluation without the
+    * scalatestplus bridge (absent from the offline coursier cache).
+    */
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default.withSize(60)
+    var i = 0L
+    var produced = 0
+    while (produced < n) {
+      g.apply(params, Seed(i)) match {
+        case Some(a) => f(a); produced += 1
+        case None    =>
+      }
+      i += 1
+    }
+  }
+
+  private val cfg = ExtractorConfig.default
+
+  private val tagSoup: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s.take(12)),
+      Gen.oneOf("<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>",
+        "<br>", "<!-- c -->", "&amp;", "&#65;", "&bogus;", "<table><tr><td>",
+        "</td></tr></table>", "< ", "<script>x<y</script>", "  ", "\n", "\t",
+        "<b>", "</i>", "<P >", "</SPAN>", "<h1>", "&#x41;", "<x>", "</zz>")
+    )
+    Gen.listOf(frag).map(_.mkString)
+  }
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.listOf(Arbitrary.arbitrary[Byte]).map(_.toArray)
+
+  test("total + deterministic on random tag soup") {
+    forAll(tagSoup) { (s: String) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      val (t1, sp1) = GoldenExtractor.extract(b, cfg)
+      val (t2, sp2) = GoldenExtractor.extract(b.clone(), cfg)
+      assert(t1 == t2)
+      assert(sp1.toSeq == sp2.toSeq)
+    }
+  }
+
+  test("total + deterministic on arbitrary (invalid-UTF-8) bytes") {
+    forAll(rawBytes) { (b: Array[Byte]) =>
+      val (t1, _) = GoldenExtractor.extract(b, cfg)
+      val (t2, _) = GoldenExtractor.extract(b.clone(), cfg)
+      assert(t1 == t2)
+    }
+  }
+
+  test("spans are well-formed: sorted, non-overlapping, inside the text bytes") {
+    forAll(tagSoup) { (s: String) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      val (text, spans) = GoldenExtractor.extract(b, cfg)
+      val total = text.getBytes(StandardCharsets.UTF_8).length
+      var prevEnd = -1
+      spans.foreach { sp =>
+        assert(sp.start >= 0 && sp.start <= sp.end && sp.end <= total)
+        assert(sp.start > prevEnd)
+        prevEnd = sp.end
+      }
+      // spans slice to non-empty, non-separator-padded pieces
+      val bytes = text.getBytes(StandardCharsets.UTF_8)
+      spans.foreach { sp =>
+        val piece = new String(bytes.slice(sp.start, sp.end), StandardCharsets.UTF_8)
+        assert(piece.nonEmpty && !piece.startsWith(" ") && !piece.endsWith(" "))
+      }
+    }
+  }
+
+  test("whitespace runs never survive into block text") {
+    forAll(tagSoup) { (s: String) =>
+      HtmlTokenizer.tokenizeChars(s).foreach { blk =>
+        assert(!blk.text.contains("  "))
+        assert(!blk.text.exists(c => c == '\n' || c == '\t' || c == '\r'))
+        assert(blk.text == blk.text.trim)
+        assert(blk.nChars == blk.text.length)
+        assert(blk.nLinkChars <= blk.nChars)
+      }
+    }
+  }
+
+  test("wrapped-document byte-identity holds for random word sequences") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+    val doc = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    forAll(doc) { (text: String) =>
+      val (out, _) = GoldenExtractor.extract(
+        PageSource.wrapHtml(1L, text), ExtractorConfig.spaceJoined)
+      assert(out == text)
+    }
+  }
+}
