@@ -232,11 +232,12 @@ object TextOps {
     * equi-join on (segment index, segment value), then verify Hamming.
     */
   def dedupSimhash(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    import spark.implicits._
-    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
-      .toDF("doc_id", "simhash")
+    // signature stage via the NATIVE simhash64 expression — stays in
+    // whole-stage codegen, zero-copy over UTF8String bytes (bit-for-bit
+    // equal to TextOps.simhash, asserted in FunctionsSpec)
+    graft.functions.GraftExtensions.register(spark)
+    val sigs = docs.selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id", "simhash64(text) AS simhash")
 
     val segs = sigs.select(
       col("doc_id"), col("simhash"),

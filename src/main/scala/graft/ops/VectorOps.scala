@@ -21,26 +21,39 @@ object VectorOps {
   def readEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** Cosine similarity between two ARRAY<FLOAT> columns, computed in
-    * DOUBLE with a fixed left-to-right fold (deterministic, codegen'd).
+  /** Dot product of two ARRAY<FLOAT> columns in DOUBLE with a fixed
+    * left-to-right fold (deterministic, codegen'd — no UDF).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def dot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an ARRAY<FLOAT> column. Precompute ONCE per vector —
+    * cosine per candidate pair is then a single fold + one divide
+    * instead of three folds (3x less expression work in the join).
+    */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity between two ARRAY<FLOAT> columns. Prefer the
+    * precomputed-norm form (dot(a,b)/(normA*normB)) in joins.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / l2norm(a) / l2norm(b)
 
   /** Exact brute-force cosine top-k for a query set (vec_id < nQueries).
     * Deterministic tie-break on neighbor id.
     */
   def annBrute(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val normed = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = normed
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"))
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -94,13 +107,15 @@ object VectorOps {
       }
       .toDF("vec_id", "embedding", "bucket")
 
-    val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val scored = bucketed
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+    val normed = bucketed.withColumn("norm", l2norm(col("embedding")))
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+    val scored = normed
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"), col("bucket"))
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -146,10 +161,12 @@ object VectorOps {
         it.map { case (id, v) => (id, v, f(v)) }
       }
       .toDF("vec_id", "embedding", "bucket")
-    bucketed.as("x").join(bucketed.as("y"),
+    val normed = bucketed.withColumn("norm", l2norm(col("embedding")))
+    normed.as("x").join(normed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim_micro",
-        floor(cosine(col("x.embedding"), col("y.embedding")) * 1000000.0).cast("long"))
+        floor(dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.norm") * col("y.norm")) * 1000000.0).cast("long"))
       .filter(col("sim_micro") >= minSimMicro)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("sim_micro"))
       .orderBy(col("vec_a"), col("vec_b"))

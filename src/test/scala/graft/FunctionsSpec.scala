@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.ops.TextOps
+
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-functions-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("simhash64 expression matches the Scala reference bit-for-bit") {
+    val texts = Seq("", "a", "one two three", "the the the",
+      (1 to 200).map(i => s"w$i").mkString(" "))
+    texts.foreach { t =>
+      assert(GraftFunctions.simhash64(UTF8String.fromString(t)) == TextOps.simhash(t),
+        s"kernel mismatch for '$t'")
+    }
+    val s = spark
+    import s.implicits._
+    val df = texts.toDF("text").selectExpr("text", "simhash64(text) AS sh")
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == TextOps.simhash(r.getString(0)))
+    }
+  }
+
+  test("simhash64 stays inside WholeStageCodegen") {
+    val s = spark
+    import s.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "simhash64(text) AS sh")
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("simhash64")), plan)
+    assert(!plan.contains("DeserializeToObject"), "object-mode boundary leaked in")
+    // and it executes (codegen path, not just interpreted fallback)
+    assert(df.count() == 500)
+    // deterministic across runs
+    val a = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("simhash64 is null-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some("x y"), None).toDF("text").selectExpr("simhash64(text) AS sh")
+    val rows = df.collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+  }
+}
