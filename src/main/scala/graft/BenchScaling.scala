@@ -51,11 +51,11 @@ object BenchScaling {
       import spark.implicits._
       val t0 = System.nanoTime()
       val pages = graft.pipeline.ParquetTableIO.readPages(spark, benchDir)
-      val extracted = ExtractPipeline.extract(
+      val extracted = ExtractPipeline.extractExpr(
         ExtractPipeline.inputGate(pages)
-          .select(col("url"), col("warc_ts"), col("html")).as[PageLite],
+          .select(col("url"), col("warc_ts"), col("html")),
         ExtractorConfig.default)
-      val keyed = ExtractPipeline.withPartId(extracted.toDF(), 1024)
+      val keyed = ExtractPipeline.withPartId(extracted, 1024)
       ExtractPipeline.dedupAndCluster(keyed, 128)
         .drop("url_hash")
         .write.mode(SaveMode.Overwrite)

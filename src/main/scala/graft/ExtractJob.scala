@@ -61,8 +61,8 @@ object ExtractJob {
     // carries extracted text (~25% of raw html bytes), never the html,
     // and there is no range-sampling recompute (see dedupAndCluster).
     val extracted = ExtractPipeline
-      .extract(todo.select("url", "warc_ts", "html").as[graft.extract.PageLite], cfg)
-    val keyed = ExtractPipeline.withPartId(extracted.toDF(), numLogicalParts)
+      .extractExpr(todo.select("url", "warc_ts", "html"), cfg)
+    val keyed = ExtractPipeline.withPartId(extracted, numLogicalParts)
     val clustered = ExtractPipeline.dedupAndCluster(
       keyed, spark.sparkContext.defaultParallelism * 2)
     io.append(clustered.drop("url_hash"), outPath)

@@ -82,22 +82,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)
-    ))
+    GraftExtensions.all.foreach(ext.injectFunction)
   }
 }
 
 object GraftExtensions {
+  private val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (new FunctionIdentifier("extract_page"),
+      new ExpressionInfo(classOf[ExtractPage].getName, "extract_page"),
+      (children: Seq[Expression]) => ExtractPage(children))
+  )
+
   /** Imperative registration for an already-built session (tests,
     * driver-harness sessions the builder does not construct).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head))
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -39,6 +39,32 @@ object ExtractPipeline {
     }
   }
 
+  /** Expression-mode extraction (M7 / SURVEY.md §4.3b): same kernel as
+    * [[extract]] but as a native Catalyst expression — NO object-mode
+    * boundary (no Deserialize/SerializeFromObject), the pipeline stays
+    * a single codegen Project over the scan. Byte-identical to the
+    * typed-map path (equivalence test in SparkPipelineSpec).
+    */
+  def extractExpr(pages: DataFrame, cfg: ExtractorConfig): DataFrame = {
+    val spark = pages.sparkSession
+    graft.functions.GraftExtensions.register(spark)
+    pages
+      .withColumn("__ex", call_function("extract_page",
+        col("html"), lit(cfg.textThreshold), lit(cfg.linkThreshold),
+        lit(cfg.blockSep), lit(cfg.maxHtmlBytes)))
+      .select(
+        col("url"), col("warc_ts"),
+        col("__ex.text").as("text"),
+        col("__ex.span_starts").as("span_starts"),
+        col("__ex.span_ends").as("span_ends"),
+        col("__ex.span_block_ids").as("span_block_ids"),
+        col("__ex.span_scores").as("span_scores"),
+        col("__ex.n_blocks").as("n_blocks"),
+        col("__ex.n_kept").as("n_kept"),
+        col("__ex.bytes_in").as("bytes_in"),
+        col("__ex.bytes_out").as("bytes_out"))
+  }
+
   /** Latest-snapshot dedup (A2/W3): keep the newest warc_ts per url.
     * Deterministic tie-break on warc_ts only — snapshots of one url
     * with equal ts are byte-identical by the determinism contract.

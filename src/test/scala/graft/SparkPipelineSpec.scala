@@ -159,6 +159,42 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("expression-mode extraction == typed-map extraction, with no object boundary") {
+    val s = spark
+    import s.implicits._
+    val pagesDf = Queries.pages(spark, sfDir).toDF()
+      .select(col("url"), col("warc_ts"), col("html"))
+    val viaExpr = ExtractPipeline.extractExpr(pagesDf, ExtractorConfig.spaceJoined)
+    val viaMap = ExtractPipeline.extract(
+      pagesDf.as[PageLite], ExtractorConfig.spaceJoined).toDF()
+    // identical digests over (url, text) AND identical full rows
+    val de = ExtractPipeline.globalDigest(viaExpr).collect()(0)
+    val dm = ExtractPipeline.globalDigest(viaMap).collect()(0)
+    assert(de.getLong(0) == dm.getLong(0) && de.getLong(1) == dm.getLong(1))
+    val a = viaExpr.select("url", "n_blocks", "n_kept", "bytes_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1).toSeq
+    val b = viaMap.select("url", "n_blocks", "n_kept", "bytes_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(a == b)
+    // spans identical too
+    val sa = viaExpr.select("url", "span_starts", "span_ends")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+    val sb = viaMap.select("url", "span_starts", "span_ends")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+    assert(sa == sb)
+    // no object-mode boundary when reading from parquet (the boundary
+    // above belongs to the in-memory test-page builder, not extraction)
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 50, 2).toDF().write.parquet(pagesDir)
+    val fromParquet = ExtractPipeline.extractExpr(
+      ParquetTableIO.readPages(spark, pagesDir)
+        .select(col("url"), col("warc_ts"), col("html")),
+      ExtractorConfig.default)
+    val plan = fromParquet.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"), plan)
+    assert(fromParquet.count() == 50)
+  }
+
   test("plan shape: input gate is pushed into the parquet scan") {
     val pagesDir = tmp() + "/pages"
     PageSource.genPages(spark, 50, 2).toDF().write.parquet(pagesDir)
