@@ -10,10 +10,11 @@ import graft.pipeline.{ExtractPipeline, ParquetTableIO}
   *
   *   spark-submit --class graft.ExtractJob app.jar <pagesPath> <outDir> [P] [jobId]
   *
-  * read pages → input gate → latest-snapshot dedup → fused extract →
-  * stable part_id → RESUME anti-join against the checkpoint table →
-  * repartitionByRange(url_hash) → append output + per-partition
-  * checkpoint/lineage metrics (SURVEY.md §2.9).
+  * read pages → input gate → stable part_id → RESUME anti-join against
+  * the checkpoint table → expression-mode extract (no object boundary)
+  * → ONE exchange for latest-snapshot dedup + url_hash clustering →
+  * append output + per-partition checkpoint/lineage metrics
+  * (SURVEY.md §2.9; clustering rationale in BENCH.md).
   *
   * Idempotence: extraction is pure/deterministic, part_id is a pure
   * function of url — re-running after a partial failure appends ONLY
