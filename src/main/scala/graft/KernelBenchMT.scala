@@ -15,12 +15,13 @@ object KernelBenchMT {
   def main(args: Array[String]): Unit = {
     val perThread = sys.env.getOrElse("SPARK_GRAFT_KERNEL_PAGES", "20000").toInt
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "1,8,32").split(",").map(_.trim.toInt)
+    val wordScale = sys.env.getOrElse("SPARK_GRAFT_WORD_SCALE", "1").toInt
     val cfg = ExtractorConfig.default
     val maxT = levels.max
     // one shared corpus slice per thread, same pages at every level
     val corpus: Array[Array[PageLite]] = Array.tabulate(maxT) { t =>
       Array.tabulate(perThread) { i =>
-        val p = PageSource.genPage((t * perThread + i).toLong)
+        val p = PageSource.genPageScaled((t * perThread + i).toLong, wordScale)
         PageLite(p.url, p.warc_ts, p.html)
       }
     }
