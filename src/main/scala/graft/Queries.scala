@@ -120,6 +120,28 @@ object Queries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     TextOps.dedupSimhash(s, TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
 
+  /** Exact word-3-gram Jaccard for the planted near-dup pairs (the
+    * verify-stage primitive exposed standalone; LSH candidates feed it
+    * at scale — see dedup_minhash).
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = TextOps.readDocs(s, d)
+    val mutated = TextOps.corpusWithNearDups(docs)
+      .filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .join(mutated, col("doc_b") === col("doc_a") + 1000000L)
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (a, b, ta, tb) =>
+        (a, b, math.floor(TextOps.exactJaccard(ta, tb) * 1000.0).toLong)
+      })
+      .toDF("doc_a", "doc_b", "jaccard_milli")
+      .orderBy(col("doc_a"))
+  }
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextOps.tokenCounts(TextOps.readDocs(s, d))
 

@@ -29,6 +29,7 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
+    "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
     "lang_id" -> (Queries.langIdQ _),
