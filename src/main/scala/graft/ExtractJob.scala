@@ -45,6 +45,7 @@ object ExtractJob {
     val outPath = s"$outDir/pages_extracted"
     val ckptPath = s"$outDir/checkpoint_metrics"
 
+    val t0 = System.currentTimeMillis()
     val pages = io.readPages(spark, pagesPath)
     val gated = ExtractPipeline.inputGate(pages)
 
@@ -68,9 +69,11 @@ object ExtractJob {
       keyed, spark.sparkContext.defaultParallelism * 2)
     io.append(clustered.drop("url_hash"), outPath)
 
-    val m = ExtractPipeline.metrics(clustered, jobId, attempt)
+    val m = ExtractPipeline.metrics(clustered, jobId, attempt,
+        wallMs = System.currentTimeMillis() - t0, inputSnapshot = pagesPath)
       .select("part_id", "n_docs", "n_blocks", "n_kept", "bytes_in",
-        "bytes_out", "url_hash_lo", "url_hash_hi", "attempt", "job_id")
+        "bytes_out", "url_hash_lo", "url_hash_hi", "attempt", "job_id",
+        "wall_ms", "committed_ts", "input_snapshot")
     io.append(m, ckptPath)
 
     val out = spark.read.parquet(outPath)

@@ -138,7 +138,8 @@ object ExtractPipeline {
     * are value-identical across retries/parallelism — accumulator-free
     * by design (accumulators are not exactly-once on retry).
     */
-  def metrics(extracted: DataFrame, jobId: String, attempt: Int): DataFrame =
+  def metrics(extracted: DataFrame, jobId: String, attempt: Int,
+              wallMs: Long = 0L, inputSnapshot: String = ""): DataFrame =
     extracted.groupBy(col("part_id"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -151,6 +152,9 @@ object ExtractPipeline {
       )
       .withColumn("attempt", lit(attempt))
       .withColumn("job_id", lit(jobId))
+      .withColumn("wall_ms", lit(wallMs))
+      .withColumn("committed_ts", current_timestamp())
+      .withColumn("input_snapshot", lit(inputSnapshot))
 
   /** Row-form spans view: reconstructs ARRAY<STRUCT<start,end,blockId,
     * kind,score>> relationally from the struct-of-arrays storage

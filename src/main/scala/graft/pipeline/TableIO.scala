@@ -36,7 +36,12 @@ object ParquetTableIO extends TableIO {
     StructField("url_hash_lo", LongType),
     StructField("url_hash_hi", LongType),
     StructField("attempt", IntegerType),
-    StructField("job_id", StringType)
+    StructField("job_id", StringType),
+    StructField("wall_ms", LongType),
+    StructField("committed_ts", TimestampType),
+    // input snapshot id (Iceberg snapshot on a real lake; the input
+    // path fingerprint in the parquet sandbox) — C3 lineage
+    StructField("input_snapshot", StringType)
   ))
 
   override def readPages(spark: SparkSession, path: String): DataFrame =

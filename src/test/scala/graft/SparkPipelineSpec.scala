@@ -203,6 +203,17 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PushedFilters: [IsNotNull(html)]"), s"plan: $plan")
   }
 
+  test("plan shape: lang predicate is pushed into the parquet scan") {
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 50, 2).toDF().write.parquet(pagesDir)
+    val langGated = ParquetTableIO.readPages(spark, pagesDir)
+      .filter(col("lang") === "en")
+      .select(col("url"), col("warc_ts"), col("html"))
+    val plan = langGated.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("EqualTo(lang,en)"), s"plan: $plan")
+  }
+
   test("skew: url_hash range clustering balances a 50%-one-host corpus") {
     // PageSource host catalog gives host0 ~50% of pages by construction
     val pages = PageSource.genPages(spark, 2000, 8).toDF()
