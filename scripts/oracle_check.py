@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Cross-check Spark query outputs against the DuckDB oracle.
+
+Usage: python3 scripts/oracle_check.py [verify_out_dir] [sf_dir]
+(after `sbt -batch "runMain graft.Verify <sf_dir> <verify_out_dir>"`)
+"""
+import duckdb, json, glob, os, sys, decimal
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+
+con = duckdb.connect()
+for f in glob.glob(f'{sf_dir}/*.parquet'):
+    name = os.path.basename(f).replace('.parquet', '')
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
+ok, bad = [], []
+
+def norm(v):
+    if isinstance(v, decimal.Decimal): return float(v)
+    if isinstance(v, (bytes, bytearray)): return v.hex()
+    if v != v: return None  # NaN -> None
+    return v
+
+for name, sql in sorted(oracle.items()):
+    sdf = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        bad.append((name, 'oracle_sql_error', str(e)[:300])); continue
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        bad.append((name, 'schema', f'{scols} vs {ocols}')); continue
+    srows = sorted([tuple(norm(v) for v in r) for r in sdf[scols].itertuples(index=False)], key=repr)
+    orows = sorted([tuple(norm(v) for v in r) for r in odf[scols].itertuples(index=False)], key=repr)
+    if srows != orows:
+        diff = [(a, b) for a, b in zip(srows, orows) if a != b][:2]
+        bad.append((name, 'values', f'{len(srows)} vs {len(orows)} rows; first diffs {str(diff)[:300]}')); continue
+    ok.append(name)
+
+print(f"MATCH {len(ok)}/{len(oracle)}")
+for b in bad: print("MISMATCH", b)
+dirs = [os.path.basename(d) for d in glob.glob(f'{out_dir}/*') if os.path.isdir(d)]
+print("no_oracle:", sorted(set(dirs) - set(oracle)))
+sys.exit(1 if bad else 0)

@@ -3,26 +3,42 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.extract.{ExtractorConfig, Page}
-import graft.pipeline.{ExtractPipeline, ParquetTableIO}
+import graft.extract.ExtractorConfig
+import graft.pipeline.{ExtractPipeline, ParquetTableIO, TableIO}
 
 /** Production entry point (SURVEY.md §3.2): the spark-submit job
   *
   *   spark-submit --class graft.ExtractJob app.jar <pagesPath> <outDir> [P] [jobId]
   *
   * read pages → input gate → stable part_id → RESUME anti-join against
-  * the checkpoint table → expression-mode extract (no object boundary)
-  * → ONE exchange for latest-snapshot dedup + url_hash clustering →
-  * append output + per-partition checkpoint/lineage metrics
-  * (SURVEY.md §2.9; clustering rationale in BENCH.md).
+  * the committed-part set → expression-mode extract (no object
+  * boundary) → ONE exchange for latest-snapshot dedup + url_hash
+  * clustering → append output, then checkpoint/lineage metrics
+  * aggregated from the FILES THAT APPEND ADDED (SURVEY.md §2.9).
   *
-  * Idempotence: extraction is pure/deterministic, part_id is a pure
-  * function of url — re-running after a partial failure appends ONLY
-  * the part_ids missing from the checkpoint table, and re-executed
-  * partitions would be byte-identical anyway.
+  * Single-pass contract: the extraction pipeline executes EXACTLY once
+  * per run. The metrics aggregation reads back only this commit's
+  * output files ([[TableIO.readCommit]]), pruned to the six small
+  * metric columns — never text/spans — so at 10^12 rows the job costs
+  * one pipeline pass plus a cheap columnar rollup of what it just
+  * wrote. (Plan/listener test asserts the pages scan runs once.)
   *
-  * On a real cluster the two `ParquetTableIO` appends become Iceberg
-  * `writeTo(...).append()` atomic snapshots (SURVEY.md §7.2).
+  * Idempotence & the two-append window: output append and checkpoint
+  * append are two separate commits (atomic snapshots on Iceberg; plain
+  * directory appends in the parquet sandbox, single-writer protocol).
+  * A crash between them leaves "orphan" part_ids — present in the
+  * output, missing from the checkpoint. Reruns treat the OUTPUT as the
+  * source of truth for "already appended": committed = checkpoint
+  * part_ids ∪ output part_ids, so orphaned parts are never re-appended
+  * (no duplicate rows, ever), and their missing checkpoint rows are
+  * backfilled from the already-written files. Extraction is pure and
+  * part_id is a pure function of url, so a re-extracted part would be
+  * byte-identical anyway; the reconciliation just avoids paying for it
+  * and keeps row counts exact.
+  *
+  * On a real cluster the appends are Iceberg snapshots
+  * ([[graft.pipeline.IcebergTableIO]]) and the output-part_id probe
+  * reads manifest metadata instead of a column scan.
   */
 object ExtractJob {
 
@@ -30,6 +46,12 @@ object ExtractJob {
     * at 10^12 rows this would be O(100k); tests use small values.
     */
   val DefaultLogicalParts = 256
+
+  /** Metric columns read back from the written output (plus url for
+    * the url_hash recompute) — the narrow rollup projection.
+    */
+  private val MetricCols =
+    Seq("part_id", "url", "n_blocks", "n_kept", "bytes_in", "bytes_out")
 
   def run(
       spark: SparkSession,
@@ -41,19 +63,30 @@ object ExtractJob {
       cfg: ExtractorConfig = ExtractorConfig.default
   ): (Long, Long) = {
     import spark.implicits._
-    val io = ParquetTableIO
+    val io: TableIO = ParquetTableIO
     val outPath = s"$outDir/pages_extracted"
     val ckptPath = s"$outDir/checkpoint_metrics"
 
     val t0 = System.currentTimeMillis()
+
+    // ---- Resume set (J1): committed = checkpoint ∪ output part_ids.
+    // Both probes are metadata-cheap: the checkpoint table is tiny, and
+    // the output probe prunes to the single int part_id column (Iceberg:
+    // a manifest read). They run BEFORE extraction so committed
+    // partitions pay no CPU.
+    val ckptIds: Set[Int] = io.readOrEmpty(spark, ckptPath, ParquetTableIO.checkpointSchema)
+      .select("part_id").distinct().as[Int].collect().toSet
+    val outIds: Set[Int] =
+      if (ParquetTableIO.exists(spark, outPath))
+        spark.read.parquet(outPath).select("part_id").distinct().as[Int].collect().toSet
+      else Set.empty
+    val orphanIds = outIds -- ckptIds
+    val doneIds = ckptIds ++ outIds
+    val inputSnapshot = io.snapshotId(spark, pagesPath)
+
     val pages = io.readPages(spark, pagesPath)
     val gated = ExtractPipeline.inputGate(pages)
-
-    // Resume: committed part_ids from previous attempts (J1: broadcast
-    // left_anti — the checkpoint table is tiny relative to pages).
-    // Runs BEFORE extraction so committed partitions pay no CPU.
-    val done = io.readOrEmpty(spark, ckptPath, io.checkpointSchema)
-      .select("part_id").distinct()
+    val done = doneIds.toSeq.sorted.toDF("part_id")
     val todo = ExtractPipeline
       .withPartId(gated, numLogicalParts)
       .join(broadcast(done), Seq("part_id"), "left_anti")
@@ -67,17 +100,38 @@ object ExtractJob {
     val keyed = ExtractPipeline.withPartId(extracted, numLogicalParts)
     val clustered = ExtractPipeline.dedupAndCluster(
       keyed, spark.sparkContext.defaultParallelism * 2)
-    io.append(clustered.drop("url_hash"), outPath)
 
-    val m = ExtractPipeline.metrics(clustered, jobId, attempt,
-        wallMs = System.currentTimeMillis() - t0, inputSnapshot = pagesPath)
-      .select("part_id", "n_docs", "n_blocks", "n_kept", "bytes_in",
-        "bytes_out", "url_hash_lo", "url_hash_hi", "attempt", "job_id",
-        "wall_ms", "committed_ts", "input_snapshot")
-    io.append(m, ckptPath)
+    // ---- THE single pipeline pass: append the output.
+    val commit = io.appendCommit(clustered.drop("url_hash"), outPath)
 
-    val out = spark.read.parquet(outPath)
-    (out.count(), done.count())
+    // ---- Checkpoint metrics from the files that append added (plus
+    // backfill rows for any orphaned parts of a crashed predecessor).
+    def rollup(df: DataFrame, snapshot: String): DataFrame =
+      ExtractPipeline.metrics(
+          df.select(MetricCols.map(col): _*)
+            .withColumn("url_hash", ExtractPipeline.urlHash),
+          jobId, attempt,
+          wallMs = System.currentTimeMillis() - t0,
+          inputSnapshot = snapshot)
+        .select(ParquetTableIO.checkpointSchema.fieldNames.map(col): _*)
+
+    val readBack = io.readCommit(spark, commit)
+    val thisRun = // an all-resumed rerun appends no files at all
+      if (readBack.columns.isEmpty) None else Some(rollup(readBack, inputSnapshot))
+    val backfill =
+      if (orphanIds.isEmpty) None
+      else Some(rollup(
+        spark.read.parquet(outPath)
+          .join(broadcast(orphanIds.toSeq.sorted.toDF("part_id")), Seq("part_id"), "left_semi"),
+        s"reconciled:$inputSnapshot"))
+    (thisRun ++ backfill).reduceOption(_ unionByName _).foreach(io.append(_, ckptPath))
+
+    // Totals come from the checkpoint (part_ids are append-once by the
+    // protocol above, so sum(n_docs) == output rows) — no third pass
+    // over the output data.
+    val totalRows = io.readOrEmpty(spark, ckptPath, ParquetTableIO.checkpointSchema)
+      .agg(coalesce(sum(col("n_docs")), lit(0L))).as[Long].collect()(0)
+    (totalRows, doneIds.size.toLong)
   }
 
   def main(args: Array[String]): Unit = {

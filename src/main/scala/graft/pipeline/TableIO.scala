@@ -3,17 +3,42 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
 
+/** One atomic-append's handle: enough information to re-read EXACTLY
+  * the rows that commit added (the Iceberg incremental-scan analog).
+  * `token` is implementation-opaque: added data files for parquet, a
+  * (start-snapshot, end-snapshot) pair for Iceberg.
+  */
+final case class Commit(ident: String, token: Seq[String])
+
 /** Storage seam (SURVEY.md §7.2). The production deployment targets
-  * Iceberg (`spark.read.table` / `writeTo(...).append()` with a
-  * `bucket(N, url)` hidden-partition transform); NO Iceberg runtime jar
-  * exists in this sandbox, so the bench/tests run on this parquet
-  * implementation with an explicit append layout. The seam keeps the
-  * pipeline code identical between the two.
+  * Iceberg ([[IcebergTableIO]]: `spark.read.table` /
+  * `writeTo(...).append()` with a `bucket(N, url)` hidden-partition
+  * transform); NO Iceberg runtime jar exists in this sandbox, so the
+  * bench/tests run on [[ParquetTableIO]] with an explicit append
+  * layout. The seam keeps the pipeline code identical between the two.
   */
 trait TableIO {
-  def readPages(spark: SparkSession, path: String): DataFrame
-  def append(df: DataFrame, path: String): Unit
-  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame
+  def readPages(spark: SparkSession, ident: String): DataFrame
+  def append(df: DataFrame, ident: String): Unit
+  def readOrEmpty(spark: SparkSession, ident: String, schema: StructType): DataFrame
+
+  /** Append and return a [[Commit]] handle for the rows just added.
+    * The production job aggregates its checkpoint metrics from
+    * [[readCommit]] of this handle (columnar read of the small metric
+    * columns) instead of re-executing the producing plan — the
+    * single-pass contract.
+    */
+  def appendCommit(df: DataFrame, ident: String): Commit
+
+  /** Rows added by `commit` and nothing else. */
+  def readCommit(spark: SparkSession, commit: Commit): DataFrame
+
+  /** Opaque snapshot id of the current table state for C3 lineage:
+    * Iceberg's currentSnapshot().snapshotId() on a real lake; a
+    * deterministic fingerprint of the data-file manifest (names +
+    * lengths, no data read) in the parquet sandbox.
+    */
+  def snapshotId(spark: SparkSession, ident: String): String
 }
 
 object ParquetTableIO extends TableIO {
@@ -39,23 +64,144 @@ object ParquetTableIO extends TableIO {
     StructField("job_id", StringType),
     StructField("wall_ms", LongType),
     StructField("committed_ts", TimestampType),
-    // input snapshot id (Iceberg snapshot on a real lake; the input
-    // path fingerprint in the parquet sandbox) — C3 lineage
+    // input snapshot id (Iceberg snapshot on a real lake; the manifest
+    // fingerprint of the input path in the parquet sandbox) — C3 lineage
     StructField("input_snapshot", StringType)
   ))
 
-  override def readPages(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(pageSchema).parquet(path)
+  override def readPages(spark: SparkSession, ident: String): DataFrame =
+    spark.read.schema(pageSchema).parquet(ident)
 
-  override def append(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path)
+  override def append(df: DataFrame, ident: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(ident)
 
   /** Read a table that may not exist yet (first run: no checkpoint). */
-  override def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+  override def readOrEmpty(spark: SparkSession, ident: String, schema: StructType): DataFrame = {
+    if (exists(spark, ident)) spark.read.schema(schema).parquet(ident)
     else spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
   }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def listDataFiles(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toSeq
+  }
+
+  /** Directory-listing diff around the append (single-writer protocol,
+    * as documented in ExtractJob); Iceberg replaces this with the
+    * commit snapshot's added files — no listing at all.
+    */
+  override def appendCommit(df: DataFrame, ident: String): Commit = {
+    val spark = df.sparkSession
+    val before = listDataFiles(spark, ident).map(_.getPath.toString).toSet
+    append(df, ident)
+    val added = listDataFiles(spark, ident).map(_.getPath.toString)
+      .filterNot(before.contains).sorted
+    Commit(ident, added)
+  }
+
+  override def readCommit(spark: SparkSession, commit: Commit): DataFrame =
+    if (commit.token.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(commit.token: _*)
+
+  /** Manifest fingerprint: FNV-1a over sorted (name, length) pairs —
+    * changes iff the committed file set changes, computed from a pure
+    * listing (no data read).
+    */
+  override def snapshotId(spark: SparkSession, ident: String): String = {
+    val files = listDataFiles(spark, ident)
+      .map(st => st.getPath.getName + ":" + st.getLen).sorted
+    var h = 0xcbf29ce484222325L
+    files.foreach { f =>
+      f.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        h ^= (b & 0xffL); h *= 0x100000001b3L
+      }
+    }
+    java.lang.Long.toHexString(h)
+  }
+}
+
+/** The deployment-target implementation (SURVEY.md §7.2): identifiers
+  * are catalog table names (`lake.crawl.pages`), not paths. Compiles
+  * against pure Spark APIs — DataFrameWriterV2 and string read options
+  * — so the SAME jar runs here and on a cluster with
+  * `spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog`
+  * configured; only then do the calls resolve to Iceberg commits.
+  *
+  * Mapping of the seam:
+  *   - appendCommit  → `writeTo(t).append()` (one atomic snapshot);
+  *     the token is the (start, end) snapshot-id pair bracketing it.
+  *   - readCommit    → incremental scan via the public
+  *     `start-snapshot-id`/`end-snapshot-id` read options.
+  *   - snapshotId    → newest row of the `<t>.snapshots` metadata table.
+  *   - output clustering → `bucket(N, url)` hidden partitioning via
+  *     [[createPagesExtracted]]; Iceberg routes appended rows without
+  *     any explicit repartition column in the data.
+  *
+  * The non-atomic two-append window ExtractJob documents for parquet
+  * disappears here: each append IS a snapshot, and the orphan
+  * reconciliation read (`part_id`s present in output) comes from
+  * manifest metadata, not a data scan.
+  */
+object IcebergTableIO extends TableIO {
+
+  override def readPages(spark: SparkSession, ident: String): DataFrame =
+    spark.read.table(ident)
+
+  override def append(df: DataFrame, ident: String): Unit =
+    df.writeTo(ident).append()
+
+  override def readOrEmpty(spark: SparkSession, ident: String, schema: StructType): DataFrame =
+    if (spark.catalog.tableExists(ident)) spark.read.table(ident)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  override def appendCommit(df: DataFrame, ident: String): Commit = {
+    val spark = df.sparkSession
+    val before = currentSnapshot(spark, ident)
+    df.writeTo(ident).append()
+    Commit(ident, Seq(before.getOrElse(""), currentSnapshot(spark, ident).getOrElse("")))
+  }
+
+  override def readCommit(spark: SparkSession, commit: Commit): DataFrame = {
+    val Seq(start, end) = commit.token
+    val r = spark.read.option("end-snapshot-id", end)
+    (if (start.isEmpty) r else r.option("start-snapshot-id", start)).table(commit.ident)
+  }
+
+  private def currentSnapshot(spark: SparkSession, ident: String): Option[String] =
+    if (!spark.catalog.tableExists(ident)) None
+    else spark.sql(
+        s"SELECT snapshot_id FROM $ident.snapshots ORDER BY committed_at DESC LIMIT 1")
+      .collect().headOption.map(_.getLong(0).toString)
+
+  override def snapshotId(spark: SparkSession, ident: String): String =
+    currentSnapshot(spark, ident).getOrElse("empty")
+
+  /** DDL for the output table: url-bucketed hidden partitioning — the
+    * Iceberg-native form of ExtractPipeline.dedupAndCluster's
+    * url_hash clustering (SURVEY.md §2.8 R1).
+    */
+  def createPagesExtracted(spark: SparkSession, ident: String, buckets: Int): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $ident (
+         |  url STRING, warc_ts TIMESTAMP, text STRING,
+         |  span_starts ARRAY<INT>, span_ends ARRAY<INT>,
+         |  span_block_ids ARRAY<INT>, span_scores ARRAY<FLOAT>,
+         |  n_blocks INT, n_kept INT, bytes_in BIGINT, bytes_out BIGINT,
+         |  part_id INT)
+         |USING iceberg
+         |PARTITIONED BY (bucket($buckets, url))""".stripMargin)
 }

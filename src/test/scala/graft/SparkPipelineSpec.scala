@@ -115,6 +115,65 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("ExtractJob single-pass: the pages scan executes exactly once per run") {
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 200, 4).toDF().write.parquet(pagesDir)
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        // count executed plans whose FILE SCAN location is the pages dir
+        // (a lit(pagesPath) in a Project must not count — hence the
+        // Location-line match, not a whole-plan substring match)
+        val hit = qe.executedPlan.toString.linesIterator
+          .exists(l => l.contains("Location") && l.contains(pagesDir))
+        if (hit) scans.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (rows, _) = ExtractJob.run(spark, pagesDir, tmp(), numLogicalParts = 8, jobId = "once")
+      assert(rows == 200)
+      // QueryExecutionListener delivery is async: poll until stable
+      var last = -1; var stableFor = 0
+      while (stableFor < 5) {
+        val c = scans.get
+        if (c == last) stableFor += 1 else { stableFor = 0; last = c }
+        Thread.sleep(100)
+      }
+      assert(scans.get == 1, s"pages dir scanned ${scans.get} times, expected 1")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("ExtractJob reconciliation: crash between output and checkpoint appends never duplicates rows") {
+    val s = spark
+    import s.implicits._
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 300, 6).toDF().write.parquet(pagesDir)
+    val outA = tmp()
+    ExtractJob.run(spark, pagesDir, outA, numLogicalParts = 16, jobId = "a")
+
+    // simulate: predecessor appended the OUTPUT but died before the
+    // checkpoint append (the non-atomic two-commit window)
+    val outC = tmp()
+    ParquetTableIO.append(
+      spark.read.parquet(s"$outA/pages_extracted"), s"$outC/pages_extracted")
+    val (rows, resumed) = ExtractJob.run(spark, pagesDir, outC, numLogicalParts = 16, jobId = "c")
+    assert(resumed == 16, "all orphaned parts must count as committed")
+    assert(rows == 300)
+    val out = spark.read.parquet(s"$outC/pages_extracted")
+    assert(out.count() == 300, "orphaned parts were re-appended (duplicates)")
+    assert(out.select("url").distinct().count() == 300)
+    // the missing checkpoint rows were backfilled from the output files
+    val ckpt = spark.read.schema(ParquetTableIO.checkpointSchema)
+      .parquet(s"$outC/checkpoint_metrics")
+    assert(ckpt.select("part_id").distinct().count() == 16)
+    assert(ckpt.agg(sum("n_docs")).as[Long].collect()(0) == 300)
+    assert(ckpt.filter(col("input_snapshot").startsWith("reconciled:")).count() == 16)
+  }
+
   test("plan shape: hot-path scan never reads the decoy crawl text column") {
     val s = spark
     import s.implicits._
