@@ -95,18 +95,23 @@ object TextOps {
     }
   }
 
-  /** 64-bit SimHash over word unigrams. */
+  /** 64-bit SimHash over word unigrams. Empty tokens (leading/double
+    * spaces) are SKIPPED — bit-for-bit equal to the native
+    * GraftFunctions.simhash64 kernel on ANY input (FunctionsSpec).
+    */
   def simhash(text: String): Long = {
     val counts = new Array[Int](64)
     if (text.nonEmpty) {
       val words = text.split(' ')
       var wi = 0
       while (wi < words.length) {
-        val h = fnv1a64(words(wi))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
+        if (words(wi).nonEmpty) {
+          val h = fnv1a64(words(wi))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
         }
         wi += 1
       }
@@ -144,13 +149,18 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "我")
   )
 
+  /** Marker occurrences are counted NON-overlapping (greedy left to
+    * right) and lowercasing is Locale.ROOT — both choices make the
+    * score an exact SQL mirror: (len(t) - len(replace(t, m, ''))) /
+    * len(m). Argmax with deterministic tie-break by lang name.
+    */
   def langId(text: String): String = {
-    val t = text.toLowerCase
+    val t = text.toLowerCase(java.util.Locale.ROOT)
     val scores = langMarkers.toSeq.map { case (lang, markers) =>
       var s = 0
       markers.foreach { m =>
         var idx = t.indexOf(m)
-        while (idx >= 0) { s += 1; idx = t.indexOf(m, idx + 1) }
+        while (idx >= 0) { s += 1; idx = t.indexOf(m, idx + m.length) }
       }
       (lang, s)
     }
@@ -187,12 +197,20 @@ object TextOps {
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified.
     * Stages: (1) one typed map → signatures + band hashes (no shuffle);
-    * (2) explode bands → groupBy bucket (shuffle #1, tiny rows);
-    * (3) candidate pairs from buckets; (4) join texts back (broadcast
-    * the small pair set at scale) and verify exact Jaccard >= minJ.
+    * (2) explode bands → per-(band,bucket) window count bounds hot
+    * buckets BEFORE collect_list (one exchange: the groupBy reuses the
+    * window's partitioning), skipping degenerate buckets > maxBucket
+    * (a skewed corpus cannot go quadratic; a skipped pair is still
+    * found via its other bands); (3) candidate pairs from buckets;
+    * (4) verify: semi-join the corpus down to candidate ids (broadcast
+    * the SMALL id set — never the texts relation; plan-shape test
+    * asserts no text-carrying broadcast hint), then join the candidate
+    * texts to the pairs and check exact Jaccard >= minJ.
     */
-  def dedupMinhash(spark: SparkSession, docs: DataFrame, minJaccardMilli: Long = 700L): DataFrame = {
+  def dedupMinhash(spark: SparkSession, docs: DataFrame,
+                   minJaccardMilli: Long = 700L, maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val withSig = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
@@ -200,11 +218,13 @@ object TextOps {
       })
       .toDF("doc_id", "bands")
 
+    val w = Window.partitionBy(col("band"), col("bucket"))
     val buckets = withSig
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
 
     val pairs = buckets
       .select(explode(expr(
@@ -214,9 +234,15 @@ object TextOps {
       .distinct()
 
     val texts = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // candTexts is small by construction (≤ 2·|pairs| rows); the joins
+    // below stay shuffle/AQE-decided — no hint ever puts full documents
+    // on the build side.
+    val candTexts = texts.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val joined = pairs
-      .join(broadcast(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a")), "doc_a")
-      .join(broadcast(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b")), "doc_b")
+      .join(candTexts.toDF("doc_a", "text_a"), "doc_a")
+      .join(candTexts.toDF("doc_b", "text_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
       .as[(Long, Long, String, String)]
 
@@ -230,8 +256,20 @@ object TextOps {
   /** SimHash near-dup pairs via 4×16-bit segment blocking: Hamming
     * distance <= maxHamming (pigeonhole: some segment matches exactly),
     * equi-join on (segment index, segment value), then verify Hamming.
+    *
+    * Hot-bucket bound: a degenerate segment value (e.g. 0 from masses
+    * of short/boilerplate docs) would make one bucket quadratic plus a
+    * distinct() over the blown-up pair set. A per-(seg,segval) window
+    * count drops buckets larger than maxBucket BEFORE the self-join;
+    * the self-join reuses the window's (seg,segval) partitioning, so
+    * the bound costs no extra exchange. Recall note: with maxBucket ≥
+    * corpus bucket sizes this is EXACT (pigeonhole recall 1 for
+    * Hamming ≤ 3); under the cap, a pair is lost only if ALL of its
+    * matching segments are degenerate-hot (skew test).
     */
-  def dedupSimhash(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dedupSimhash(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // signature stage via the NATIVE simhash64 expression — stays in
     // whole-stage codegen, zero-copy over UTF8String bytes (bit-for-bit
     // equal to TextOps.simhash, asserted in FunctionsSpec)
@@ -239,11 +277,15 @@ object TextOps {
     val sigs = docs.selectExpr(
       "CAST(doc_id AS BIGINT) AS doc_id", "simhash64(text) AS simhash")
 
+    val w = Window.partitionBy(col("seg"), col("segval"))
     val segs = sigs.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("seg", "segval")))
+        col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("seg", "segval")))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
+      .drop("cnt")
 
     val cand = segs.as("x").join(segs.as("y"),
         col("x.seg") === col("y.seg") &&

@@ -75,21 +75,41 @@ object VectorOps {
 
   /** Sign-bit LSH bucket id for an embedding (pure Scala, used in a
     * typed map so the plane matrix lives once per partition).
+    *
+    * INTEGER-EXACT by design: each component contributes
+    * ±floor(x·1000) (a Long), so the sign — hence the bucket — is
+    * bit-reproducible across engines/summation orders, and the DuckDB
+    * oracle can recompute it in pure SQL (the embed_stats trick).
     */
   def lshBucket(planes: Array[Array[Float]])(v: Seq[Float]): Int = {
     var bucket = 0
     var p = 0
     while (p < planes.length) {
-      var s = 0.0
+      var s = 0L
       val plane = planes(p)
       val n = math.min(plane.length, v.length)
       var i = 0
-      while (i < n) { s += plane(i) * v(i); i += 1 }
+      while (i < n) {
+        val milli = math.floor(v(i).toDouble * 1000.0).toLong
+        s += (if (plane(i) >= 0) milli else -milli)
+        i += 1
+      }
       if (s >= 0) bucket |= (1 << p)
       p += 1
     }
     bucket
   }
+
+  /** One bucket id per band: band b uses planes [b·planesPerBand,
+    * (b+1)·planesPerBand) — OR-amplified multi-band LSH (a pair is a
+    * candidate if ANY band agrees), the MinHash-band analog for
+    * embeddings.
+    */
+  def bandBuckets(planes: Array[Array[Float]], nBands: Int, planesPerBand: Int)
+                 (v: Seq[Float]): Array[Int] =
+    Array.tabulate(nBands) { b =>
+      lshBucket(planes.slice(b * planesPerBand, (b + 1) * planesPerBand))(v)
+    }
 
   /** Approximate top-k: bucket base and queries with sign-bit LSH, then
     * brute-force WITHIN the bucket (equi-join on bucket — shuffle
@@ -147,28 +167,61 @@ object VectorOps {
       .orderBy(col("label"))
 
   /** Embedding-cosine near-duplicate pairs above a similarity floor,
-    * restricted to LSH bucket mates (the scale path for embedding
-    * near-dedup). Deterministic output ordering.
+    * restricted to multi-band LSH candidates (the scale path for
+    * embedding near-dedup; deterministic output ordering).
+    *
+    * Scale shape, mirroring dedupMinhash:
+    *  - AND/OR amplification: nBands buckets per vector (8 sign bits
+    *    each) — candidates = pairs agreeing on ANY band, so recall does
+    *    not depend on one 2^8 partition of the sphere;
+    *  - hot-bucket bound: per-(band,bucket) window count skips buckets
+    *    > maxBucket BEFORE the self-join, so no bucket goes quadratic;
+    *  - candidate ids are deduped FIRST (ids only through distinct),
+    *    then the embeddings semi-join back for the one cosine verify —
+    *    vectors never ride through the distinct, and no broadcast of
+    *    the full embeddings relation anywhere.
     */
   def dedupEmbedding(spark: SparkSession, emb: DataFrame, minSimMicro: Long = 950000L,
-                     nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+                     nBands: Int = 4, planesPerBand: Int = 8, dim: Int = 64,
+                     maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
-    val planes = hyperplanes(nPlanes, dim)
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(nBands * planesPerBand, dim)
     val bucketed = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val f = lshBucket(planes) _
-        it.map { case (id, v) => (id, v, f(v)) }
+        val f = bandBuckets(planes, nBands, planesPerBand) _
+        it.map { case (id, v) => (id, f(v)) }
       }
-      .toDF("vec_id", "embedding", "bucket")
-    val normed = bucketed.withColumn("norm", l2norm(col("embedding")))
-    normed.as("x").join(normed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .toDF("vec_id", "buckets")
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val bounded = bucketed
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
+      .drop("cnt")
+
+    val pairs = bounded.as("x").join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+
+    val candIds = pairs.select(col("vec_a").as("vec_id"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
+    val candVecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(broadcast(candIds), Seq("vec_id"), "left_semi")
+      .withColumn("norm", l2norm(col("embedding")))
+
+    pairs
+      .join(candVecs.toDF("vec_a", "emb_a", "norm_a"), "vec_a")
+      .join(candVecs.toDF("vec_b", "emb_b", "norm_b"), "vec_b")
       .withColumn("sim_micro",
-        floor(dot(col("x.embedding"), col("y.embedding"))
-          / (col("x.norm") * col("y.norm")) * 1000000.0).cast("long"))
+        floor(dot(col("emb_a"), col("emb_b"))
+          / (col("norm_a") * col("norm_b")) * 1000000.0).cast("long"))
       .filter(col("sim_micro") >= minSimMicro)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("sim_micro"))
+      .select(col("vec_a"), col("vec_b"), col("sim_micro"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

@@ -27,7 +27,10 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("simhash64 expression matches the Scala reference bit-for-bit") {
+    // includes non-normalized inputs: leading/trailing/double spaces
+    // produce empty split() tokens, which BOTH kernels must skip
     val texts = Seq("", "a", "one two three", "the the the",
+      " leading", "trailing ", "double  space", "  ", " a  b ",
       (1 to 200).map(i => s"w$i").mkString(" "))
     texts.foreach { t =>
       assert(GraftFunctions.simhash64(UTF8String.fromString(t)) == TextOps.simhash(t),

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Near-dup operator guarantees at the Spark level: planted-pair
+  * recall, EXACT pigeonhole recall for simhash, the no-text-broadcast
+  * plan shape of the minhash verify stage, and the hot-bucket bounds
+  * that keep a skewed corpus from going quadratic.
+  */
+class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-neardup-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus: DataFrame =
+    TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+
+  test("dedupMinhash recovers every planted near-dup pair") {
+    val planted = TextOps.readDocs(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    val got = TextOps.dedupMinhash(spark, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { id =>
+      assert(got.contains((id, id + 1000000L)), s"planted pair for doc $id missed")
+    }
+  }
+
+  test("dedupMinhash verify stage never broadcasts a text-carrying relation") {
+    // the regression this guards: broadcast(texts...) on the corpus
+    // side of the verify join — at 100 TB that OOMs the driver. Only
+    // the candidate ID set may carry an explicit broadcast hint.
+    val analyzed = TextOps.dedupMinhash(spark, corpus).queryExecution.analyzed
+    val badHints = analyzed.collect {
+      case h: ResolvedHint if h.output.exists(a =>
+        a.name.toLowerCase.contains("text")) => h
+    }
+    assert(badHints.isEmpty,
+      s"broadcast hint carries text columns: ${badHints.map(_.output.map(_.name))}")
+  }
+
+  test("dedupSimhash equals brute-force Hamming<=3 (pigeonhole recall 1)") {
+    val docs = corpus.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sigs = docs.map { case (id, t) => (id, TextOps.simhash(t)) }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val got = TextOps.dedupSimhash(spark, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt)).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture should contain at least one close pair")
+  }
+
+  test("dedupSimhash hot-bucket cap: degenerate corpus stays bounded, distinct pair still found") {
+    val s = spark
+    import s.implicits._
+    // 1000 IDENTICAL short docs (one degenerate (seg,segval) bucket per
+    // segment — quadratic without the cap) + one unique near-dup pair
+    val spam = (0L until 1000L).map(i => (i, "spam spam spam spam"))
+    val pairText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (spam ++ Seq((2000L, pairText), (2001L, pairText)))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupSimhash(spark, docs, maxBucket = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the spam mass is capped out (no quadratic pair set); the unique
+    // pair lives in cnt=2 buckets and is found
+    assert(out == Set((2000L, 2001L)), s"got $out")
+  }
+
+  test("dedupEmbedding hot-bucket cap: identical-vector mass bounded, planted pair found") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // 500 identical vectors pointing one way; a planted near-identical
+    // pair pointing the OPPOSITE way (guaranteed different sign bucket
+    // in every band: bit 0 flips with the sign of component 0)
+    val mass = Array.fill(dim)(0.0f).updated(0, -1000.0f).toSeq
+    val a = Array.fill(dim)(0.0f).updated(0, 1000.0f).toSeq
+    val b = a.updated(1, 0.5f)
+    val rows = (0L until 500L).map(i => (i, mass)) ++ Seq((2000L, a), (2001L, b))
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = VectorOps.dedupEmbedding(spark, emb,
+        minSimMicro = 900000L, maxBucket = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2000L, 2001L)), s"got $out")
+  }
+
+  test("dedupEmbedding recovers planted near-identical vectors on the sf corpus") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val out = VectorOps.dedupEmbedding(spark, emb, minSimMicro = 300000L)
+    assert(out.count() > 0)
+    // deterministic across runs
+    val a = out.collect().toSeq
+    val b = VectorOps.dedupEmbedding(spark, emb, minSimMicro = 300000L).collect().toSeq
+    assert(a == b)
+  }
+}
