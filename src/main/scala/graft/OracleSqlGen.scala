@@ -1,0 +1,279 @@
+package graft
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Generators for the hard DuckDB oracle SQL in [[SparkEntry.oracleSql]]
+  * — the queries whose kernels (FNV-1a, splitmix64, SimHash, MinHash,
+  * sign-bit LSH, double-precision cosine) must be recomputed EXACTLY in
+  * ANSI-ish SQL so the driver's DuckDB compare can hash-match them.
+  *
+  * Techniques (all validated value-identical at sf0.001/0.01/0.1):
+  *  - unsigned 64-bit arithmetic in HUGEINT with explicit mod-2^64;
+  *    full-width xor via a signed-BIGINT round-trip; multiplication by
+  *    >2^63 constants via 32-bit limb splitting (mulmod);
+  *  - deterministic constants (minhash seeds, LSH hyperplanes) are
+  *    computed HERE from the same Scala code the operators use and
+  *    embedded as SQL literals — one source of truth;
+  *  - double-precision folds mirror Spark's aggregate() left fold via
+  *    list_reduce(list_prepend(0.0, products)), so cosine similarities
+  *    match bit-for-bit (products of float casts are exact in double);
+  *  - integer-exact sign buckets (±floor(x·1000)) make LSH bucket ids
+  *    engine-independent by construction.
+  *
+  * The documents corpus is ASCII + single-space-normalized (asserted
+  * for the shipped testdata), so UTF-8 bytes == ascii(char) in the FNV
+  * folds.
+  */
+private[graft] object OracleSqlGen {
+
+  private val M64 = "18446744073709551616::HUGEINT"
+
+  /** Signed BIGINT view of an unsigned HUGEINT (two's-complement wrap). */
+  private def sb(a: String): String =
+    s"(CASE WHEN ($a) >= 9223372036854775808::HUGEINT THEN CAST(($a) - $M64 AS BIGINT) ELSE CAST(($a) AS BIGINT) END)"
+
+  /** Unsigned HUGEINT view of a signed BIGINT. */
+  private def ub(a: String): String =
+    s"(CASE WHEN ($a) < 0 THEN CAST(($a) AS HUGEINT) + $M64 ELSE CAST(($a) AS HUGEINT) END)"
+
+  /** Full-width 64-bit xor of two unsigned HUGEINTs. */
+  private def xor64(a: String, b: String): String = ub(s"xor(${sb(a)}, ${sb(b)})")
+
+  /** (a * m) mod 2^64 for a < 2^64 and any 64-bit constant m, via
+    * 32-bit limb split (the naive product can exceed HUGEINT range).
+    */
+  private def mulmod(a: String, m: String): String =
+    s"((($a) % 4294967296::HUGEINT) * $m::HUGEINT + " +
+      s"((((($a) // 4294967296::HUGEINT) * $m::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $M64"
+
+  /** FNV-1a 64 over the ASCII bytes of string column `c`, as unsigned
+    * HUGEINT (mirror of TextOps.fnv1a64).
+    */
+  private def fnvU(c: String): String =
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(1, length($c)+1),
+       |      i -> CAST(ascii(substring($c, CAST(i AS INTEGER), 1)) AS HUGEINT))),
+       |  (h, b) -> ((h - h % 256::HUGEINT + CAST(xor(CAST(h % 256::HUGEINT AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |             * 1099511628211::HUGEINT) % $M64)""".stripMargin
+
+  /** CTE chain `wo, fv, cnts, sh` computing sh(doc_id, simhash BIGINT)
+    * for a CTE named `corpus(doc_id, text)` — the TextOps.simhash
+    * mirror (FNV per distinct word, ±occurrences per bit, sign bit).
+    */
+  private val simhashCte: String =
+    s"""wo AS (
+       |  SELECT doc_id, w, count(*) AS occ
+       |  FROM corpus, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+       |  GROUP BY doc_id, w),
+       |fv AS (SELECT w, ${sb(fnvU("w"))} AS hs FROM (SELECT DISTINCT w FROM wo) dw),
+       |cnts AS (
+       |  SELECT wo.doc_id, bb.b,
+       |         sum(CASE WHEN ((fv.hs >> CAST(bb.b AS INTEGER)) & 1) = 1 THEN occ ELSE -occ END) AS cnt
+       |  FROM wo JOIN fv USING (w), UNNEST(range(64)) AS bb(b)
+       |  GROUP BY wo.doc_id, bb.b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN cnt > 0 THEN
+       |      (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(b AS INTEGER)) END)
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM cnts GROUP BY doc_id)""".stripMargin
+
+  /** The mutated near-dup corpus (TextOps.corpusWithNearDups mirror):
+    * every 10th doc reappears as doc_id+1e6 with the last word dropped.
+    */
+  private val nearDupCorpus: String =
+    """corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         substring(text, 1, length(text) - instr(reverse(text), ' ')) AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Left-fold dot product of two FLOAT[] columns in DOUBLE — the
+    * exact mirror of VectorOps.dot (zip_with + aggregate left fold).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len($a)+1),
+       |        i -> CAST($a[CAST(i AS INTEGER)] AS DOUBLE) * CAST($b[CAST(i AS INTEGER)] AS DOUBLE))),
+       |      (acc, v) -> acc + v)""".stripMargin
+
+  private def planesLit(planes: Array[Array[Float]]): String =
+    planes.map(_.map(x => if (x >= 0) "1" else "-1").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** CTE chain ending in buckets(vec_id, bucketbits BIGINT): sign-bit
+    * LSH over `embeddings` with the plane matrix embedded as literals;
+    * integer-exact (±floor(x·1000)) like VectorOps.lshBucket.
+    */
+  private def bucketsCte(planes: Array[Array[Float]]): String =
+    s"""vmilli AS (
+       |  SELECT vec_id, dd.i,
+       |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
+       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
+       |plel AS (
+       |  SELECT pp.p, dd.i, (${planesLit(planes)})[CAST(pp.p AS INTEGER)+1][CAST(dd.i AS INTEGER)+1] AS sign
+       |  FROM UNNEST(range(${planes.length})) AS pp(p), UNNEST(range(64)) AS dd(i)),
+       |sums AS (
+       |  SELECT v.vec_id, p.p, sum(v.m * p.sign) AS s
+       |  FROM vmilli v JOIN plel p ON v.i = p.i
+       |  GROUP BY v.vec_id, p.p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucketbits
+       |  FROM sums GROUP BY vec_id)""".stripMargin
+
+  /** 3-word shingle list of a text column (TextOps.shingles mirror for
+    * texts with >= 3 words — guaranteed for this corpus).
+    */
+  private def shinglesSql(t: String): String =
+    s"""list_transform(range(len(string_split($t,' '))-2),
+       |      i -> string_split($t,' ')[i+1] || ' ' || string_split($t,' ')[i+2] || ' ' || string_split($t,' ')[i+3])""".stripMargin
+
+  // -------------------------------------------------------------------
+  // full oracle queries
+  // -------------------------------------------------------------------
+
+  val langId: String = {
+    val vals = TextOps.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      s"('$lang', [${ms.map(m => "'" + m.replace("'", "''") + "'").mkString(",")}])"
+    }.mkString(", ")
+    s"""WITH lm(lang, markers) AS (VALUES $vals),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    list_sum(list_transform(markers,
+       |      m -> (length(t) - length(replace(t, m, ''))) // length(m))) AS score
+       |  FROM (SELECT doc_id, lower(text) AS t FROM documents), lm),
+       |r AS (SELECT doc_id, lang,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |      FROM s)
+       |SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  val docFingerprint: String = {
+    val fpBody =
+      s"""list_reduce(
+         |    list_prepend(0::HUGEINT,
+         |      list_transform(range(1, length(text)+1),
+         |        i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS HUGEINT))),
+         |    (h, b) -> (h * 1000003::HUGEINT + b) % $M64)""".stripMargin
+    s"""WITH corpus AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |$simhashCte,
+       |fp AS (SELECT doc_id, ${sb(fpBody)} AS fingerprint FROM corpus)
+       |SELECT fp.doc_id, fp.fingerprint, sh.simhash
+       |FROM fp JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    s"""WITH $nearDupCorpus,
+       |$simhashCte
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupMinhash: String = {
+    val seedVals = TextOps.minhashSeeds.zipWithIndex.map { case (s, k) =>
+      s"($k, ${java.lang.Long.toUnsignedString(s)}::HUGEINT)"
+    }.mkString(", ")
+    s"""WITH $nearDupCorpus,
+       |shd AS (
+       |  SELECT DISTINCT doc_id, u.sh
+       |  FROM corpus, UNNEST(${shinglesSql("text")}) AS u(sh)),
+       |fvs AS (SELECT sh, ${fnvU("sh")} AS h FROM (SELECT DISTINCT sh FROM shd) dsh),
+       |seeds(k, seed) AS (VALUES $seedVals),
+       |sx AS (SELECT sh, k, ${xor64("fvs.h", "seeds.seed")} AS x FROM fvs, seeds),
+       |p1 AS (SELECT sh, k, (x + 11400714819323198485::HUGEINT) % $M64 AS z1 FROM sx),
+       |p2 AS (SELECT sh, k, ${xor64("z1", "z1 // 1073741824::HUGEINT")} AS a1 FROM p1),
+       |p3 AS (SELECT sh, k, ${mulmod("a1", "13787848793156543929")} AS z2 FROM p2),
+       |p4 AS (SELECT sh, k, ${xor64("z2", "z2 // 134217728::HUGEINT")} AS a2 FROM p3),
+       |p5 AS (SELECT sh, k, ${mulmod("a2", "10723151780598845931")} AS z3 FROM p4),
+       |p6 AS (SELECT sh, k, ${xor64("z3", "z3 // 2147483648::HUGEINT")} AS hk FROM p5),
+       |sig AS (
+       |  SELECT shd.doc_id, p6.k, min(p6.hk) AS hk
+       |  FROM shd JOIN p6 USING (sh) GROUP BY shd.doc_id, p6.k),
+       |slices AS (
+       |  SELECT doc_id, CAST(k // 4 AS INTEGER) AS band, list(hk ORDER BY k) AS bucket
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM slices x JOIN slices y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list(sh) AS ss FROM shd GROUP BY doc_id),
+       |jac AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(floor(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+       |      / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE) * 1000) AS BIGINT) AS jaccard_milli
+       |  FROM pairs p JOIN sets a ON a.doc_id = p.doc_a JOIN sets b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, jaccard_milli FROM jac WHERE jaccard_milli >= 700
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val ngramJaccard: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, text AS text_a,
+       |         substring(text, 1, length(text) - instr(reverse(text), ' ')) AS text_b
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |shp AS (
+       |  SELECT doc_a, doc_b,
+       |    list_distinct(${shinglesSql("text_a")}) AS sa,
+       |    list_distinct(${shinglesSql("text_b")}) AS sb
+       |  FROM pairs)
+       |SELECT doc_a, doc_b,
+       |  CAST(floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |    / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) * 1000) AS BIGINT) AS jaccard_milli
+       |FROM shp ORDER BY doc_a""".stripMargin
+
+  val annCosine: String =
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM normed WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |         ${dotSql("q.q_emb", "n.embedding")} / (n.norm * q.q_norm) AS sim
+       |  FROM normed n, q WHERE n.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       |         CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val annLsh: String =
+    s"""WITH ${bucketsCte(VectorOps.hyperplanes(4, 64))},
+       |normed AS (
+       |  SELECT e.vec_id, e.embedding, b.bucketbits AS bucket,
+       |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS norm
+       |  FROM embeddings e JOIN buckets b USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket FROM normed WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |         ${dotSql("q.q_emb", "n.embedding")} / (n.norm * q.q_norm) AS sim
+       |  FROM normed n JOIN q USING (bucket) WHERE n.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       |        CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val dedupEmbedding: String =
+    s"""WITH ${bucketsCte(VectorOps.hyperplanes(32, 64))},
+       |banded AS (
+       |  SELECT vec_id, bb.band, (bucketbits >> (CAST(bb.band AS INTEGER)*8)) & 255 AS bucket
+       |  FROM buckets, UNNEST(range(4)) AS bb(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |normed AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |simd AS (
+       |  SELECT p.vec_a, p.vec_b,
+       |    CAST(floor(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) * 1000000.0) AS BIGINT) AS sim_micro
+       |  FROM cand p JOIN normed a ON a.vec_id = p.vec_a JOIN normed b ON b.vec_id = p.vec_b)
+       |SELECT vec_a, vec_b, sim_micro FROM simd WHERE sim_micro >= 300000
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

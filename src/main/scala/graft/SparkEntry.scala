@@ -235,9 +235,33 @@ object SparkEntry {
     "mm_frames" ->
       """SELECT doc_id, CAST(r.frame_idx AS INTEGER) AS frame_idx
         |FROM documents, UNNEST(range(1 + strlen(text) % 10)) AS r(frame_idx)
-        |ORDER BY doc_id, frame_idx""".stripMargin
-    // no oracle (object-mode / hash-library-specific, rows-only check):
-    // dedup_minhash, dedup_simhash, lang_id, doc_fingerprint,
-    // ann_cosine, ann_lsh, dedup_embedding, score_histogram
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // per-block score histogram: wrapper-page p-block score = nChars
+    // (nTags=0, no links, prior 1.0 — exact as Float), nav/footer score
+    // = 0.0 (link density 1) -> two bucket-0 entries per page
+    "score_histogram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS words, $nw AS nw, $pCnt AS p
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |         length(array_to_string(words[(i*8+1):LEAST((i+1)*8, nw)], ' ')) AS clen
+         |  FROM t, UNNEST(range(p)) AS r(i)),
+         |b AS (
+         |  SELECT clen // 8 AS bucket FROM u
+         |  UNION ALL SELECT 0 FROM documents
+         |  UNION ALL SELECT 0 FROM documents)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_blocks
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
+    // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
+    "lang_id" -> OracleSqlGen.langId,
+    "doc_fingerprint" -> OracleSqlGen.docFingerprint,
+    "dedup_simhash" -> OracleSqlGen.dedupSimhash,
+    "dedup_minhash" -> OracleSqlGen.dedupMinhash,
+    "ngram_jaccard" -> OracleSqlGen.ngramJaccard,
+    "ann_cosine" -> OracleSqlGen.annCosine,
+    "ann_lsh" -> OracleSqlGen.annLsh,
+    "dedup_embedding" -> OracleSqlGen.dedupEmbedding
   )
 }

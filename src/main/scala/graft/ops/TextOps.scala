@@ -51,8 +51,12 @@ object TextOps {
     }
   }
 
-  private val seeds: Array[Long] =
+  /** Per-hash-function seeds (public: the DuckDB oracle embeds them as
+    * literals).
+    */
+  val minhashSeeds: Array[Long] =
     Array.tabulate(MinHashK)(i => splitmix64(0x3c6ef372fe94f82aL + i))
+  private def seeds = minhashSeeds
 
   /** MinHash signature in one pass over the shingles (primitive array,
     * unsigned-min semantics).
@@ -141,7 +145,7 @@ object TextOps {
     * for {en,de,es,fr,zh} built into the code (public-knowledge marker
     * n-grams), argmax with deterministic tie-break by lang name.
     */
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("th", "he", "in", "er", "an", " t", "e "),
     "de" -> Seq("en", "er", "ch", "de", "ei", "sch", "ung"),
     "es" -> Seq("de", "la", "os", "el", "en", "ción", " y "),
@@ -214,13 +218,18 @@ object TextOps {
     val withSig = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, bandHashes(minhashSignature(text)))
+        (id, minhashSignature(text))
       })
-      .toDF("doc_id", "bands")
+      .toDF("doc_id", "sig")
 
+    // band bucket = the RAW signature slice (array<long> of RowsPerBand
+    // values) — grouping on the slice is candidate-equivalent to
+    // hashing it, with no collision term and an exact SQL mirror
     val w = Window.partitionBy(col("band"), col("bucket"))
     val buckets = withSig
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b*$RowsPerBand + 1, $RowsPerBand))"
+      )).as(Seq("band", "bucket")))
       .withColumn("cnt", count(lit(1)).over(w))
       .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
       .groupBy(col("band"), col("bucket"))
@@ -296,7 +305,7 @@ object TextOps {
       .distinct()
 
     cand
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy(col("doc_a"), col("doc_b"))

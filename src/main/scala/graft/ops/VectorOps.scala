@@ -58,7 +58,7 @@ object VectorOps {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -140,7 +140,7 @@ object VectorOps {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
       .orderBy(col("query_id"), col("rank"))
   }
