@@ -36,11 +36,15 @@ object Assembler {
     n
   }
 
+  /** Keep predicate (P2 score threshold + P3 size gate). */
+  @inline def kept(sp: ScoredPage, i: Int, cfg: ExtractorConfig): Boolean =
+    sp.scores(i) >= cfg.textThreshold && sp.blocks(i).nChars >= cfg.minChars
+
   /** Number of regions among kept blocks (exposed for tests and the
     * relational group_regions cross-check).
     */
   def regionIds(sp: ScoredPage, cfg: ExtractorConfig): Array[Int] = {
-    val keep = sp.scores.indices.filter(i => sp.scores(i) >= cfg.textThreshold).toArray
+    val keep = sp.scores.indices.filter(i => kept(sp, i, cfg)).toArray
     val ids = new Array[Int](keep.length)
     var region = 0
     var k = 0
@@ -73,7 +77,7 @@ object Assembler {
     val n = sp.blocks.length
     var nKept = 0
     var i = 0
-    while (i < n) { if (sp.scores(i) >= cfg.textThreshold) nKept += 1; i += 1 }
+    while (i < n) { if (kept(sp, i, cfg)) nKept += 1; i += 1 }
     val starts = new Array[Int](nKept)
     val ends = new Array[Int](nKept)
     val blockIds = new Array[Int](nKept)
@@ -84,7 +88,7 @@ object Assembler {
     var k = 0
     i = 0
     while (i < n) {
-      if (sp.scores(i) >= cfg.textThreshold) {
+      if (kept(sp, i, cfg)) {
         if (k > 0) {
           out.append(cfg.blockSep)
           byteLen += sepBytes

@@ -111,12 +111,16 @@ final case class PartitionMetrics(
   *                       affinity >= this (CRAFT link/affinity threshold analog)
   * @param blockSep       separator between kept blocks in the output text
   * @param maxHtmlBytes   per-page work cap (canvas_size/mag_ratio analog)
+  * @param minChars       size/validity gate (P3): kept blocks must also
+  *                       have at least this many chars (0 = off, the
+  *                       default — score already rejects empty blocks)
   */
 final case class ExtractorConfig(
     textThreshold: Float = 1.0f,
     linkThreshold: Float = 0.5f,
     blockSep: String = "\n",
-    maxHtmlBytes: Int = 4 * 1024 * 1024
+    maxHtmlBytes: Int = 4 * 1024 * 1024,
+    minChars: Int = 0
 )
 
 object ExtractorConfig {

@@ -12,7 +12,7 @@ import graft.extract.{Assembler, ExtractorConfig, HtmlTokenizer, Scorer}
 
 /** Native whole-operator expression (SURVEY.md §4.3b, the M7 path):
   * `extract_page(html, textThreshold, linkThreshold, blockSep,
-  * maxHtmlBytes)` → STRUCT<text, span_starts, span_ends,
+  * maxHtmlBytes, minChars)` → STRUCT<text, span_starts, span_ends,
   * span_block_ids, span_scores, n_blocks, n_kept, bytes_in, bytes_out>.
   *
   * Versus the typed-map formulation (ExtractPipeline.extract), this
@@ -33,8 +33,8 @@ case class ExtractPage(children: Seq[Expression])
   override def foldable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (children.length != 5)
-      return TypeCheckResult.TypeCheckFailure("extract_page expects 5 args")
+    if (children.length != 6)
+      return TypeCheckResult.TypeCheckFailure("extract_page expects 6 args")
     if (children.head.dataType != BinaryType)
       return TypeCheckResult.TypeCheckFailure("arg 1 (html) must be BINARY")
     if (!children.tail.forall(_.foldable))
@@ -50,7 +50,8 @@ case class ExtractPage(children: Seq[Expression])
       textThreshold = lit(children(1)).asInstanceOf[Number].floatValue(),
       linkThreshold = lit(children(2)).asInstanceOf[Number].floatValue(),
       blockSep = lit(children(3)).asInstanceOf[UTF8String].toString,
-      maxHtmlBytes = lit(children(4)).asInstanceOf[Number].intValue()
+      maxHtmlBytes = lit(children(4)).asInstanceOf[Number].intValue(),
+      minChars = lit(children(5)).asInstanceOf[Number].intValue()
     )
   }
 
@@ -81,7 +82,7 @@ object ExtractPage {
     ExtractPage(Seq(html,
       Literal(cfg.textThreshold), Literal(cfg.linkThreshold),
       Literal(UTF8String.fromString(cfg.blockSep), StringType),
-      Literal(cfg.maxHtmlBytes)))
+      Literal(cfg.maxHtmlBytes), Literal(cfg.minChars)))
 
   /** Kernel → InternalRow, no case-class intermediates. */
   def extractToRow(html: Array[Byte], cfg: ExtractorConfig): InternalRow = {

@@ -60,6 +60,51 @@ class ExtractCoreSpec extends AnyFunSuite {
       Seq("first para text", "second bold para", "third 1 < 2 block"))
   }
 
+  test("<pre> preserves whitespace verbatim (minus the spec's leading newline)") {
+    val html = "<p>intro  text</p><pre>\nline1\n  indented\ttab</pre><p>after</p>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    assert(blocks.map(_.tag).toSeq == Seq("p", "pre", "p"))
+    assert(blocks(0).text == "intro text") // normal collapse outside pre
+    assert(blocks(1).text == "line1\n  indented\ttab") // verbatim, leading \n stripped
+    assert(blocks(2).text == "after")
+    // <br> inside pre is a literal newline
+    val br = HtmlTokenizer.tokenize(bytes("<pre>a<br>b</pre>"), cfg)
+    assert(br(0).text == "a\nb")
+  }
+
+  test("astral-plane numeric entities decode to surrogate pairs") {
+    val html = "<p>smile &#x1F600; and &#128169; end</p>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    assert(blocks(0).text == "smile 😀 and 💩 end")
+    // invalid code points degrade deterministically to U+FFFD
+    val bad = HtmlTokenizer.tokenize(bytes("<p>x &#x110000; y &#xD800; z</p>"), cfg)
+    assert(bad(0).text == "x � y � z")
+    // byte-accurate span accounting for 4-byte chars
+    val (text, spans) = GoldenExtractor.extract(bytes("<p>a &#x1F600; b</p>"), cfg)
+    assert(text == "a 😀 b")
+    assert(spans.head.end == Assembler.utf8Len(text) && Assembler.utf8Len(text) == 8)
+  }
+
+  test("CDATA sections are literal text") {
+    val html = "<p>before <![CDATA[raw <b>markup</b> & text]]> after</p>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    assert(blocks(0).text == "before raw <b>markup</b> & text after")
+    // unterminated CDATA consumes to end-of-input, no scan past end
+    val open = HtmlTokenizer.tokenize(bytes("<p>x <![CDATA[tail"), cfg)
+    assert(open(0).text == "x tail")
+  }
+
+  test("minChars gate (P3) drops short blocks independent of score") {
+    val html = "<div><p>ok</p><p>this block is long enough to keep</p></div>"
+    val gated = ExtractorConfig(blockSep = " ", minChars = 10)
+    val (text, spans) = GoldenExtractor.extract(bytes(html), gated)
+    assert(text == "this block is long enough to keep")
+    assert(spans.length == 1)
+    // default minChars = 0 keeps both
+    val (text0, _) = GoldenExtractor.extract(bytes(html), cfgSp)
+    assert(text0 == "ok this block is long enough to keep")
+  }
+
   test("invalid UTF-8 bytes decode deterministically") {
     val bad = Array[Byte]('<', 'p', '>', 'a', 0x80.toByte, 0xff.toByte, 'b', '<', '/', 'p', '>')
     val b1 = HtmlTokenizer.tokenize(bad, cfg)

@@ -44,11 +44,22 @@ class ExtractPropertySpec extends AnyFunSuite {
     Gen.listOf(frag).map(_.mkString)
   }
 
+  /** Soup extended with verbatim-mode fragments (pre, CDATA, astral
+    * entities) — used by totality/span properties; the whitespace-run
+    * property keeps the plain soup because pre blocks legitimately
+    * carry whitespace.
+    */
+  private val tagSoupPre: Gen[String] = {
+    val frag = Gen.oneOf(tagSoup,
+      Gen.oneOf("<pre>", "</pre>", "<![CDATA[a  b\n]]>", "<![CDATA[", "&#x1F600;"))
+    Gen.listOf(frag).map(_.mkString)
+  }
+
   private val rawBytes: Gen[Array[Byte]] =
     Gen.listOf(Arbitrary.arbitrary[Byte]).map(_.toArray)
 
   test("total + deterministic on random tag soup") {
-    forAll(tagSoup) { (s: String) =>
+    forAll(tagSoupPre) { (s: String) =>
       val b = s.getBytes(StandardCharsets.UTF_8)
       val (t1, sp1) = GoldenExtractor.extract(b, cfg)
       val (t2, sp2) = GoldenExtractor.extract(b.clone(), cfg)
@@ -66,7 +77,7 @@ class ExtractPropertySpec extends AnyFunSuite {
   }
 
   test("spans are well-formed: sorted, non-overlapping, inside the text bytes") {
-    forAll(tagSoup) { (s: String) =>
+    forAll(tagSoupPre) { (s: String) =>
       val b = s.getBytes(StandardCharsets.UTF_8)
       val (text, spans) = GoldenExtractor.extract(b, cfg)
       val total = text.getBytes(StandardCharsets.UTF_8).length
@@ -76,11 +87,15 @@ class ExtractPropertySpec extends AnyFunSuite {
         assert(sp.start > prevEnd)
         prevEnd = sp.end
       }
-      // spans slice to non-empty, non-separator-padded pieces
+      // spans slice to non-empty pieces; pieces are never separator-
+      // padded UNLESS the page has a <pre> region (verbatim whitespace
+      // is the point of pre)
       val bytes = text.getBytes(StandardCharsets.UTF_8)
+      val hasPre = s.toLowerCase.contains("<pre")
       spans.foreach { sp =>
         val piece = new String(bytes.slice(sp.start, sp.end), StandardCharsets.UTF_8)
-        assert(piece.nonEmpty && !piece.startsWith(" ") && !piece.endsWith(" "))
+        assert(piece.nonEmpty)
+        if (!hasPre) assert(!piece.startsWith(" ") && !piece.endsWith(" "))
       }
     }
   }
