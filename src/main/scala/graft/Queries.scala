@@ -241,6 +241,26 @@ object Queries {
   def extractPipeline(s: SparkSession, d: String): DataFrame =
     extracted(s, d).toDF().select(col("url"), col("text")).orderBy(col("url"))
 
+  /** PDF extraction leg (north rule: "PDF/layout parse"): documents
+    * wrapped as one-page PDFs (Flate + raw streams), text recovered via
+    * PdfTextExtractor — byte-identical to documents.text, checked by
+    * the same oracle shape as extract_pipeline.
+    */
+  def extractPdf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val pdf = graft.sources.PdfSource.wrapPdf(id, text)
+        (PageSource.urlOf(id), graft.extract.PdfTextExtractor.extractText(pdf, " "),
+          pdf.length.toLong)
+      })
+      .toDF("url", "text", "pdf_bytes")
+      .select(col("url"), col("text"))
+      .orderBy(col("url"))
+  }
+
   def digestOutput(s: SparkSession, d: String): DataFrame =
     extracted(s, d).toDF()
       .select(col("url"), sha2(col("text"), 256).as("text_sha"))
@@ -266,6 +286,50 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("host").asc)
       .limit(5)
+
+  /** Skew census quantiles (A3): exact `percentile` over per-host page
+    * counts (the oracle mirrors Spark's interpolation term-for-term:
+    * (higher-pos)*lower + (pos-lower)*higher), plus a sanity bit that
+    * the GK-sketch `percentile_approx` agrees at high accuracy.
+    */
+  def skewQuantiles(s: SparkSession, d: String): DataFrame =
+    pages(s, d).toDF()
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+      .agg(
+        count(lit(1)).as("n_hosts"),
+        expr("percentile(n_docs, array(0.25D, 0.5D, 0.75D, 0.9D))").as("q"),
+        expr("percentile_approx(n_docs, 0.5D, 100000)").as("approx_p50"),
+        max(col("n_docs")).as("max_docs"))
+      .select(
+        col("n_hosts"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        element_at(col("q"), 4).as("p90"),
+        (abs(col("approx_p50") - element_at(col("q"), 2)) <=
+          greatest(lit(1.0), element_at(col("q"), 2) * 0.05)).as("approx_ok"),
+        col("max_docs"))
+
+  /** HLL cardinality metrics (A2): approx_count_distinct sketches
+    * sanity-checked against the exact distinct counts (the sketch
+    * estimate itself is engine-specific, so the oracle checks the
+    * exact values plus the within-5% bits).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    pages(s, d).toDF()
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .agg(
+        countDistinct(col("host")).as("n_hosts_exact"),
+        countDistinct(col("url")).as("n_urls_exact"),
+        approx_count_distinct(col("host"), 0.01).as("hll_hosts"),
+        approx_count_distinct(col("url"), 0.01).as("hll_urls"))
+      .select(
+        col("n_hosts_exact"), col("n_urls_exact"),
+        (abs(col("hll_hosts") - col("n_hosts_exact")) <=
+          greatest(lit(1L), (col("n_hosts_exact") * 0.05).cast("long"))).as("hll_hosts_ok"),
+        (abs(col("hll_urls") - col("n_urls_exact")) <=
+          greatest(lit(1L), (col("n_urls_exact") * 0.05).cast("long"))).as("hll_urls_ok"))
 
   def scoreHistogram(s: SparkSession, d: String): DataFrame =
     scoredBlocks(s, d).toDF()

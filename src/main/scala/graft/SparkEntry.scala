@@ -49,10 +49,13 @@ object SparkEntry {
     "assemble_spans" -> (Queries.assembleSpans _),
     "spans_view" -> (Queries.spansView _),
     "extract_pipeline" -> (Queries.extractPipeline _),
+    "extract_pdf" -> (Queries.extractPdf _),
     "digest_output" -> (Queries.digestOutput _),
     "dedup_latest" -> (Queries.dedupLatest _),
     "metrics_by_host" -> (Queries.metricsByHost _),
     "skew_topk" -> (Queries.skewTopk _),
+    "skew_quantiles" -> (Queries.skewQuantiles _),
+    "approx_distinct" -> (Queries.approxDistinct _),
     "score_histogram" -> (Queries.scoreHistogram _),
     "resume_antijoin" -> (Queries.resumeAntijoin _),
     "repartition_range" -> (Queries.repartitionRange _),
@@ -181,6 +184,9 @@ object SparkEntry {
          |FROM u ORDER BY url, i""".stripMargin,
     "extract_pipeline" ->
       s"SELECT $urlSql AS url, text FROM documents ORDER BY url",
+    // PDF leg: wrap → extract must reproduce the text byte-identically
+    "extract_pdf" ->
+      s"SELECT $urlSql AS url, text FROM documents ORDER BY url",
     "digest_output" ->
       s"SELECT $urlSql AS url, sha256(text) AS text_sha FROM documents ORDER BY url",
     "dedup_latest" ->
@@ -195,6 +201,41 @@ object SparkEntry {
       s"""SELECT host, count(*) AS n_docs
          |FROM (SELECT $hostSql AS host FROM documents) t
          |GROUP BY host ORDER BY n_docs DESC, host ASC LIMIT 5""".stripMargin,
+    // exact-percentile mirror of Spark's interpolation:
+    // (higher-pos)*lower + (pos-lower)*higher over the sorted counts
+    "skew_quantiles" ->
+      s"""WITH hc AS (
+         |  SELECT count(*) AS n_docs
+         |  FROM (SELECT $hostSql AS host FROM documents) t GROUP BY host),
+         |agg AS (
+         |  SELECT count(*) AS n, list(CAST(n_docs AS DOUBLE) ORDER BY n_docs) AS c,
+         |         max(n_docs) AS max_docs
+         |  FROM hc),
+         |q AS (
+         |  SELECT agg.n, agg.max_docs, agg.c, p.p, p.p * (agg.n - 1) AS pos
+         |  FROM agg, UNNEST([0.25, 0.5, 0.75, 0.9]) AS p(p)),
+         |v AS (
+         |  SELECT n, max_docs, p,
+         |    CASE WHEN ceil(pos) = floor(pos) THEN c[CAST(pos AS INTEGER)+1]
+         |         ELSE (ceil(pos) - pos) * c[CAST(floor(pos) AS INTEGER)+1]
+         |            + (pos - floor(pos)) * c[CAST(ceil(pos) AS INTEGER)+1]
+         |    END AS val
+         |  FROM q)
+         |SELECT max(n) AS n_hosts,
+         |  max(CASE WHEN p = 0.25 THEN val END) AS p25,
+         |  max(CASE WHEN p = 0.5  THEN val END) AS p50,
+         |  max(CASE WHEN p = 0.75 THEN val END) AS p75,
+         |  max(CASE WHEN p = 0.9  THEN val END) AS p90,
+         |  TRUE AS approx_ok,
+         |  CAST(max(max_docs) AS BIGINT) AS max_docs
+         |FROM v""".stripMargin,
+    // HLL sketches are engine-specific: oracle pins the exact counts
+    // and asserts the Spark-side within-5% sanity bits
+    "approx_distinct" ->
+      s"""SELECT count(DISTINCT $hostSql) AS n_hosts_exact,
+         |       count(DISTINCT $urlSql) AS n_urls_exact,
+         |       TRUE AS hll_hosts_ok, TRUE AS hll_urls_ok
+         |FROM documents""".stripMargin,
     "resume_antijoin" ->
       s"SELECT $urlSql AS url FROM documents WHERE doc_id % 64 >= 32 ORDER BY url",
     "repartition_range" ->
