@@ -42,13 +42,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- 1. per-query timings (skippable for pure scaling runs) -----
+    // A failing query must NOT bench as a fast success: it is recorded
+    // with value -1 and listed in "errors" in the output JSON.
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results =
       if (pipelineOnly) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            errors += name
+            name -> -1.0
+        }
       }
 
     // ---- 2. headline pipeline bench ---------------------------------
@@ -61,33 +71,48 @@ object Bench {
         .write.mode(SaveMode.Overwrite).parquet(benchDir)
     }
 
-    val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val t0 = System.nanoTime()
-    val pages = graft.pipeline.ParquetTableIO.readPages(spark, benchDir)
-    val extracted = ExtractPipeline.extractExpr(
-      ExtractPipeline.inputGate(pages)
-        .select(col("url"), col("warc_ts"), col("html")),
-      ExtractorConfig.default)
-    val keyed = ExtractPipeline.withPartId(extracted, 1024)
-    ExtractPipeline.dedupAndCluster(keyed, 128)
-      .drop("url_hash")
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.enable.dictionary", "false")
-      .parquet(s"$outDir/pages_extracted")
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
-    val rowsOut = spark.read.parquet(s"$outDir/pages_extracted").count()
-    val digest = ExtractPipeline.globalDigest(
-      spark.read.parquet(s"$outDir/pages_extracted")).collect()(0).getLong(0)
+    // Cold run first (JIT compiles the kernel + codegen), then the
+    // TIMED warm run — the headline docs/sec is reproducible as-invoked
+    // instead of 10x below the tuned-protocol number (BENCH.md). Both
+    // numbers are reported.
+    def runPipeline(): (Double, Long, Long) = {
+      val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val t0 = System.nanoTime()
+      val pages = graft.pipeline.ParquetTableIO.readPages(spark, benchDir)
+      val extracted = ExtractPipeline.extractExpr(
+        ExtractPipeline.inputGate(pages)
+          .select(col("url"), col("warc_ts"), col("html")),
+        ExtractorConfig.default)
+      val keyed = ExtractPipeline.withPartId(extracted, 1024)
+      ExtractPipeline.dedupAndCluster(keyed, 128)
+        .drop("url_hash")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.enable.dictionary", "false")
+        .parquet(s"$outDir/pages_extracted")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rowsOut = spark.read.parquet(s"$outDir/pages_extracted").count()
+      val digest = ExtractPipeline.globalDigest(
+        spark.read.parquet(s"$outDir/pages_extracted")).collect()(0).getLong(0)
+      (sec, rowsOut, digest)
+    }
+    val (coldSec, rowsCold, digestCold) = runPipeline()
+    val (pipelineSec, rowsOut, digest) = runPipeline()
+    require(rowsOut == rowsCold && digest == digestCold, "non-deterministic pipeline output")
     val docsPerSec = rowsOut / pipelineSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipelineSec
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ > 0).sum + pipelineSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,""" +
       s""""pipeline_docs_per_sec":$docsPerSec,"pipeline_rows":$rowsOut,""" +
-      s""""pipeline_sec":$pipelineSec,"pipeline_digest":$digest,""" +
+      s""""pipeline_sec":$pipelineSec,"pipeline_cold_sec":$coldSec,""" +
+      s""""pipeline_digest":$digest,""" +
       s""""cpus":$cpus,"bench_pages":$benchPages,"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.mkString(",")}")
     spark.stop()
   }
 }

@@ -15,9 +15,10 @@ import graft.pipeline.ExtractPipeline
   * Protocol (BASELINE.md): ONE JVM for all runs so whole-stage-codegen
   * JIT is equally warm at both levels (a fresh JVM per run would charge
   * ~40 s of JIT to every measurement and distort the ratio); per level:
-  * fresh SparkContext, 1 discarded warm-up, 3 timed runs, median
-  * reported. Output digest asserted equal across ALL runs — the
-  * byte-identity gate of BASELINE.md holds during the bench.
+  * fresh SparkContext, 2 discarded warm-ups and 5 timed runs by default
+  * (SPARK_GRAFT_WARMUPS / SPARK_GRAFT_RUNS), median reported. Output
+  * digest asserted equal across ALL runs — the byte-identity gate of
+  * BASELINE.md holds during the bench.
   */
 object BenchScaling {
 

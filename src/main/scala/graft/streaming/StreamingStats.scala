@@ -53,47 +53,53 @@ object StreamingStats {
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
 
   final case class SessionState(start: Long, last: Long, n: Int)
+  /** ALL not-yet-finalized sessions of one user, sorted by start. */
+  final case class SessionsState(sessions: List[SessionState])
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
   /** 30-minute session gap, in event-time microseconds. */
   val GapUs: Long = 30L * 60 * 1000000
 
-  /** Custom per-key state: open sessions live in GroupState; a session
-    * closes (and is emitted, append-mode) when a same-user event
-    * arrives past the gap, or when the EVENT-TIME TIMEOUT fires — the
-    * watermark passed last+gap, so no late event can reopen it.
+  /** Merge a timestamp into the session list, coalescing neighbors that
+    * now fall within the gap (a late event can BRIDGE two sessions).
+    */
+  private[streaming] def insert(sessions: List[SessionState], t: Long): List[SessionState] =
+    (SessionState(t, t, 1) :: sessions).sortBy(_.start)
+      .foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: tl if s.start - h.last <= GapUs =>
+            SessionState(h.start, math.max(h.last, s.last), h.n + s.n) :: tl
+          case _ => s :: acc
+        }
+      }.reverse
+
+  /** Custom per-key state: sessions stay in GroupState until the
+    * EVENT-TIME watermark passes last+gap — only then is a session
+    * truly final (append-mode contract). A gap-crossing event does NOT
+    * emit eagerly: a later-but-still-in-watermark event may land
+    * INSIDE the gap and must merge the two sessions (the eager version
+    * emitted a session that was not final yet).
     */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (user, it, state: GroupState[SessionState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          if (state.hasTimedOut) {
-            state.getOption.foreach { s =>
-              out += SessionOut(user, s.start, s.last, s.n)
-            }
-            state.remove()
-          } else {
-            var cur = state.getOption
-            it.map(_.ts_us).toArray.sorted.foreach { t =>
-              cur match {
-                case Some(s) if t - s.last > GapUs =>
-                  out += SessionOut(user, s.start, s.last, s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.last + GapUs) / 1000 + 1)
-            }
+        case (user, it, state: GroupState[SessionsState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var ss = state.getOption.map(_.sessions).getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            it.map(_.ts_us).toArray.sorted.foreach { t => ss = insert(ss, t) }
           }
-          out.iterator
+          // finalize every session the watermark has sealed
+          val (done, live) = ss.partition(s => s.last + GapUs <= wmUs)
+          if (live.nonEmpty) {
+            state.update(SessionsState(live))
+            // fire when the earliest live session becomes sealable
+            state.setTimeoutTimestamp(live.map(_.last + GapUs).min / 1000 + 1)
+          } else state.remove()
+          done.sortBy(_.start).iterator
+            .map(s => SessionOut(user, s.start, s.last, s.n))
       }
   }
 

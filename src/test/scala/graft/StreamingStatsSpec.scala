@@ -67,6 +67,38 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("late event within watermark merges gap-crossing sessions (no premature emission)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-late").toString
+    val src = s"$base/src"
+    val t0 = 1735689600000000L // 2025-01-01T00:00Z in micros
+    def ev(id: Long, us: Long, user: Long) =
+      (id, new java.sql.Timestamp(us / 1000), user, "click", 1.0, "{}")
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+
+    val m = 60L * 1000000 // one minute in micros
+    // drain 1: user 1 at t0 and t0+40min — LOOKS like two sessions
+    land(Seq(ev(1, t0, 1), ev(2, t0 + 40 * m, 1)))
+    StreamingStats.sessionQuery(spark, src, s"$base/out", s"$base/ckpt").awaitTermination()
+    val afterFirst =
+      if (new java.io.File(s"$base/out").list().exists(_.endsWith(".parquet")))
+        spark.read.parquet(s"$base/out").filter(col("user_id") === 1).count()
+      else 0L
+    assert(afterFirst == 0, "session emitted before the watermark sealed it")
+
+    // drain 2: a LATE event inside the gap (t0+20min, within the 30-min
+    // watermark) bridges the two sessions; user 2 far in the future
+    // pushes the watermark past the merged session's seal point
+    land(Seq(ev(3, t0 + 20 * m, 1), ev(4, t0 + 300 * m, 2)))
+    StreamingStats.sessionQuery(spark, src, s"$base/out", s"$base/ckpt").awaitTermination()
+    val u1 = spark.read.parquet(s"$base/out").filter(col("user_id") === 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(u1 == Seq((t0, t0 + 40 * m, 3)), s"got $u1 — expected ONE merged session of 3 events")
+  }
+
   test("flatMapGroupsWithState sessionization matches batch sessions") {
     val base = Files.createTempDirectory("graft-sess").toString
     val src = s"$base/src"
