@@ -87,6 +87,9 @@ object Bench {
       ExtractPipeline.dedupAndCluster(keyed, 128)
         .drop("url_hash")
         .write.mode(SaveMode.Overwrite)
+        // zstd = production codec (CodecProbe: 1.7x smaller output);
+        // env knob for codec A/B runs
+        .option("compression", sys.env.getOrElse("SPARK_GRAFT_OUTPUT_CODEC", "zstd"))
         .option("parquet.enable.dictionary", "false")
         .parquet(s"$outDir/pages_extracted")
       val sec = (System.nanoTime() - t0) / 1e9

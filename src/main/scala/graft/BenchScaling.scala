@@ -60,7 +60,9 @@ object BenchScaling {
       ExtractPipeline.dedupAndCluster(keyed, 128)
         .drop("url_hash")
         .write.mode(SaveMode.Overwrite)
-        // dictionary encoding is pure overhead on unique urls/text
+        // dictionary encoding is pure overhead on unique urls/text;
+        // zstd = production codec (CodecProbe: 1.7x smaller output)
+        .option("compression", "zstd")
         .option("parquet.enable.dictionary", "false")
         .parquet(outDir)
       val sec = (System.nanoTime() - t0) / 1e9

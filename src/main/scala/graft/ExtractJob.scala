@@ -53,6 +53,13 @@ object ExtractJob {
   private val MetricCols =
     Seq("part_id", "url", "n_blocks", "n_kept", "bytes_in", "bytes_out")
 
+  /** Output-table schema (ExtractedPage columns + the stable part_id)
+    * — lets the resume probes go through the TableIO seam.
+    */
+  val outputSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[graft.extract.ExtractedPage].schema
+      .add("part_id", org.apache.spark.sql.types.IntegerType)
+
   def run(
       spark: SparkSession,
       pagesPath: String,
@@ -60,10 +67,10 @@ object ExtractJob {
       numLogicalParts: Int = DefaultLogicalParts,
       jobId: String = "job",
       attempt: Int = 0,
-      cfg: ExtractorConfig = ExtractorConfig.default
+      cfg: ExtractorConfig = ExtractorConfig.default,
+      io: TableIO = ParquetTableIO
   ): (Long, Long) = {
     import spark.implicits._
-    val io: TableIO = ParquetTableIO
     val outPath = s"$outDir/pages_extracted"
     val ckptPath = s"$outDir/checkpoint_metrics"
 
@@ -76,10 +83,8 @@ object ExtractJob {
     // partitions pay no CPU.
     val ckptIds: Set[Int] = io.readOrEmpty(spark, ckptPath, ParquetTableIO.checkpointSchema)
       .select("part_id").distinct().as[Int].collect().toSet
-    val outIds: Set[Int] =
-      if (ParquetTableIO.exists(spark, outPath))
-        spark.read.parquet(outPath).select("part_id").distinct().as[Int].collect().toSet
-      else Set.empty
+    val outIds: Set[Int] = io.readOrEmpty(spark, outPath, outputSchema)
+      .select("part_id").distinct().as[Int].collect().toSet
     val orphanIds = outIds -- ckptIds
     val doneIds = ckptIds ++ outIds
     val inputSnapshot = io.snapshotId(spark, pagesPath)
@@ -121,7 +126,7 @@ object ExtractJob {
     val backfill =
       if (orphanIds.isEmpty) None
       else Some(rollup(
-        spark.read.parquet(outPath)
+        io.readOrEmpty(spark, outPath, outputSchema)
           .join(broadcast(orphanIds.toSeq.sorted.toDF("part_id")), Seq("part_id"), "left_semi"),
         s"reconciled:$inputSnapshot"))
     (thisRun ++ backfill).reduceOption(_ unionByName _).foreach(io.append(_, ckptPath))
