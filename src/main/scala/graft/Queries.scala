@@ -279,6 +279,23 @@ object Queries {
         sum(length(col("text"))).cast("long").as("sum_text_chars"))
       .orderBy(col("host"))
 
+  /** Per-host extraction COST census (skew diagnosis at 100 TB: which
+    * hosts burn the bytes/CPU): input html bytes, output text bytes,
+    * block counts — all from the extraction metrics columns, no second
+    * scan of the raw html.
+    */
+  def hostCost(s: SparkSession, d: String): DataFrame =
+    extracted(s, d).toDF()
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bytes_in")).as("sum_bytes_in"),
+        sum(col("bytes_out")).as("sum_bytes_out"),
+        sum(col("n_blocks").cast("long")).as("sum_blocks"),
+        max(col("bytes_in")).as("max_bytes_in"))
+      .orderBy(col("host"))
+
   def skewTopk(s: SparkSession, d: String): DataFrame =
     pages(s, d).toDF()
       .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))

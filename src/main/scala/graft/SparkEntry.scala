@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_latest" -> (Queries.dedupLatest _),
     "metrics_by_host" -> (Queries.metricsByHost _),
     "skew_topk" -> (Queries.skewTopk _),
+    "host_cost" -> (Queries.hostCost _),
     "skew_quantiles" -> (Queries.skewQuantiles _),
     "approx_distinct" -> (Queries.approxDistinct _),
     "score_histogram" -> (Queries.scoreHistogram _),
@@ -201,6 +202,23 @@ object SparkEntry {
       s"""SELECT host, count(*) AS n_docs
          |FROM (SELECT $hostSql AS host FROM documents) t
          |GROUP BY host ORDER BY n_docs DESC, host ASC LIMIT 5""".stripMargin,
+    // wrapper-page byte accounting: bytes_in = 251 fixed-chrome bytes
+    // + docId digits (title) + paragraph text (len - (p-1) joining
+    // spaces) + 7 bytes <p></p> per paragraph; bytes_out = text bytes
+    "host_cost" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $nw AS nw, $pCnt AS p FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    251 + length(CAST(doc_id AS VARCHAR)) + (length(text) - (p - 1)) + 7 * p AS bytes_in,
+         |    length(text) AS bytes_out, p + 2 AS n_blocks
+         |  FROM t)
+         |SELECT $hostSql AS host, count(*) AS n_docs,
+         |  CAST(sum(bytes_in) AS BIGINT) AS sum_bytes_in,
+         |  CAST(sum(bytes_out) AS BIGINT) AS sum_bytes_out,
+         |  CAST(sum(n_blocks) AS BIGINT) AS sum_blocks,
+         |  CAST(max(bytes_in) AS BIGINT) AS max_bytes_in
+         |FROM c GROUP BY host ORDER BY host""".stripMargin,
     // exact-percentile mirror of Spark's interpolation:
     // (higher-pos)*lower + (pos-lower)*higher over the sorted counts
     "skew_quantiles" ->
