@@ -242,21 +242,24 @@ object Queries {
     extracted(s, d).toDF().select(col("url"), col("text")).orderBy(col("url"))
 
   /** PDF extraction leg (north rule: "PDF/layout parse"): documents
-    * wrapped as one-page PDFs (Flate + raw streams), text recovered via
-    * PdfTextExtractor — byte-identical to documents.text, checked by
-    * the same oracle shape as extract_pipeline.
+    * wrapped as one-page PDFs (Flate + raw streams) and run through THE
+    * PRODUCTION extraction expression — ContentTokenizer sniffs the
+    * %PDF magic and routes to PdfTextExtractor, the scorer/assembler
+    * are format-agnostic. Output text is byte-identical to
+    * documents.text, same oracle shape as extract_pipeline.
     */
   def extractPdf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    TextOps.readDocs(s, d)
+    val pdfPages = TextOps.readDocs(s, d)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val pdf = graft.sources.PdfSource.wrapPdf(id, text)
-        (PageSource.urlOf(id), graft.extract.PdfTextExtractor.extractText(pdf, " "),
-          pdf.length.toLong)
+        (PageSource.urlOf(id),
+          new java.sql.Timestamp((PageSource.EpochBase + id) * 1000L),
+          graft.sources.PdfSource.wrapPdf(id, text))
       })
-      .toDF("url", "text", "pdf_bytes")
+      .toDF("url", "warc_ts", "html")
+    ExtractPipeline.extractExpr(pdfPages, ExtractorConfig.spaceJoined)
       .select(col("url"), col("text"))
       .orderBy(col("url"))
   }

@@ -12,13 +12,13 @@ import java.nio.charset.StandardCharsets
 object GoldenExtractor {
 
   def extract(html: Array[Byte], cfg: ExtractorConfig): (String, Array[Span]) = {
-    val blocks = HtmlTokenizer.tokenize(html, cfg)
+    val blocks = ContentTokenizer.tokenize(html, cfg)
     val scored = Scorer.score("", blocks)
     Assembler.assemble(scored, cfg)
   }
 
   def extractPage(p: PageLite, cfg: ExtractorConfig): ExtractedPage = {
-    val blocks = HtmlTokenizer.tokenize(p.html, cfg)
+    val blocks = ContentTokenizer.tokenize(p.html, cfg)
     val scored = Scorer.score(p.url, blocks)
     val a = Assembler.assembleColumnar(scored, cfg)
     val bytesIn = if (p.html == null) 0L else p.html.length.toLong

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.extract.{Assembler, ExtractorConfig, HtmlTokenizer, Scorer}
+import graft.extract.{Assembler, ContentTokenizer, ExtractorConfig, Scorer}
 
 /** Native whole-operator expression (SURVEY.md §4.3b, the M7 path):
   * `extract_page(html, textThreshold, linkThreshold, blockSep,
@@ -86,7 +86,7 @@ object ExtractPage {
 
   /** Kernel → InternalRow, no case-class intermediates. */
   def extractToRow(html: Array[Byte], cfg: ExtractorConfig): InternalRow = {
-    val blocks = HtmlTokenizer.tokenize(html, cfg)
+    val blocks = ContentTokenizer.tokenize(html, cfg)
     val scored = Scorer.score("", blocks)
     val a = Assembler.assembleColumnar(scored, cfg)
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(9)

@@ -174,6 +174,36 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ckpt.filter(col("input_snapshot").startsWith("reconciled:")).count() == 16)
   }
 
+  test("production pipeline handles a mixed HTML+PDF corpus (content sniffing)") {
+    val s = spark
+    import s.implicits._
+    val pagesDir = tmp() + "/pages"
+    val htmlPages = PageSource.genPages(spark, 100, 2).toDF()
+    val pdfPages = (1000L until 1050L).map { id =>
+      val text = PageSource.contentText(id, 40)
+      graft.extract.Page(PageSource.urlOf(id),
+        new java.sql.Timestamp((PageSource.EpochBase + id) * 1000L),
+        graft.sources.PdfSource.wrapPdf(id, text),
+        text, "en")
+    }.toDF()
+    htmlPages.unionByName(pdfPages).write.parquet(pagesDir)
+
+    val outDir = tmp()
+    val (rows, _) = ExtractJob.run(spark, pagesDir, outDir, numLogicalParts = 8, jobId = "mixed")
+    assert(rows == 150)
+    // PDF rows extracted through the SAME pipeline: text = paragraphs
+    // joined by the default blockSep
+    val got = spark.read.parquet(s"$outDir/pages_extracted")
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .filter(col("doc_id") >= 1000L)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(got.size == 50)
+    (1000L until 1050L).foreach { id =>
+      val want = PageSource.paragraphs(PageSource.contentText(id, 40)).mkString("\n")
+      assert(got(id) == want, s"pdf doc $id text mismatch")
+    }
+  }
+
   test("plan shape: hot-path scan never reads the decoy crawl text column") {
     val s = spark
     import s.implicits._
