@@ -122,14 +122,19 @@ object SparkEntry {
     "token_count" ->
       s"""SELECT doc_id, CAST($nw AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // punctuation set mirrors TextOps.PunctChars (".,!?;:")
     "quality_score" ->
       s"""SELECT doc_id, n_chars, CAST(nw AS BIGINT) AS n_tokens,
          |  CAST(stop AS BIGINT) AS n_stopwords,
+         |  CAST(np AS BIGINT) AS n_punct,
          |  CAST(((n_chars - (nw - 1)) * 100) // nw AS BIGINT) AS avg_word_len_c,
-         |  (nw >= 10 AND ((n_chars - (nw - 1)) * 100) // nw BETWEEN 200 AND 1200) AS is_quality
+         |  (nw >= 10 AND ((n_chars - (nw - 1)) * 100) // nw BETWEEN 200 AND 1200
+         |   AND np * 5 <= n_chars) AS is_quality
          |FROM (
          |  SELECT doc_id, n_chars, $nw AS nw,
-         |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop
+         |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop,
+         |         length(text) - length(replace(replace(replace(replace(replace(replace(
+         |           text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS np
          |  FROM documents) t ORDER BY doc_id""".stripMargin,
     "embed_stats" ->
       """SELECT label, count(*) AS n_vecs,

@@ -318,8 +318,14 @@ object TextOps {
       size(split(col("text"), " ")).cast("long").as("n_tokens")
     ).orderBy("doc_id")
 
+  /** Punctuation characters counted by the quality features (fixed,
+    * SQL-mirrorable set).
+    */
+  val PunctChars = ".,!?;:"
+
   /** Quality score: integer-exact shallow text features (length,
-    * word-length, stopword ratio) — Boilerpipe-family features.
+    * word-length, stopword ratio, punctuation count) —
+    * Boilerpipe-family features.
     */
   def qualityScores(docs: DataFrame): DataFrame =
     docs.select(
@@ -327,12 +333,15 @@ object TextOps {
         col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         size(filter(split(col("text"), " "),
-          w => w === "the" || w === "a")).cast("long").as("n_stopwords")
+          w => w === "the" || w === "a")).cast("long").as("n_stopwords"),
+        (length(col("text")) - length(translate(col("text"), PunctChars, "")))
+          .cast("long").as("n_punct")
       )
       .withColumn("avg_word_len_c",
         expr("(n_chars - (n_tokens - 1)) * 100 DIV n_tokens").cast("long"))
       .withColumn("is_quality",
-        col("n_tokens") >= 10L && col("avg_word_len_c").between(200L, 1200L))
+        col("n_tokens") >= 10L && col("avg_word_len_c").between(200L, 1200L) &&
+          col("n_punct") * 5L <= col("n_chars"))
       .orderBy("doc_id")
 
   /** Language-ID heuristic (typed map; non-SQL-expressible → rows-only

@@ -47,6 +47,37 @@ object StreamingStats {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** UPDATE-mode variant: a serving table that stays CURRENT for every
+    * window touched so far (append mode only emits a window once the
+    * watermark seals it). Update mode emits the CHANGED (window, type)
+    * rows per micro-batch; foreachBatch lands them with dynamic
+    * partition overwrite keyed by (win_part, event_type), so exactly
+    * the updated cells are replaced — idempotent on batch replay, and
+    * concurrent readers of the parquet serving table always see the
+    * latest complete value per cell.
+    */
+  def windowedCountsUpdate(spark: SparkSession, srcDir: String,
+                           outDir: String, ckptDir: String): StreamingQuery =
+    readEvents(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch
+          .withColumn("win_part", date_format(col("win_start"), "yyyyMMddHH"))
+          .write.mode("overwrite")
+          .partitionBy("win_part", "event_type")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked event row: `ts` stays in the Dataset so the plan keeps
     * its event-time watermark column for the EventTimeTimeout.
     */

@@ -67,6 +67,46 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("update-mode serving table stays current across drains (unsealed windows included)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-upd").toString
+    val src = s"$base/src"
+    val h = 3600L * 1000000 // one hour in micros
+    val t0 = 1735689600000000L // 2025-01-01T00:00Z
+    def ev(id: Long, us: Long, typ: String) =
+      (id, new java.sql.Timestamp(us / 1000), 1L, typ, 1.0, "{}")
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+
+    // drain 1: hour 0 (2 clicks, 1 view), hour 1 (1 click)
+    land(Seq(ev(1, t0, "click"), ev(2, t0 + 1, "click"), ev(3, t0 + 2, "view"),
+      ev(4, t0 + h, "click")))
+    StreamingStats.windowedCountsUpdate(spark, src, s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    def serving(): Map[(java.sql.Timestamp, String), Long] =
+      spark.read.parquet(s"$base/out")
+        .select(col("win_start"), col("event_type").cast("string"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ts0 = new java.sql.Timestamp(t0 / 1000)
+    val ts1 = new java.sql.Timestamp((t0 + h) / 1000)
+    val ts2 = new java.sql.Timestamp((t0 + 2 * h) / 1000)
+    // ALL windows visible immediately — including the unsealed hour 1
+    assert(serving() == Map((ts0, "click") -> 2L, (ts0, "view") -> 1L, (ts1, "click") -> 1L))
+
+    // drain 2: more hour-1 clicks (IN-watermark update of an existing
+    // cell) + a new hour-2 view; the click cell must be REPLACED, the
+    // untouched (hour0, view) cell preserved
+    land(Seq(ev(5, t0 + h + 1, "click"), ev(6, t0 + h + 2, "click"),
+      ev(7, t0 + 2 * h, "view")))
+    StreamingStats.windowedCountsUpdate(spark, src, s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    assert(serving() == Map(
+      (ts0, "click") -> 2L, (ts0, "view") -> 1L,
+      (ts1, "click") -> 3L, (ts2, "view") -> 1L))
+  }
+
   test("late event within watermark merges gap-crossing sessions (no premature emission)") {
     val s = spark
     import s.implicits._
