@@ -261,6 +261,69 @@ private[graft] object OracleSqlGen {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF oracle: the deterministic integer k-means of VectorOps
+    * .kmeansMilli UNROLLED (fixed iteration count, no RNG) — all
+    * arithmetic is exact (milli integers, floorDiv == SQL `//`), so
+    * the SQL recomputes identical centroids, identical cell
+    * assignments, identical probes, and the same cosine top-k.
+    */
+  val annIvf: String = {
+    val (k, iters, nProbe, nQueries, topK) = (16, 3, 2, 10, 5)
+    val iterCtes = (1 to iters).map { n =>
+      val prev = s"c${n - 1}"
+      s"""a$n AS (
+         |  SELECT v.vec_id, c.cid, sum((v.m - c.m) * (v.m - c.m)) AS d
+         |  FROM vm v JOIN $prev c USING (i) GROUP BY v.vec_id, c.cid),
+         |b$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM a$n) t WHERE rn = 1),
+         |s$n AS (
+         |  SELECT b.cid, v.i, sum(v.m) AS sm, count(*) AS cnt
+         |  FROM vm v JOIN b$n b USING (vec_id) GROUP BY b.cid, v.i),
+         |c$n AS (
+         |  SELECT p.cid, p.i, COALESCE(s$n.sm // s$n.cnt, p.m) AS m
+         |  FROM $prev p LEFT JOIN s$n ON s$n.cid = p.cid AND s$n.i = p.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vm AS (
+       |  SELECT vec_id, dd.i,
+       |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
+       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
+       |c0 AS (SELECT vec_id AS cid, i, m FROM vm WHERE vec_id < $k),
+       |$iterCtes,
+       |af AS (
+       |  SELECT v.vec_id, c.cid, sum((v.m - c.m) * (v.m - c.m)) AS d
+       |  FROM vm v JOIN c$iters c USING (i) GROUP BY v.vec_id, c.cid),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM af) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM af WHERE vec_id < $nQueries) t WHERE rn <= $nProbe),
+       |normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("q.embedding", "n.embedding")} / (n.norm * q.norm) AS sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |  JOIN normed n ON n.vec_id = a.vec_id
+       |  JOIN normed q ON q.vec_id = p.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       |         CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
+       |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   val dedupEmbedding: String =
     s"""WITH ${bucketsCte(VectorOps.hyperplanes(32, 64))},
        |banded AS (

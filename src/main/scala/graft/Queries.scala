@@ -160,6 +160,9 @@ object Queries {
   def annLsh(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(s, VectorOps.readEmbeddings(s, d))
 
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     VectorOps.dedupEmbedding(s, VectorOps.readEmbeddings(s, d), minSimMicro = 300000L)
 

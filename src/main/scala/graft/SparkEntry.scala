@@ -36,6 +36,7 @@ object SparkEntry {
     "doc_fingerprint" -> (Queries.fingerprintQ _),
     "ann_cosine" -> (Queries.annCosine _),
     "ann_lsh" -> (Queries.annLsh _),
+    "ann_ivf" -> (Queries.annIvf _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "embed_stats" -> (Queries.embedStats _),
     "mm_decode_stub" -> (Queries.mmDecodeStub _),
@@ -326,6 +327,7 @@ object SparkEntry {
     "ngram_jaccard" -> OracleSqlGen.ngramJaccard,
     "ann_cosine" -> OracleSqlGen.annCosine,
     "ann_lsh" -> OracleSqlGen.annLsh,
+    "ann_ivf" -> OracleSqlGen.annIvf,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding
   )
 }

@@ -145,6 +145,144 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer + probed search
+  // -------------------------------------------------------------------
+
+  /** Milli-quantized vector: ±floor(x·1000) per component — the
+    * integer-exact representation all IVF arithmetic runs in, so
+    * training and assignment are bit-reproducible across engines.
+    */
+  def milli(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
+
+  /** Squared L2 distance between milli vectors (exact integers). */
+  def dist2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic integer k-means (the IVF training step):
+    *  - init: centroids = the vectors with vec_id 0..k-1;
+    *  - assignment: argmin squared-L2 in exact milli integers, ties to
+    *    the smaller centroid id;
+    *  - update: per-component floorDiv(sum, count) (== SQL `//`);
+    *    empty cluster keeps its previous centroid;
+    *  - FIXED iteration count — no convergence test, no RNG.
+    * Centroids are tiny (k × dim longs): the per-iteration aggregate
+    * collects k rows to the driver and re-broadcasts — the standard
+    * k-means-on-Spark shape; the DATA never leaves executors.
+    */
+  def kmeansMilli(spark: SparkSession, emb: DataFrame, k: Int = 16,
+                  iters: Int = 3): Array[Array[Long]] = {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, milli(v)) }
+      .toDF("vec_id", "vm")
+      .as[(Long, Array[Long])]
+      .cache()
+    var centroids: Array[Array[Long]] = vecs.filter(_._1 < k)
+      .collect().sortBy(_._1).map(_._2)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = vecs
+        .map { case (_, vm) =>
+          val cs = bc.value
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val d = dist2(vm, cs(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (best, (vm.clone(), 1L))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val (va, na) = a._2; val (vb, nb) = b._2
+          val sum = new Array[Long](va.length)
+          var i = 0
+          while (i < va.length) { sum(i) = va(i) + vb(i); i += 1 }
+          (a._1, (sum, na + nb))
+        }
+        .map { case (cid, (_, (sum, n))) => (cid, sum, n) }
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { case (cid, sum, n) =>
+        next(cid) = sum.map(s => Math.floorDiv(s, n))
+      }
+      centroids = next
+      bc.unpersist()
+      it += 1
+    }
+    vecs.unpersist()
+    centroids
+  }
+
+  /** IVF probed search: assign base vectors to their coarse cell, probe
+    * the nProbe cells nearest each query, exact cosine top-k WITHIN the
+    * probed cells — the classic inverted-file recall/latency dial (at
+    * 10^10 vectors each query touches nProbe/k of the base, not all of
+    * it; the cell assignment is one map, the probe an equi-join).
+    */
+  def annIvf(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, topK: Int = 5,
+             k: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = kmeansMilli(spark, emb, k, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          val vm = milli(v)
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val d = dist2(vm, cs(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (id, v, best)
+        }
+      }
+      .toDF("vec_id", "embedding", "cell")
+      .withColumn("norm", l2norm(col("embedding")))
+
+    val probes = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id") < nQueries)
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        val vm = milli(v)
+        cs.indices.map(c => (dist2(vm, cs(c)), c))
+          .sorted.take(nProbe) // (distance, cid): ties to smaller cid
+          .map { case (_, c) => (id, v, c) }
+      }
+      .toDF("query_id", "q_emb", "cell")
+      .withColumn("q_norm", l2norm(col("q_emb")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label vector stats with integer-exact norms (oracle-friendly):
     * sum over elements of floor(x*1000)² in BIGINT — float→double is
     * exact, so Spark and DuckDB agree bit-for-bit.

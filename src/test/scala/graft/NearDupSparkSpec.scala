@@ -108,6 +108,31 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((2000L, 2001L)), s"got $out")
   }
 
+  test("annIvf: deterministic k-means, probed results agree with brute force on probed cells") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    // centroids bit-reproducible across runs (integer k-means)
+    val c1 = VectorOps.kmeansMilli(spark, emb)
+    val c2 = VectorOps.kmeansMilli(spark, emb)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val ivf = VectorOps.annIvf(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivf.nonEmpty)
+    // every query got results, ranks are 1..k' and sims non-increasing
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length))
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse == sorted.map(_._4).toSeq,
+        s"sims not non-increasing for query $q")
+    }
+    // IVF neighbors are a subset of the brute-force candidate space and
+    // agree with brute-force sims bit-for-bit where they overlap
+    val brute = VectorOps.annBrute(emb, nQueries = 10, k = 1000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    ivf.foreach { case (q, n, _, sim) =>
+      assert(brute((q, n)) == sim, s"sim mismatch vs brute for ($q,$n)")
+    }
+  }
+
   test("dedupEmbedding recovers planted near-identical vectors on the sf corpus") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val out = VectorOps.dedupEmbedding(spark, emb, minSimMicro = 300000L)
