@@ -120,8 +120,11 @@ object SparkEntry {
         |SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
         |       count(*) AS n_dups
         |FROM corpus GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
+    // BPE-ish pattern mirrors TextOps.BpeTokenPattern (no lookaheads,
+    // so Java regex and DuckDB's RE2 count identically on this corpus)
     "token_count" ->
-      s"""SELECT doc_id, CAST($nw AS BIGINT) AS n_tokens
+      s"""SELECT doc_id, CAST($nw AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
     // punctuation set mirrors TextOps.PunctChars (".,!?;:")
     "quality_score" ->

@@ -311,11 +311,20 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Token count — whitespace tokenizer, pure Column exprs (codegen). */
+  /** BPE-ish pre-tokenizer pattern (the GPT-2-family shape minus
+    * lookaheads, so Java regex and RE2 agree): letter runs, digit
+    * runs, or single non-alphanumeric non-space marks.
+    */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Token counts — whitespace tokenizer AND the BPE-ish regex
+    * pre-tokenizer, both pure Column exprs (codegen).
+    */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens")
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit(BpeTokenPattern)).cast("long").as("n_tokens_bpe")
     ).orderBy("doc_id")
 
   /** Punctuation characters counted by the quality features (fixed,
