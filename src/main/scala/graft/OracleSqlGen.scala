@@ -226,6 +226,27 @@ private[graft] object OracleSqlGen {
        |    / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) * 1000) AS BIGINT) AS jaccard_milli
        |FROM shp ORDER BY doc_a""".stripMargin
 
+  /** Stubbed feature-extraction mirror: per (doc, slot) splitmix64 of
+    * (FNV-1a(payload) xor slot), unsigned mod 1000 — same layered
+    * HUGEINT chain as the minhash oracle.
+    */
+  val mmEmbed: String =
+    s"""WITH fv AS (SELECT doc_id, ${fnvU("text")} AS h FROM documents),
+       |sj AS (SELECT doc_id, jj.j, ${xor64("fv.h", "CAST(jj.j AS HUGEINT)")} AS x
+       |       FROM fv, UNNEST(range(4)) AS jj(j)),
+       |q1 AS (SELECT doc_id, j, (x + 11400714819323198485::HUGEINT) % $M64 AS z1 FROM sj),
+       |q2 AS (SELECT doc_id, j, ${xor64("z1", "z1 // 1073741824::HUGEINT")} AS a1 FROM q1),
+       |q3 AS (SELECT doc_id, j, ${mulmod("a1", "13787848793156543929")} AS z2 FROM q2),
+       |q4 AS (SELECT doc_id, j, ${xor64("z2", "z2 // 134217728::HUGEINT")} AS a2 FROM q3),
+       |q5 AS (SELECT doc_id, j, ${mulmod("a2", "10723151780598845931")} AS z3 FROM q4),
+       |q6 AS (SELECT doc_id, j, ${xor64("z3", "z3 // 2147483648::HUGEINT")} AS hk FROM q5)
+       |SELECT doc_id,
+       |  CAST(max(CASE WHEN j = 0 THEN hk % 1000 END) AS BIGINT) AS f0,
+       |  CAST(max(CASE WHEN j = 1 THEN hk % 1000 END) AS BIGINT) AS f1,
+       |  CAST(max(CASE WHEN j = 2 THEN hk % 1000 END) AS BIGINT) AS f2,
+       |  CAST(max(CASE WHEN j = 3 THEN hk % 1000 END) AS BIGINT) AS f3
+       |FROM q6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val annCosine: String =
     s"""WITH normed AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm

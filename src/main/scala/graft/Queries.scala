@@ -172,6 +172,12 @@ object Queries {
   def mmDecodeStub(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeAssets(s, d)
 
+  def mmResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeAssets(s, d)
+
+  def mmEmbed(s: SparkSession, d: String): DataFrame =
+    Multimodal.embedAssets(s, d)
+
   // ---------------- extraction pipeline (pages) ------------------------
 
   def scanPages(s: SparkSession, d: String): DataFrame =

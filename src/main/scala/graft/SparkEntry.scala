@@ -40,6 +40,8 @@ object SparkEntry {
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "embed_stats" -> (Queries.embedStats _),
     "mm_decode_stub" -> (Queries.mmDecodeStub _),
+    "mm_resize" -> (Queries.mmResize _),
+    "mm_embed" -> (Queries.mmEmbed _),
     // extraction pipeline operators (pages derived from documents)
     "scan_pages" -> (Queries.scanPages _),
     "filter_nonempty" -> (Queries.filterNonempty _),
@@ -156,6 +158,23 @@ object SparkEntry {
         |  CAST(1 + strlen(text) % 10 AS INTEGER) AS n_frames,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // aspect-preserving downscale plan over the stub-decoded dims
+    // (positive integer division truncates == floors on both engines)
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(64 + strlen(text) % 512 AS BIGINT) AS w,
+        |         CAST(64 + doc_id % 512 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN w
+        |            WHEN w >= h THEN 256
+        |            ELSE GREATEST(1, (w * 256) // h) END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN h
+        |            WHEN w >= h THEN GREATEST(1, (h * 256) // w)
+        |            ELSE 256 END AS INTEGER) AS out_h
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_embed" -> OracleSqlGen.mmEmbed,
     "scan_pages" ->
       s"SELECT $urlSql AS url, lang FROM documents ORDER BY url",
     "filter_nonempty" ->

@@ -39,6 +39,40 @@ object Multimodal {
     )
   }
 
+  /** Aspect-preserving resize plan (integer-exact): downscale so the
+    * longest side is `maxDim`, never upscale — the preprocessing math a
+    * real image pipeline schedules per asset; here it runs on the
+    * stub-decoded dims so the whole plan is oracle-checkable.
+    */
+  def resizePlan(width: Int, height: Int, maxDim: Int): (Int, Int) =
+    if (width <= maxDim && height <= maxDim) (width, height)
+    else if (width >= height)
+      (maxDim, math.max(1, (height.toLong * maxDim / width).toInt))
+    else
+      (math.max(1, (width.toLong * maxDim / height).toInt), maxDim)
+
+  /** STUB feature extraction: a real deployment would run an encoder
+    * over the decoded asset; this fake derives a small deterministic
+    * feature vector from the payload bytes (FNV-1a → per-slot
+    * splitmix64, unsigned mod 1000) — exactly mirrorable in SQL, so
+    * the batch shape (binary in, fixed-width vector out) is
+    * oracle-checked end to end.
+    */
+  def featureStub(payload: Array[Byte], dim: Int): Array[Long] = {
+    var h = 0xcbf29ce484222325L
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        h ^= (payload(i) & 0xffL); h *= 0x100000001b3L
+        i += 1
+      }
+    }
+    Array.tabulate(dim) { j =>
+      java.lang.Long.remainderUnsigned(
+        graft.sources.PageSource.splitmix64(h ^ j.toLong), 1000L)
+    }
+  }
+
   /** Build a BINARY asset column from the documents table (payload =
     * UTF-8 text bytes standing in for image bytes) and run the batched
     * decode. Binary column → mapPartitions → typed metadata rows.
@@ -55,6 +89,41 @@ object Multimodal {
       batch.map { case (id, payload) => decodeStub(id, payload) }
     }.toDF()
       .select("doc_id", "n_bytes", "width", "height", "n_frames", "format")
+      .orderBy("doc_id")
+  }
+
+  /** Resize plan per asset over the stub-decoded dims (pure Column
+    * exprs would also work; kept typed for symmetry with the decode
+    * batch shape).
+    */
+  def resizeAssets(spark: SparkSession, sfDir: String, maxDim: Int = 256): DataFrame = {
+    import spark.implicits._
+    decodeAssets(spark, sfDir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val (ow, oh) = resizePlan(w, h, maxDim)
+        (id, w, h, ow, oh)
+      })
+      .toDF("doc_id", "width", "height", "out_w", "out_h")
+      .orderBy("doc_id")
+  }
+
+  /** Batched feature extraction over the binary column (stubbed
+    * encoder, real plumbing): one fixed-width vector per asset,
+    * emitted as columns for the oracle.
+    */
+  def embedAssets(spark: SparkSession, sfDir: String, dim: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"),
+        encode(col("text"), "UTF-8").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val f = featureStub(payload, dim)
+        (id, f(0), f(1), f(2), f(3))
+      })
+      .toDF("doc_id", "f0", "f1", "f2", "f3")
       .orderBy("doc_id")
   }
 }
