@@ -124,6 +124,19 @@ private[graft] object OracleSqlGen {
        |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucketbits
        |  FROM sums GROUP BY vec_id)""".stripMargin
 
+  /** CTE chain `${p}1..${p}6` applying splitmix64 to the unsigned
+    * HUGEINT column `x` of CTE `src`, carrying `keys` through, ending
+    * in column `hk` — one generated source for every query that needs
+    * the splitmix kernel (minhash, mm_embed, strat_sample).
+    */
+  private def splitmixCtes(p: String, src: String, keys: String): String =
+    s"""${p}1 AS (SELECT $keys, (x + 11400714819323198485::HUGEINT) % $M64 AS z1 FROM $src),
+       |${p}2 AS (SELECT $keys, ${xor64("z1", "z1 // 1073741824::HUGEINT")} AS a1 FROM ${p}1),
+       |${p}3 AS (SELECT $keys, ${mulmod("a1", "13787848793156543929")} AS z2 FROM ${p}2),
+       |${p}4 AS (SELECT $keys, ${xor64("z2", "z2 // 134217728::HUGEINT")} AS a2 FROM ${p}3),
+       |${p}5 AS (SELECT $keys, ${mulmod("a2", "10723151780598845931")} AS z3 FROM ${p}4),
+       |${p}6 AS (SELECT $keys, ${xor64("z3", "z3 // 2147483648::HUGEINT")} AS hk FROM ${p}5)""".stripMargin
+
   /** 3-word shingle list of a text column (TextOps.shingles mirror for
     * texts with >= 3 words — guaranteed for this corpus).
     */
@@ -185,12 +198,7 @@ private[graft] object OracleSqlGen {
        |fvs AS (SELECT sh, ${fnvU("sh")} AS h FROM (SELECT DISTINCT sh FROM shd) dsh),
        |seeds(k, seed) AS (VALUES $seedVals),
        |sx AS (SELECT sh, k, ${xor64("fvs.h", "seeds.seed")} AS x FROM fvs, seeds),
-       |p1 AS (SELECT sh, k, (x + 11400714819323198485::HUGEINT) % $M64 AS z1 FROM sx),
-       |p2 AS (SELECT sh, k, ${xor64("z1", "z1 // 1073741824::HUGEINT")} AS a1 FROM p1),
-       |p3 AS (SELECT sh, k, ${mulmod("a1", "13787848793156543929")} AS z2 FROM p2),
-       |p4 AS (SELECT sh, k, ${xor64("z2", "z2 // 134217728::HUGEINT")} AS a2 FROM p3),
-       |p5 AS (SELECT sh, k, ${mulmod("a2", "10723151780598845931")} AS z3 FROM p4),
-       |p6 AS (SELECT sh, k, ${xor64("z3", "z3 // 2147483648::HUGEINT")} AS hk FROM p5),
+       |${splitmixCtes("p", "sx", "sh, k")},
        |sig AS (
        |  SELECT shd.doc_id, p6.k, min(p6.hk) AS hk
        |  FROM shd JOIN p6 USING (sh) GROUP BY shd.doc_id, p6.k),
@@ -234,12 +242,7 @@ private[graft] object OracleSqlGen {
     s"""WITH fv AS (SELECT doc_id, ${fnvU("text")} AS h FROM documents),
        |sj AS (SELECT doc_id, jj.j, ${xor64("fv.h", "CAST(jj.j AS HUGEINT)")} AS x
        |       FROM fv, UNNEST(range(4)) AS jj(j)),
-       |q1 AS (SELECT doc_id, j, (x + 11400714819323198485::HUGEINT) % $M64 AS z1 FROM sj),
-       |q2 AS (SELECT doc_id, j, ${xor64("z1", "z1 // 1073741824::HUGEINT")} AS a1 FROM q1),
-       |q3 AS (SELECT doc_id, j, ${mulmod("a1", "13787848793156543929")} AS z2 FROM q2),
-       |q4 AS (SELECT doc_id, j, ${xor64("z2", "z2 // 134217728::HUGEINT")} AS a2 FROM q3),
-       |q5 AS (SELECT doc_id, j, ${mulmod("a2", "10723151780598845931")} AS z3 FROM q4),
-       |q6 AS (SELECT doc_id, j, ${xor64("z3", "z3 // 2147483648::HUGEINT")} AS hk FROM q5)
+       |${splitmixCtes("q", "sj", "doc_id, j")}
        |SELECT doc_id,
        |  CAST(max(CASE WHEN j = 0 THEN hk % 1000 END) AS BIGINT) AS f0,
        |  CAST(max(CASE WHEN j = 1 THEN hk % 1000 END) AS BIGINT) AS f1,
@@ -360,4 +363,56 @@ private[graft] object OracleSqlGen {
        |  FROM cand p JOIN normed a ON a.vec_id = p.vec_a JOIN normed b ON b.vec_id = p.vec_b)
        |SELECT vec_a, vec_b, sim_micro FROM simd WHERE sim_micro >= 300000
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Duplicate clustering: recursive min-label propagation over the
+    * union of exact-dup pairs (identical-text groups star-linked to
+    * their min) and the MinHash-LSH near-dup pairs — the recursive CTE
+    * is the fixpoint the Spark-side iterative propagation converges to.
+    * Corpus: base ∪ near-dups (+1e6) ∪ exact copies of every 20th doc
+    * of both (+2e6), yielding genuine 4-node transitive chains.
+    */
+  val dupCluster: String =
+    s"""WITH RECURSIVE corpus0 AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         substring(text, 1, length(text) - instr(reverse(text), ' ')) AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |corpusx AS (
+       |  SELECT doc_id, text FROM corpus0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text FROM corpus0 WHERE doc_id % 20 = 0),
+       |exact_edges AS (
+       |  SELECT min_id AS doc_a, doc_id AS doc_b FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS min_id FROM corpusx) t
+       |  WHERE doc_id <> min_id),
+       |near_edges AS (SELECT doc_a, doc_b FROM ($dedupMinhash) mh),
+       |edges AS (SELECT doc_a, doc_b FROM near_edges
+       |          UNION ALL SELECT doc_a, doc_b FROM exact_edges),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |cc AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM corpusx
+       |  UNION
+       |  SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
+       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |  doc_id = cluster_id AS keep
+       |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling mirror: splitmix64(doc_id xor
+    * seed) unsigned mod 1000 under the per-lang permille rate.
+    */
+  val stratSample: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.SampleSeed)
+    s"""WITH s0 AS (
+       |  SELECT doc_id, lang,
+       |         ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |  FROM documents),
+       |${splitmixCtes("sm", "s0", "doc_id, lang")}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM sm6
+       |WHERE hk % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+       |ORDER BY doc_id""".stripMargin
+  }
 }

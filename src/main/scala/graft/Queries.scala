@@ -142,6 +142,46 @@ object Queries {
       .orderBy(col("doc_a"))
   }
 
+  /** Duplicate clustering: connected components over the union of
+    * exact-dup pairs (identical sha-groups star-linked to their min)
+    * and MinHash-LSH near-dup pairs, then one row per doc with its
+    * cluster id / size / canonical flag. The planted corpus forms
+    * 4-node chains (d —near— d+1e6, d —exact— d+2e6,
+    * d+1e6 —exact— d+3e6 for d%20==0), so the oracle checks genuine
+    * transitivity, not just pair membership. At 100 TB the same edge
+    * feed comes from dedup_exact ∪ dedup_minhash ∪ dedup_simhash.
+    */
+  def dupCluster(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val corpusNear = TextOps.corpusWithNearDups(docs)
+    val corpus = corpusWithExactDups(corpusNear)
+    val nodes = corpus.select(col("doc_id").cast("long").as("doc_id"))
+    val wSha = Window.partitionBy(sha2(col("text"), 256))
+    val exactEdges = corpus
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("min_id", min(col("doc_id")).over(wSha))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val nearEdges = TextOps.dedupMinhash(s, corpusNear)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = TextOps.connectedComponents(
+      nodes, exactEdges.unionByName(nearEdges))
+    val wc = Window.partitionBy(col("cluster_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc).cast("long"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repRatio(s: SparkSession, d: String): DataFrame =
+    TextOps.repetitionStats(TextOps.readDocs(s, d))
+
+  def shardPack(s: SparkSession, d: String): DataFrame =
+    TextOps.shardPack(TextOps.readDocs(s, d))
+
+  def stratSample(s: SparkSession, d: String): DataFrame =
+    TextOps.stratifiedSample(TextOps.readDocs(s, d))
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextOps.tokenCounts(TextOps.readDocs(s, d))
 

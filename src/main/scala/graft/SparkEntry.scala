@@ -29,6 +29,10 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
+    "dup_cluster" -> (Queries.dupCluster _),
+    "rep_ratio" -> (Queries.repRatio _),
+    "shard_pack" -> (Queries.shardPack _),
+    "strat_sample" -> (Queries.stratSample _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -340,8 +344,41 @@ object SparkEntry {
          |  UNION ALL SELECT 0 FROM documents)
          |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_blocks
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Gopher-style repetition features: per-doc word/bigram frequency
+    // maxima via unnest+group (set-based mirror of the Spark-side
+    // sorted-run aggregate fold)
+    "rep_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wc AS (
+        |  SELECT doc_id, u.x AS word, count(*) AS c
+        |  FROM t, UNNEST(w) AS u(x) GROUP BY doc_id, u.x),
+        |wagg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |         CAST(max(c) AS BIGINT) AS max_word_freq
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, b, count(*) AS c FROM (
+        |    SELECT doc_id, w[CAST(i AS INTEGER)+1] || ' ' || w[CAST(i AS INTEGER)+2] AS b
+        |    FROM t, UNNEST(range(len(w) - 1)) AS r(i)) s
+        |  GROUP BY doc_id, b),
+        |bagg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram_freq FROM bg GROUP BY doc_id)
+        |SELECT wagg.doc_id, n_words, n_distinct_words, max_word_freq, max_bigram_freq,
+        |  (n_distinct_words * 2 <= n_words) AS is_repetitive
+        |FROM wagg JOIN bagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // token-budget shard packing: bucketed running sum (the window is
+    // partitioned — no global cumsum on either engine)
+    "shard_pack" ->
+      s"""WITH t AS (SELECT doc_id, $nw AS nw FROM documents)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(doc_id % 8 AS BIGINT) AS bucket,
+         |  CAST(nw AS BIGINT) AS n_tokens,
+         |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 2048 AS BIGINT) AS shard
+         |FROM t ORDER BY doc_id""".stripMargin,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
+    "dup_cluster" -> OracleSqlGen.dupCluster,
+    "strat_sample" -> OracleSqlGen.stratSample,
     "lang_id" -> OracleSqlGen.langId,
     "doc_fingerprint" -> OracleSqlGen.docFingerprint,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,

@@ -49,6 +49,36 @@ object GraftFunctions {
     }
     out
   }
+
+  /** splitmix64 finalizer — the shared deterministic hash kernel
+    * (sampling, corpus synthesis, minhash seeds). Exposed as a native
+    * expression because SQL-level `*`/`+` on longs throw under ANSI
+    * mode on overflow; JVM arithmetic wraps mod 2^64 by definition.
+    */
+  def splitmix64(x: Long): Long = graft.sources.PageSource.splitmix64(x)
+}
+
+/** Native `splitmix64(bigint)` — wrap-around 64-bit hash finalizer
+  * usable from whole-stage codegen regardless of spark.sql.ansi.enabled
+  * (deterministic hash-threshold sampling at the scan, no UDF).
+  */
+case class Splitmix64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"splitmix64 requires BIGINT input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.splitmix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFunctions.splitmix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Splitmix64 =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression (SURVEY.md §4.3b / M7): `simhash64(text)`
@@ -93,7 +123,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHash64(children.head)),
     (new FunctionIdentifier("extract_page"),
       new ExpressionInfo(classOf[ExtractPage].getName, "extract_page"),
-      (children: Seq[Expression]) => ExtractPage(children))
+      (children: Seq[Expression]) => ExtractPage(children)),
+    (new FunctionIdentifier("splitmix64"),
+      new ExpressionInfo(classOf[Splitmix64].getName, "splitmix64"),
+      (children: Seq[Expression]) => Splitmix64(children.head))
   )
 
   /** Imperative registration for an already-built session (tests,

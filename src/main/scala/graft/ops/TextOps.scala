@@ -2,7 +2,7 @@ package graft.ops
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.PageSource.splitmix64
@@ -372,6 +372,169 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, fingerprint(t), simhash(t)) })
       .toDF("doc_id", "fingerprint", "simhash")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Column-expression splitmix64 (codegen; bit-for-bit equal to
+  // PageSource.splitmix64 — Spark long arithmetic wraps mod 2^64 like
+  // the JVM kernel, asserted in OpsCoreSpec)
+  // -------------------------------------------------------------------
+
+  /** Native-expression splitmix64 over a BIGINT column — SQL-level
+    * `+`/`*` throw on overflow under ANSI mode, so the wrap-around
+    * arithmetic lives in the codegen'd [[graft.functions.Splitmix64]]
+    * kernel. Callers must have run GraftExtensions.register(spark).
+    */
+  def splitmixCol(x: Column): Column = call_function("splitmix64", x)
+
+  /** Unsigned 64-bit `x mod 1000` on a signed long column: for x < 0
+    * the unsigned value is x + 2^64, and 2^64 mod 1000 = 616, so
+    * (pmod(x,1000) + 616) mod 1000.
+    */
+  def unsignedMod1000(x: Column): Column =
+    when(x < 0, pmod(pmod(x, lit(1000L)) + lit(616L), lit(1000L)))
+      .otherwise(pmod(x, lit(1000L)))
+
+  // -------------------------------------------------------------------
+  // Duplicate clustering: connected components over near/exact-dup pairs
+  // -------------------------------------------------------------------
+
+  /** Connected components over an undirected edge list via iterative
+    * min-label propagation (the "hash-to-min" scheme): each node starts
+    * labelled with its own id; every round each node takes the min of
+    * its label and its neighbors' labels; fixpoint = component minimum.
+    *
+    * Scale notes (100 TB framing):
+    *  - rounds = graph diameter. Dup graphs are near-star-shaped
+    *    (most components are a canonical doc + its copies), so 2-3
+    *    rounds; the documented upgrade path for adversarial long-chain
+    *    graphs is the large-star/small-star variant (O(log n) rounds).
+    *  - each round is one shuffle (join on src + groupBy doc_id);
+    *    `localCheckpoint` truncates lineage so plan depth stays O(1)
+    *    per round instead of O(rounds) (on a cluster: checkpoint to a
+    *    reliable dir).
+    *  - convergence is a changed-label count — one lightweight action
+    *    per round over (id, label) pairs only, never texts.
+    *
+    * @param nodes single `doc_id` column; @param edges `doc_a, doc_b`.
+    * @return (doc_id, label) with label = min doc_id of the component.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("label") < col("old_label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  // -------------------------------------------------------------------
+  // Repetition quality features (Gopher-style)
+  // -------------------------------------------------------------------
+
+  /** Max run length in the sorted array = count of the most frequent
+    * element — a single codegen'd `aggregate` fold, no per-doc shuffle.
+    */
+  private def maxFreqExpr(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+       |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))),
+       |  acc -> acc.best)""".stripMargin
+
+  /** Repetition features over the whitespace words (the Gopher-family
+    * repetition filters): word count, distinct-word count, count of the
+    * most frequent word and of the most frequent word-bigram, plus an
+    * integer-exact repetitiveness flag. Pure Column exprs — per-row
+    * array folds, no shuffle beyond the final sort, embarrassingly
+    * parallel at 100 TB.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        expr(maxFreqExpr("w")).as("max_word_freq"),
+        expr(maxFreqExpr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b))"
+        )).as("max_bigram_freq"))
+      .withColumn("is_repetitive",
+        col("n_distinct_words") * 2L <= col("n_words"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------------
+  // Shard packing: token-budget assignment for training shards
+  // -------------------------------------------------------------------
+
+  /** Pack documents into training shards by cumulative token budget:
+    * docs are spread across `nBuckets` independent buckets (production:
+    * hash of url — here doc_id mod, which the SQL oracle mirrors), and
+    * within a bucket the running token total assigns shard
+    * floor(offset / budget). The window is PARTITIONED by bucket, so
+    * no global sort / single-reducer cumsum exists at any scale —
+    * buckets scale out linearly.
+    */
+  def shardPack(docs: DataFrame, nBuckets: Int = 8,
+                budgetTokens: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        expr(s"(cum - n_tokens) DIV ${budgetTokens}L").cast("long"))
+      .select("doc_id", "bucket", "n_tokens", "shard")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Deterministic stratified sampling
+  // -------------------------------------------------------------------
+
+  /** Seed for the sampling hash (public: the oracle embeds it). */
+  val SampleSeed = 0x5eedcafef00dL
+
+  /** Per-stratum deterministic sampling: keep a doc iff
+    * splitmix64(doc_id xor seed) mod 1000 (unsigned) < the stratum's
+    * permille rate. Hash-threshold sampling is reproducible across
+    * runs/engines and needs no state — the idiomatic replacement for
+    * rand()-based sampling in a 100 TB pipeline (same doc set on every
+    * rerun, no RNG seeds to thread through executors).
+    */
+  def stratifiedSample(docs: DataFrame,
+                       ratesPermille: Map[String, Long] = Map("en" -> 500L),
+                       defaultPermille: Long = 200L): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val h = splitmixCol(col("doc_id").cast("long").bitwiseXOR(lit(SampleSeed)))
+    val rate = ratesPermille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .filter(unsignedMod1000(h) < rate)
       .orderBy("doc_id")
   }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+import graft.sources.PageSource
+
+/** Training-pipeline operator guarantees: connected-component dup
+  * clustering (transitivity over near+exact edges), Gopher-style
+  * repetition features, token-budget shard packing, and deterministic
+  * stratified sampling (splitmixCol == the JVM kernel bit-for-bit).
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline-ops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("splitmixCol is bit-for-bit equal to the JVM splitmix64 kernel") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val inputs = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue,
+      0x5eedcafef00dL, -987654321L) ++ (0 until 100).map(i => i * 0x9e3779bL - 50)
+    val got = inputs.toDF("x")
+      .select(TextOps.splitmixCol(col("x")).as("h"))
+      .collect().map(_.getLong(0))
+    val want = inputs.map(PageSource.splitmix64)
+    assert(got.toSeq == want)
+  }
+
+  test("unsignedMod1000 matches Long.remainderUnsigned") {
+    val sp = spark; import sp.implicits._
+    val inputs = Seq(0L, 999L, 1000L, -1L, -616L, Long.MinValue, Long.MaxValue,
+      -1000000007L, 123456789012345678L)
+    val got = inputs.toDF("x")
+      .select(TextOps.unsignedMod1000(col("x")).as("m"))
+      .collect().map(_.getLong(0))
+    val want = inputs.map(x => java.lang.Long.remainderUnsigned(x, 1000L))
+    assert(got.toSeq == want)
+  }
+
+  test("connectedComponents: chain + pair + singleton") {
+    val sp = spark; import sp.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (transitivity), pair 5-6, singleton 4
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = TextOps.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dupCluster matches an independent JVM union-find over the same edges") {
+    val rows = Queries.dupCluster(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byId = rows.map(t => t._1 -> t).toMap
+
+    // independent expected computation: collect the corpus, derive the
+    // exact edges (identical text) + near edges (the oracle-proven
+    // dedupMinhash output) in plain Scala, union-find the components.
+    val docs = TextOps.readDocs(spark, sfDir)
+    val corpusNear = TextOps.corpusWithNearDups(docs)
+    val corpus = corpusNear.unionByName(
+      corpusNear.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nearPairs = TextOps.dedupMinhash(spark, corpusNear)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactPairs = corpus.groupBy(_._2).values
+      .flatMap { g => val ids = g.map(_._1).sorted; ids.tail.map(ids.head -> _) }
+    val parent = scala.collection.mutable.Map(corpus.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    (nearPairs ++ exactPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectRoot = corpus.map(c => c._1 -> find(c._1)).toMap
+    val expectSize = expectRoot.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    assert(rows.length == corpus.length)
+    corpus.foreach { case (id, _) =>
+      val root = expectRoot(id)
+      assert(byId(id) == ((id, root, expectSize(root), id == root)),
+        s"doc $id: got ${byId(id)}, want ($id, $root, ${expectSize(root)}, ${id == root})")
+    }
+    // the planted 4-node chain exists and is transitive: d —near— d+1e6,
+    // d —exact— d+2e6, d+1e6 —exact— d+3e6 all share one cluster
+    val chained = corpus.map(_._1).filter(d => d < 1000000L && d % 20 == 0)
+    assert(chained.nonEmpty)
+    chained.foreach { d =>
+      val cid = byId(d)._2
+      Seq(d + 1000000L, d + 2000000L, d + 3000000L).foreach { m =>
+        assert(byId(m)._2 == cid, s"member $m not in cluster of $d")
+      }
+      assert(byId(d)._3 >= 4L)
+    }
+  }
+
+  test("repetitionStats computes exact word/bigram frequency maxima") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),          // max word 2 (a/b), max bigram 2 ("a b")
+      (2L, "x x x x"),            // max word 4, max bigram 3 ("x x")
+      (3L, "u v w")               // all unique
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 3L, 2L, 2L, false),
+      (2L, 4L, 1L, 4L, 3L, true),
+      (3L, 3L, 3L, 1L, 1L, false)))
+  }
+
+  test("shardPack: shards are contiguous per bucket and budget-bounded") {
+    val budget = 2048L
+    val rows = TextOps.shardPack(TextOps.readDocs(spark, sfDir), 8, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, bucketRows) =>
+      val ordered = bucketRows.sortBy(_._1)
+      // shard ids non-decreasing in doc order, starting at 0
+      assert(ordered.head._4 == 0L)
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, s1), (_, _, _, s2)) => assert(s2 >= s1 && s2 <= s1 + (ordered.map(_._3).max / budget + 1))
+        case _ =>
+      }
+      // each doc's shard == floor(preceding-tokens / budget)
+      var cum = 0L
+      ordered.foreach { case (_, _, tok, shard) =>
+        assert(shard == cum / budget)
+        cum += tok
+      }
+    }
+  }
+
+  test("stratifiedSample matches the JVM-side hash-threshold recomputation") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val got = TextOps.stratifiedSample(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = docs.select(col("doc_id").cast("long"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, lang) =>
+        val h = PageSource.splitmix64(id ^ TextOps.SampleSeed)
+        val rate = if (lang == "en") 500L else 200L
+        java.lang.Long.remainderUnsigned(h, 1000L) < rate
+      }.toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.count())
+  }
+}
