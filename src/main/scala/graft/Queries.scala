@@ -156,12 +156,7 @@ object Queries {
     val corpusNear = TextOps.corpusWithNearDups(docs)
     val corpus = corpusWithExactDups(corpusNear)
     val nodes = corpus.select(col("doc_id").cast("long").as("doc_id"))
-    val wSha = Window.partitionBy(sha2(col("text"), 256))
-    val exactEdges = corpus
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .withColumn("min_id", min(col("doc_id")).over(wSha))
-      .filter(col("doc_id") =!= col("min_id"))
-      .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val exactEdges = TextOps.exactDupEdges(corpus)
     val nearEdges = TextOps.dedupMinhash(s, corpusNear)
       .select(col("doc_a"), col("doc_b"))
     val labels = TextOps.connectedComponents(
@@ -181,6 +176,35 @@ object Queries {
 
   def stratSample(s: SparkSession, d: String): DataFrame =
     TextOps.stratifiedSample(TextOps.readDocs(s, d))
+
+  /** URL canonicalization over deterministically-messied urls: every
+    * doc's clean url gets one of four mutations (fragment, uppercased
+    * scheme+host, explicit :443 port, unsorted query params) keyed on
+    * doc_id%4; the normalizer must undo all four. The messy synth is a
+    * typed map (test scaffolding); normalization itself is the pure
+    * Column operator under test.
+    */
+  def urlNormalizeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val messy = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val u = PageSource.urlOf(id)
+        val m = (id % 4).toInt match {
+          case 0 => u + "#section-2"
+          case 1 =>
+            val i = u.indexOf("/p/")
+            u.substring(0, i).toUpperCase(java.util.Locale.ROOT) + u.substring(i)
+          case 2 => u.replace("/p/", ":443/p/")
+          case _ => u + "?b=2&a=1"
+        }
+        (id, m)
+      }).toDF("doc_id", "url_messy")
+    TextOps.urlNormalize(messy)
+  }
+
+  def piiScrubQ(s: SparkSession, d: String): DataFrame =
+    TextOps.piiScrub(TextOps.readDocs(s, d))
 
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextOps.tokenCounts(TextOps.readDocs(s, d))

@@ -33,6 +33,8 @@ object SparkEntry {
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
     "strat_sample" -> (Queries.stratSample _),
+    "url_normalize" -> (Queries.urlNormalizeQ _),
+    "pii_scrub" -> (Queries.piiScrubQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -375,6 +377,41 @@ object SparkEntry {
          |  CAST(nw AS BIGINT) AS n_tokens,
          |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 2048 AS BIGINT) AS shard
          |FROM t ORDER BY doc_id""".stripMargin,
+    // URL canonicalization: the messy synth (fragment / uppercase
+    // authority / :443 / unsorted params keyed on doc_id%4) and the
+    // normalizer are both mirrored step-for-step
+    "url_normalize" ->
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    CASE CAST(doc_id % 4 AS INTEGER)
+         |      WHEN 0 THEN $urlSql || '#section-2'
+         |      WHEN 1 THEN upper('https://host' || CAST($hid AS VARCHAR) || '.example') || '/p/' || CAST(doc_id AS VARCHAR)
+         |      WHEN 2 THEN 'https://host' || CAST($hid AS VARCHAR) || '.example:443/p/' || CAST(doc_id AS VARCHAR)
+         |      ELSE $urlSql || '?b=2&a=1' END AS url_messy
+         |  FROM documents),
+         |n1 AS (SELECT doc_id, url_messy, split_part(url_messy, '#', 1) AS norm1 FROM m),
+         |n2 AS (SELECT *, split_part(norm1, '?', 1) AS base,
+         |       CASE WHEN instr(norm1, '?') > 0 THEN substring(norm1, CAST(instr(norm1, '?') + 1 AS INTEGER)) ELSE '' END AS query
+         |       FROM n1),
+         |n3 AS (SELECT *, CAST(instr(substring(base, 9), '/') AS INTEGER) AS slash FROM n2),
+         |n4 AS (SELECT *, lower(substring(base, 1, 8 + slash - 1)) AS auth,
+         |       substring(base, 8 + slash) AS path FROM n3),
+         |n5 AS (SELECT *, CASE WHEN auth LIKE '%:443' THEN substring(auth, 1, length(auth) - 4) ELSE auth END AS auth2 FROM n4)
+         |SELECT doc_id, url_messy,
+         |  auth2 || path || CASE WHEN query = '' THEN ''
+         |    ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS url_norm
+         |FROM n5 ORDER BY doc_id""".stripMargin,
+    // email redaction: pattern uses only char classes + quantifiers so
+    // Java regex (Spark) and RE2 (DuckDB) match identically
+    "pii_scrub" ->
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details' AS dirty
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(dirty, '${graft.ops.TextOps.EmailPattern}')) AS BIGINT) AS n_redactions,
+         |  regexp_replace(dirty, '${graft.ops.TextOps.EmailPattern}', '<EMAIL>', 'g') AS clean_text
+         |FROM d ORDER BY doc_id""".stripMargin,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "dup_cluster" -> OracleSqlGen.dupCluster,

@@ -400,6 +400,22 @@ object TextOps {
   // Duplicate clustering: connected components over near/exact-dup pairs
   // -------------------------------------------------------------------
 
+  /** Exact-dup edges: every doc whose text is byte-identical to an
+    * earlier doc gets an edge to the group minimum. The text is hashed
+    * to sha256 BEFORE the window shuffle — the exchange carries
+    * (doc_id, 64-byte sha), never document bodies (plan test asserts
+    * no text attribute crosses an Exchange).
+    */
+  def exactDupEdges(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        sha2(col("text"), 256).as("text_sha"))
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("text_sha"))))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"))
+  }
+
   /** Connected components over an undirected edge list via iterative
     * min-label propagation (the "hash-to-min" scheme): each node starts
     * labelled with its own id; every round each node takes the min of
@@ -509,6 +525,60 @@ object TextOps {
       .select("doc_id", "bucket", "n_tokens", "shard")
       .orderBy("doc_id")
   }
+
+  // -------------------------------------------------------------------
+  // URL normalization (crawl canonicalization)
+  // -------------------------------------------------------------------
+
+  /** Canonicalize `url_messy`: strip the fragment, lowercase
+    * scheme+authority (path case preserved), drop the https default
+    * port `:443`, and sort query parameters. Pure Column exprs —
+    * embarrassingly parallel; the classic pre-dedup step (fragments /
+    * param order / case otherwise defeat exact URL dedup). Assumes
+    * `scheme://` URLs with a non-empty path.
+    */
+  def urlNormalize(withMessy: DataFrame): DataFrame =
+    withMessy
+      .withColumn("norm1", expr("substring_index(url_messy, '#', 1)"))
+      .withColumn("base", expr("substring_index(norm1, '?', 1)"))
+      .withColumn("query",
+        expr("CASE WHEN instr(norm1, '?') > 0 THEN substring(norm1, instr(norm1, '?') + 1) ELSE '' END"))
+      .withColumn("slash", expr("instr(substring(base, 9), '/')"))
+      .withColumn("auth", expr("lower(substring(base, 1, 8 + slash - 1))"))
+      .withColumn("path", expr("substring(base, 8 + slash)"))
+      .withColumn("auth2",
+        expr("CASE WHEN auth LIKE '%:443' THEN substring(auth, 1, length(auth) - 4) ELSE auth END"))
+      .withColumn("url_norm",
+        expr("concat(auth2, path, CASE WHEN query = '' THEN '' " +
+          "ELSE concat('?', array_join(array_sort(split(query, '&')), '&')) END)"))
+      .select(col("doc_id"), col("url_messy"), col("url_norm"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------------
+  // PII scrubbing (email redaction)
+  // -------------------------------------------------------------------
+
+  /** Email pattern shared with the oracle — character classes +
+    * quantifiers only (no lookarounds/alternation), so Java regex and
+    * RE2 produce identical matches.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Redact email addresses, count redactions. regexp_replace/
+    * regexp_count are codegen'd Catalyst expressions — per-row work,
+    * no UDF, no shuffle. The corpus carries no emails, so a
+    * deterministic one is appended per doc (contact user<id>@…) to
+    * make the redaction observable and oracle-checkable.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com for details"))
+          .as("dirty"))
+      .select(col("doc_id"),
+        regexp_count(col("dirty"), lit(EmailPattern)).cast("long").as("n_redactions"),
+        regexp_replace(col("dirty"), EmailPattern, "<EMAIL>").as("clean_text"))
+      .orderBy("doc_id")
 
   // -------------------------------------------------------------------
   // Deterministic stratified sampling

@@ -149,6 +149,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exactDupEdges: no Exchange carries document text") {
+    val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+    val plan = TextOps.exactDupEdges(docs).queryExecution.executedPlan
+    val badExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange
+        if e.output.exists(_.name == "text") => e
+    }
+    assert(badExchanges.isEmpty,
+      s"text column crosses a shuffle: ${badExchanges.map(_.output.map(_.name))}")
+  }
+
+  test("urlNormalize undoes all four deterministic mutations") {
+    val rows = Queries.urlNormalizeQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, messy, norm) =>
+      val clean = PageSource.urlOf(id)
+      val expected = if (id % 4 == 3) clean + "?a=1&b=2" else clean
+      assert(norm == expected, s"doc $id: $messy -> $norm, want $expected")
+      if (id % 4 != 3) assert(messy != norm || id % 4 == -1)
+    }
+  }
+
+  test("piiScrub redacts every planted email and counts it") {
+    val rows = Queries.piiScrubQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, clean) =>
+      assert(n == 1L, s"doc $id: $n redactions")
+      assert(!clean.contains("@"), s"doc $id still contains an email")
+      assert(clean.endsWith(" contact <EMAIL> for details"))
+    }
+  }
+
   test("stratifiedSample matches the JVM-side hash-threshold recomputation") {
     val docs = TextOps.readDocs(spark, sfDir)
     val got = TextOps.stratifiedSample(docs)
