@@ -183,6 +183,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan shapes: rep_ratio is shuffle-free pre-sort; shard_pack has one data shuffle") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val docs = TextOps.readDocs(spark, sfDir)
+    // rep_ratio: per-row folds only — the single exchange is the final
+    // presentation orderBy, nothing else
+    val repEx = TextOps.repetitionStats(docs)
+      .queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(repEx.size <= 1, s"rep_ratio shuffles ${repEx.size}x")
+    // shard_pack: one hash exchange for the bucket window + the final
+    // presentation sort
+    val packEx = TextOps.shardPack(docs)
+      .queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(packEx.size <= 2, s"shard_pack shuffles ${packEx.size}x")
+    // strat_sample: filter at the scan — no exchange except the sort
+    val sampEx = TextOps.stratifiedSample(docs)
+      .queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(sampEx.size <= 1, s"strat_sample shuffles ${sampEx.size}x")
+  }
+
   test("stratifiedSample matches the JVM-side hash-threshold recomputation") {
     val docs = TextOps.readDocs(spark, sfDir)
     val got = TextOps.stratifiedSample(docs)
