@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Training-corpus curation job: composes the training-data operators
+  * into the production pipeline a 100 TB corpus actually runs AFTER
+  * extraction:
+  *
+  *   extracted pages → url canonicalization + url dedup
+  *     → quality + repetition gate (single projection, codegen)
+  *     → near-dup clustering (exact sha + MinHash-LSH edges →
+  *       connected components; keep one canonical doc per cluster)
+  *     → PII scrub → deterministic hash sampling
+  *     → token-budget shard packing → shard-partitioned parquet write
+  *
+  * Scale shape (the properties that survive 1000 executors):
+  *  - doc key = xxhash64(url_norm): no string keys cross a shuffle
+  *    after normalization;
+  *  - the quality/repetition/scrub/sample stages are ONE codegen'd
+  *    projection pass — no shuffle, no UDF;
+  *  - dedup edges carry (id, sha) / (id, band-bucket) only — document
+  *    text never rides an exchange (same invariants as TextOps);
+  *  - the gated set is persisted once: it feeds edge building (several
+  *    small actions during component iteration) and the final write
+  *    without re-scanning the input;
+  *  - the funnel report reads counts from the persisted frames, not
+  *    extra passes over parquet.
+  *
+  * CLI: spark-submit --class graft.CurateJob app.jar <extractedPath> <outDir>
+  * (expects ExtractJob output or any parquet with url + text columns).
+  *
+  * Note on synthetic corpora: the repetition gate (n_distinct*2 <=
+  * n_tokens) is calibrated for natural text; a vocab-limited synthetic
+  * corpus (e.g. the 56-word bench generator) trips it for most long
+  * docs — the funnel report makes that visible (that IS the filter
+  * doing its job), and the thresholds are `run()` parameters.
+  */
+object CurateJob {
+
+  final case class CurateReport(
+      nInput: Long, nUrlDeduped: Long, nGated: Long,
+      nCanonical: Long, nSampled: Long, nShards: Long)
+
+  def run(
+      spark: SparkSession,
+      extractedPath: String,
+      outDir: String,
+      nBuckets: Int = 8,
+      budgetTokens: Long = 4096L,
+      samplePermille: Long = 900L,
+      minTokens: Long = 5L,
+      dupFactor: Long = 2L
+  ): CurateReport = {
+    graft.functions.GraftExtensions.register(spark)
+
+    val input = spark.read.parquet(extractedPath).select(col("url"), col("text"))
+    val nInput = input.count()
+
+    // ---- 1. canonicalize urls; one doc per url_norm (deterministic
+    // keep: lexicographically-min sha — revisit-insensitive).
+    val normed = TextOps.withUrlNorm(input.withColumnRenamed("url", "url_messy"))
+      .select(xxhash64(col("url_norm")).as("doc_id"), col("url_norm"), col("text"))
+    val urlDeduped = normed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
+      .filter(col("rn") === 1).drop("rn")
+
+    // ---- 2. quality + repetition gate: one projection, all flags
+    // integer-exact (TextOps.qualityScores / repetitionStats rules).
+    val words = split(col("text"), " ")
+    val gated = urlDeduped
+      .withColumn("n_tokens", size(words).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(words)).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(translate(col("text"), TextOps.PunctChars, "")))
+          .cast("long"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_punct") * 5L <= length(col("text")) &&
+        !(col("n_distinct") * dupFactor <= col("n_tokens")))
+      .persist()
+    val nGated = gated.count() // materializes the persist
+
+    // ---- 3. near-dup clustering: exact (sha) + MinHash-LSH edges →
+    // connected components; survivors are the component minima.
+    val texts = gated.select(col("doc_id"), col("text"))
+    val edges = TextOps.exactDupEdges(texts)
+      .unionByName(TextOps.dedupMinhash(spark, texts).select(col("doc_a"), col("doc_b")))
+    val labels = TextOps.connectedComponents(gated.select(col("doc_id")), edges)
+    val canonical = gated.join(
+      labels.filter(col("doc_id") === col("label")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    // ---- 4. scrub + sample + shard-pack, one more projection + the
+    // bucket-partitioned window, then the shard write.
+    val sampled = canonical
+      .withColumn("text",
+        regexp_replace(col("text"), TextOps.EmailPattern, "<EMAIL>"))
+      .filter(TextOps.unsignedMod1000(
+        TextOps.splitmixCol(col("doc_id").bitwiseXOR(lit(TextOps.SampleSeed))))
+        < lit(samplePermille))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val packed = sampled
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr(s"(cum - n_tokens) DIV ${budgetTokens}L").cast("long"))
+      .select(col("doc_id"), col("url_norm"), col("text"),
+        col("n_tokens"), col("bucket"), col("shard"))
+    packed.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
+      .partitionBy("bucket")
+      .parquet(s"$outDir/shards")
+
+    val out = spark.read.parquet(s"$outDir/shards")
+    val (nSampled, nShards) = {
+      val r = out.agg(count(lit(1)),
+        countDistinct(col("bucket"), col("shard"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val nUrlDeduped = urlDeduped.count()
+    val nCanonical = canonical.count()
+    gated.unpersist()
+
+    val report = CurateReport(nInput, nUrlDeduped, nGated, nCanonical, nSampled, nShards)
+    import spark.implicits._
+    Seq(report).toDS().write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/curate_metrics")
+    report
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.CurateJob <extractedPath> <outDir>")
+      sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .appName("graft-curate")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, args(0), args(1))
+    println(
+      s"""{"n_input":${r.nInput},"n_url_deduped":${r.nUrlDeduped},""" +
+      s""""n_gated":${r.nGated},"n_canonical":${r.nCanonical},""" +
+      s""""n_sampled":${r.nSampled},"n_shards":${r.nShards}}""")
+    spark.stop()
+  }
+}

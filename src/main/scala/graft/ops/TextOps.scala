@@ -537,8 +537,8 @@ object TextOps {
     * param order / case otherwise defeat exact URL dedup). Assumes
     * `scheme://` URLs with a non-empty path.
     */
-  def urlNormalize(withMessy: DataFrame): DataFrame =
-    withMessy
+  def withUrlNorm(df: DataFrame): DataFrame =
+    df
       .withColumn("norm1", expr("substring_index(url_messy, '#', 1)"))
       .withColumn("base", expr("substring_index(norm1, '?', 1)"))
       .withColumn("query",
@@ -551,6 +551,11 @@ object TextOps {
       .withColumn("url_norm",
         expr("concat(auth2, path, CASE WHEN query = '' THEN '' " +
           "ELSE concat('?', array_join(array_sort(split(query, '&')), '&')) END)"))
+      .drop("norm1", "base", "query", "slash", "auth", "path", "auth2")
+
+  /** url_normalize as a full projection over (doc_id, url_messy). */
+  def urlNormalize(withMessy: DataFrame): DataFrame =
+    withUrlNorm(withMessy)
       .select(col("doc_id"), col("url_messy"), col("url_norm"))
       .orderBy("doc_id")
 

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end curation pipeline: url-normalization dedup, quality
+  * gate, near-dup clustering (one survivor per planted pair), PII
+  * scrub, deterministic sampling, shard packing — plus run-to-run
+  * determinism of the shard output.
+  */
+class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var inputDir: String = _
+
+  // per-doc unique vocab: passes the quality gate (12 distinct words),
+  // and no accidental cross-doc near-dups
+  private def textOf(i: Int): String =
+    (0 until 12).map(k => s"d${i}w$k").mkString(" ") +
+      (if (i == 3) " contact someone a@b.example ok" else "")
+  private def urlOf(i: Int): String = s"https://ex.example/p/$i"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-curate-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sp = spark; import sp.implicits._
+    val base = (0 until 40).map(i => (urlOf(i), textOf(i)))
+    // fragment revisit: SAME page, url differs only by fragment →
+    // url_norm dedup must merge it
+    val fragDups = (0 until 40).filter(_ % 5 == 0)
+      .map(i => (urlOf(i) + "#x", textOf(i)))
+    // near-dup mirror page: distinct url_norm, text minus last word →
+    // minhash edge, clustering keeps exactly one of the pair
+    val nearDups = (0 until 40).filter(_ % 4 == 0)
+      .map(i => (urlOf(i) + "?v=2", textOf(i).split(' ').dropRight(1).mkString(" ")))
+    // exact-dup mirror page: distinct url_norm, identical text
+    val exactDups = (0 until 40).filter(_ % 4 == 1)
+      .map(i => (urlOf(i) + "?v=3", textOf(i)))
+    inputDir = java.nio.file.Files.createTempDirectory("curate-in").toString
+    (base ++ fragDups ++ nearDups ++ exactDups)
+      .toDF("url", "text").write.mode("overwrite").parquet(inputDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("curation funnel: dedup, gate, cluster, scrub, sample, pack") {
+    val outDir = java.nio.file.Files.createTempDirectory("curate-out").toString
+    val r = CurateJob.run(spark, inputDir, outDir)
+
+    // funnel is monotone and every stage retained something
+    assert(r.nInput == 40 + 8 + 10 + 10)
+    assert(r.nUrlDeduped == 40 + 10 + 10, "fragment revisits merged only")
+    assert(r.nGated == r.nUrlDeduped, "clean synthetic docs all pass the gate")
+    // clustering: one survivor per near/exact pair → 40 canonical docs
+    assert(r.nCanonical == 40, s"canonical=${r.nCanonical}")
+    assert(r.nSampled <= r.nCanonical && r.nSampled > 0)
+    assert(r.nShards > 0)
+
+    // partitionBy writes bucket as a directory key; the readback infers
+    // INT — cast back for the typed assertions
+    def readShards(dir: String) = spark.read.parquet(s"$dir/shards")
+      .withColumn("bucket", org.apache.spark.sql.functions.col("bucket").cast("long"))
+    val rows = readShards(outDir).collect()
+    assert(rows.length == r.nSampled)
+    // PII scrubbed everywhere
+    assert(!rows.exists(_.getAs[String]("text").contains("@")))
+    // url_norm unique; for each planted pair at most one member present
+    val urls = rows.map(_.getAs[String]("url_norm"))
+    assert(urls.distinct.length == urls.length)
+    (0 until 40).foreach { i =>
+      val pairPresent = urls.count(u => u == urlOf(i) || u == urlOf(i) + "?v=2" || u == urlOf(i) + "?v=3")
+      assert(pairPresent <= 1, s"pair of doc $i present $pairPresent times")
+    }
+    // shard budget: within each (bucket, shard), preceding-token offsets
+    // respect the budget boundary (recompute like the shardPack test)
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, bucketRows) =>
+      val ordered = bucketRows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      ordered.foreach { row =>
+        assert(row.getAs[Long]("shard") == cum / 4096L)
+        cum += row.getAs[Long]("n_tokens")
+      }
+    }
+
+    // metrics row written and matches the report
+    val m = spark.read.parquet(s"$outDir/curate_metrics").collect()(0)
+    assert(m.getAs[Long]("nCanonical") == r.nCanonical)
+
+    // run-to-run determinism: identical shard content
+    val outDir2 = java.nio.file.Files.createTempDirectory("curate-out2").toString
+    val r2 = CurateJob.run(spark, inputDir, outDir2)
+    assert(r2 == r)
+    val rows2 = readShards(outDir2).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("text"),
+        x.getAs[Long]("bucket"), x.getAs[Long]("shard"))).sortBy(_._1).toSeq
+    assert(key(rows2) == key(rows))
+  }
+}
