@@ -498,6 +498,44 @@ object Queries {
       .select(col("c_custkey")).orderBy(col("c_custkey"))
   }
 
+  /** Explicit window FRAME spec (rowsBetween): per-customer 3-row
+    * moving sum. Cents are floored BEFORE the sum so the aggregate is
+    * integer-exact on both engines (double window-sums are
+    * accumulation-order-sensitive).
+    */
+  def qWindowFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-2, Window.currentRow)
+    s.read.parquet(s"$d/orders.parquet")
+      .withColumn("cents", expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        sum(col("cents")).over(w).as("mov_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pivot (grouping-sets cousin): docs per (source, lang) with langs
+    * as columns. The value list is pinned so the schema is stable at
+    * every scale factor.
+    */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    TextOps.readDocs(s, d)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source"))
+
+  /** Set operators: INTERSECT / EXCEPT of the customer-key sets. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val cust = s.read.parquet(s"$d/customer.parquet").select(col("c_custkey"))
+    val ord = s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_custkey").as("c_custkey"))
+    cust.intersect(ord).agg(count(lit(1)).as("n_both"))
+      .crossJoin(cust.except(ord).agg(count(lit(1)).as("n_only_cust")))
+  }
+
   /** Sessionization: a new session starts after a >30 min gap (classic
     * event-stream window op; the batch formulation of what Structured
     * Streaming session windows compute).

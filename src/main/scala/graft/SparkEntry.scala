@@ -75,6 +75,9 @@ object SparkEntry {
     "q_subquery" -> (Queries.qSubquery _),
     "q_rollup" -> (Queries.qRollup _),
     "q_antijoin" -> (Queries.qAntijoin _),
+    "q_windowframe" -> (Queries.qWindowFrame _),
+    "q_pivot" -> (Queries.qPivot _),
+    "q_setops" -> (Queries.qSetOps _),
     "events_sessions" -> (Queries.eventsSessions _),
     "mm_frames" -> (Queries.mmFrames _)
   )
@@ -314,6 +317,27 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_windowframe" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM
+        |    (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_both,
+        |  (SELECT count(*) FROM
+        |    (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_only_cust""".stripMargin,
     "events_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
