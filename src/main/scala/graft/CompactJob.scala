@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the append-based output table (the
+  * `rewrite_data_files` maintenance op of a real lakehouse): every
+  * ExtractJob / StreamingExtract drain appends a handful of files, and
+  * after thousands of increments the table is scan-bound on file-open
+  * overhead, not bytes.
+  *
+  * Protocol (parquet sandbox; Iceberg would make the swap a snapshot):
+  *  1. read the table, re-cluster by url_hash into
+  *     ceil(on-disk-bytes / targetFileBytes) partitions (hash, not
+  *     range — no sampling re-scan, uniform by construction since
+  *     url_hash is a hash; same decision as the production write,
+  *     see BENCH.md);
+  *  2. write to a sibling temp dir (zstd, dictionary off — the
+  *     production output codec);
+  *  3. VERIFY before swap: row count and order-independent digest of
+  *     the rewrite equal the source — a compaction that changes either
+  *     aborts and leaves the table untouched;
+  *  4. atomically swap directories (rename table → .bak, temp →
+  *     table, drop .bak). Single-writer discipline, same as the
+  *     append protocol.
+  *
+  * All columns (including the resume-critical part_id) pass through
+  * unchanged — only the file layout changes.
+  */
+object CompactJob {
+
+  final case class CompactReport(
+      rows: Long, filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long, digest: Long)
+
+  private def parquetFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  def run(
+      spark: SparkSession,
+      tableDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): CompactReport = {
+    val dir = new java.io.File(tableDir)
+    val before = parquetFiles(dir)
+    val bytesBefore = before.map(_.length).sum
+    val nParts = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+
+    // full-row digest: every column (sorted for name-order stability),
+    // order-independent bit_xor — stronger than the url+text pipeline
+    // digest because compaction must preserve ALL columns verbatim
+    def fullDigest(df: org.apache.spark.sql.DataFrame) =
+      df.select(xxhash64(struct(df.columns.sorted.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n_rows"))
+        .collect()(0)
+
+    val src = spark.read.parquet(tableDir)
+    val srcStats = fullDigest(src)
+    val (digest, rows) = (srcStats.getLong(0), srcStats.getLong(1))
+
+    val tmp = tableDir + ".compacting"
+    src.repartition(nParts, xxhash64(col("url")))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(tmp)
+
+    val rewritten = fullDigest(spark.read.parquet(tmp))
+    require(rewritten.getLong(1) == rows && rewritten.getLong(0) == digest,
+      s"compaction would change the table (rows $rows->${rewritten.getLong(1)}, " +
+        s"digest $digest->${rewritten.getLong(0)}) — aborted, source untouched")
+
+    val bak = new java.io.File(tableDir + ".bak")
+    require(dir.renameTo(bak), s"swap failed: cannot move $tableDir aside")
+    require(new java.io.File(tmp).renameTo(dir), s"swap failed: cannot move $tmp in")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+
+    val after = parquetFiles(dir)
+    CompactReport(rows, before.length, after.length,
+      bytesBefore, after.map(_.length).sum, digest)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) {
+      System.err.println("usage: graft.CompactJob <tableDir> [targetFileMB]")
+      sys.exit(2)
+    }
+    val targetMb = if (args.length > 1) args(1).toLong else 128L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .appName("graft-compact")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, args(0), targetMb * 1024 * 1024)
+    println(
+      s"""{"rows":${r.rows},"files_before":${r.filesBefore},"files_after":${r.filesAfter},""" +
+      s""""bytes_before":${r.bytesBefore},"bytes_after":${r.bytesAfter},"digest":${r.digest}}""")
+    spark.stop()
+  }
+}
