@@ -287,7 +287,8 @@ private[graft] object OracleSqlGen {
 
   /** IVF oracle: the deterministic integer k-means of VectorOps
     * .kmeansMilli UNROLLED (fixed iteration count, no RNG) — all
-    * arithmetic is exact (milli integers, floorDiv == SQL `//`), so
+    * arithmetic is exact (milli integers; JVM truncating `/` == DuckDB
+    * integer `//`, both toward zero — floorDiv would NOT match), so
     * the SQL recomputes identical centroids, identical cell
     * assignments, identical probes, and the same cosine top-k.
     */

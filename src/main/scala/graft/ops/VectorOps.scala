@@ -169,7 +169,9 @@ object VectorOps {
     *  - init: centroids = the vectors with vec_id 0..k-1;
     *  - assignment: argmin squared-L2 in exact milli integers, ties to
     *    the smaller centroid id;
-    *  - update: per-component floorDiv(sum, count) (== SQL `//`);
+    *  - update: per-component sum/count with JVM TRUNCATING division
+    *    (== DuckDB integer `//`, which truncates toward zero — NOT
+    *    floorDiv, which differs on negative non-divisible sums);
     *    empty cluster keeps its previous centroid;
     *  - FIXED iteration count — no convergence test, no RNG.
     * Centroids are tiny (k × dim longs): the per-iteration aggregate
@@ -215,7 +217,11 @@ object VectorOps {
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { case (cid, sum, n) =>
-        next(cid) = sum.map(s => Math.floorDiv(s, n))
+        // TRUNCATING division, not floorDiv: DuckDB's integer `//`
+        // truncates toward zero (-7 // 2 = -3) while floorDiv floors
+        // (-4) — caught by the sf0.001 oracle where a centroid
+        // coordinate sum goes negative and non-divisible
+        next(cid) = sum.map(s => s / n)
       }
       centroids = next
       bc.unpersist()
