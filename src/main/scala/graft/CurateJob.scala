@@ -115,12 +115,20 @@ object CurateJob {
       .partitionBy("bucket")
       .parquet(s"$outDir/shards")
 
-    val out = spark.read.parquet(s"$outDir/shards")
-    val (nSampled, nShards) = {
-      val r = out.agg(count(lit(1)),
-        countDistinct(col("bucket"), col("shard"))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
+    // a gate-everything day writes NO shard files; parquet cannot
+    // infer a schema from an empty directory tree — report zeros
+    def hasParquet(f: java.io.File): Boolean =
+      Option(f.listFiles).getOrElse(Array.empty).exists(c =>
+        (c.isFile && c.getName.endsWith(".parquet")) ||
+          (c.isDirectory && hasParquet(c)))
+    val (nSampled, nShards) =
+      if (!hasParquet(new java.io.File(s"$outDir/shards"))) (0L, 0L)
+      else {
+        val r = spark.read.parquet(s"$outDir/shards")
+          .agg(count(lit(1)),
+            countDistinct(col("bucket"), col("shard"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
     val nUrlDeduped = urlDeduped.count()
     val nCanonical = canonical.count()
     gated.unpersist()

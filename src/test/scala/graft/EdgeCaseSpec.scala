@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+
+/** Degenerate-input robustness: empty tables and gate-everything
+  * corpora must flow through every operator and both jobs without
+  * throwing — the states an incremental 100 TB pipeline hits on its
+  * first run and on quiet days.
+  */
+class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-edgecase-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType))))
+
+  test("text operators accept an empty corpus") {
+    val d = emptyDocs
+    assert(TextOps.dedupExact(d).count() == 0)
+    assert(TextOps.dedupMinhash(spark, d).count() == 0)
+    assert(TextOps.dedupSimhash(spark, d).count() == 0)
+    assert(TextOps.exactDupEdges(d).count() == 0)
+    assert(TextOps.repetitionStats(d).count() == 0)
+    assert(TextOps.shardPack(d).count() == 0)
+    assert(TextOps.stratifiedSample(d).count() == 0)
+    assert(TextOps.tokenCounts(d).count() == 0)
+    assert(TextOps.qualityScores(d.withColumn("n_chars",
+      org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))).count() == 0)
+    val labels = TextOps.connectedComponents(
+      d.select("doc_id"), d.select(
+        org.apache.spark.sql.functions.col("doc_id").as("doc_a"),
+        org.apache.spark.sql.functions.col("doc_id").as("doc_b")))
+    assert(labels.count() == 0)
+  }
+
+  test("CurateJob survives an input that the gate filters to nothing") {
+    val sp = spark; import sp.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("edge-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("edge-out").toString
+    // every doc is maximally repetitive → gate drops all
+    (0 until 20).map(i => (s"https://e.example/p/$i", "x x x x x x x x"))
+      .toDF("url", "text").write.mode("overwrite").parquet(inDir)
+    val r = CurateJob.run(spark, inDir, outDir)
+    assert(r.nInput == 20 && r.nGated == 0 && r.nCanonical == 0)
+    assert(r.nSampled == 0 && r.nShards == 0)
+  }
+}
