@@ -448,15 +448,18 @@ object TextOps {
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("doc_id"), col("label"),
+          lit(null).cast("long").as("old_label"))
+      // the old label rides the union (exactly one non-null per doc),
+      // so the convergence check is a filter over the checkpointed
+      // aggregate — no extra join/shuffle per round
+      val next = labels.withColumn("old_label", col("label"))
+        .unionByName(prop)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"), max(col("old_label")).as("old_label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old_label"), "doc_id")
-        .filter(col("label") < col("old_label"))
-        .count()
-      labels = next
+      val changed = next.filter(col("label") < col("old_label")).count()
+      labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
       iter += 1
     }
