@@ -402,6 +402,29 @@ private[graft] object OracleSqlGen {
        |  doc_id = cluster_id AS keep
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Mixture balancing mirror: per-lang rate = min_n*1000 // n (all
+    * positive, so `//` == Spark DIV), keep set via the splitmix chain.
+    */
+  val mixBalance: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.MixSeed)
+    s"""WITH rates AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    (min(count(*)) OVER ()) * 1000 // count(*) AS rate_permille
+       |  FROM documents GROUP BY lang),
+       |s0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |       FROM documents),
+       |${splitmixCtes("mx", "s0", "doc_id, lang")},
+       |kept AS (
+       |  SELECT s.lang, count(*) AS n_kept
+       |  FROM mx6 s JOIN rates r USING (lang)
+       |  WHERE s.hk % 1000 < r.rate_permille GROUP BY s.lang)
+       |SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+       |  CAST(r.rate_permille AS BIGINT) AS rate_permille,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM rates r LEFT JOIN kept k USING (lang) ORDER BY lang""".stripMargin
+  }
+
   /** Deterministic stratified sampling mirror: splitmix64(doc_id xor
     * seed) unsigned mod 1000 under the per-lang permille rate.
     */

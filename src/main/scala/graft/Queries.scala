@@ -206,6 +206,12 @@ object Queries {
   def piiScrubQ(s: SparkSession, d: String): DataFrame =
     TextOps.piiScrub(TextOps.readDocs(s, d))
 
+  def oovRatioQ(s: SparkSession, d: String): DataFrame =
+    TextOps.oovRatio(TextOps.readDocs(s, d))
+
+  def mixBalanceQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixBalance(TextOps.readDocs(s, d))
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextOps.tokenCounts(TextOps.readDocs(s, d))
 

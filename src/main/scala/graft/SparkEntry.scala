@@ -35,6 +35,8 @@ object SparkEntry {
     "strat_sample" -> (Queries.stratSample _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "pii_scrub" -> (Queries.piiScrubQ _),
+    "oov_ratio" -> (Queries.oovRatioQ _),
+    "mix_balance" -> (Queries.mixBalanceQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -436,10 +438,26 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(dirty, '${graft.ops.TextOps.EmailPattern}')) AS BIGINT) AS n_redactions,
          |  regexp_replace(dirty, '${graft.ops.TextOps.EmailPattern}', '<EMAIL>', 'g') AS clean_text
          |FROM d ORDER BY doc_id""".stripMargin,
+    // OOV rate vs the corpus's own top-K vocabulary (deterministic
+    // count-desc/word-asc ties on both engines)
+    "oov_ratio" ->
+      """WITH wx AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.x AS w
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(x)),
+        |vocab AS (
+        |  SELECT w, 1 AS in_vocab FROM (
+        |    SELECT w, count(*) AS c FROM wx GROUP BY w
+        |    ORDER BY c DESC, w ASC LIMIT 64) t)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  (sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 5 > count(*)) AS is_oov_heavy
+        |FROM wx LEFT JOIN vocab v USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "strat_sample" -> OracleSqlGen.stratSample,
+    "mix_balance" -> OracleSqlGen.mixBalance,
     "lang_id" -> OracleSqlGen.langId,
     "doc_fingerprint" -> OracleSqlGen.docFingerprint,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,

@@ -530,6 +530,68 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // OOV-rate quality signal (top-K-vocabulary UNK rate)
+  // -------------------------------------------------------------------
+
+  /** Out-of-vocabulary rate against the corpus's own top-K vocabulary
+    * (the KenLM-free UNK-rate filter): pass 1 builds global word
+    * counts and takes the top K (count desc, word asc — deterministic
+    * ties); pass 2 left-joins the exploded words against the tiny
+    * vocab (broadcast by AQE) and counts misses per doc. Both passes
+    * are plain hash aggregates — at 100 TB the vocab aggregation is
+    * the classic map-side-combined word count.
+    */
+  def oovRatio(docs: DataFrame, vocabK: Int = 64): DataFrame = {
+    val words = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(vocabK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("is_oov_heavy", col("n_oov") * 5L > col("n_words"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Mixture balancing (per-stratum rate-balanced sampling)
+  // -------------------------------------------------------------------
+
+  /** Seed for the mixture-balancing hash. */
+  val MixSeed = 0xba1a2ced5eedL
+
+  /** Balance the corpus mixture across strata (lang): every stratum is
+    * down-sampled toward the SMALLEST stratum's size with the
+    * deterministic hash-threshold rule, rate_permille = min_n*1000/n
+    * (integer division — slightly under-samples, never over). Output
+    * is the per-stratum audit row; the kept set itself is the same
+    * filter applied row-wise. One aggregate + one broadcast-joined
+    * scan — no per-stratum repartition, no RNG.
+    */
+  def mixBalance(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .withColumn("min_n", min(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("rate_permille",
+        expr("min_n * 1000 DIV n_docs").cast("long"))
+      .select(col("lang"), col("n_docs"), col("rate_permille"))
+    val kept = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(unsignedMod1000(
+        splitmixCol(col("doc_id").bitwiseXOR(lit(MixSeed)))) < col("rate_permille"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .orderBy("lang")
+  }
+
+  // -------------------------------------------------------------------
   // URL normalization (crawl canonicalization)
   // -------------------------------------------------------------------
 

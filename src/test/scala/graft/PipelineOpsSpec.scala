@@ -202,6 +202,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampEx.size <= 1, s"strat_sample shuffles ${sampEx.size}x")
   }
 
+  test("oovRatio: docs built from rare words are flagged, common-word docs are not") {
+    val sp = spark; import sp.implicits._
+    // 2 common words dominate; doc 3 is all singletons (100% OOV with K=2)
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb"),
+      (2L, "aa bb aa bb"),
+      (3L, "qq rr ss tt")
+    ).toDF("doc_id", "text")
+    val got = TextOps.oovRatio(docs, vocabK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, 6L, 0L, false), (2L, 4L, 0L, false), (3L, 4L, 4L, true)))
+  }
+
+  test("mixBalance: every stratum is rate-limited toward the smallest") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val rows = Queries.mixBalanceQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val minN = rows.map(_._2).min
+    rows.foreach { case (lang, n, rate, kept) =>
+      assert(rate == minN * 1000L / n, s"$lang rate")
+      assert(kept <= n, s"$lang kept > n")
+      // JVM recomputation of the kept count
+      val expect = docs.filter(col("lang") === lang)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+        .count(id => java.lang.Long.remainderUnsigned(
+          PageSource.splitmix64(id ^ TextOps.MixSeed), 1000L) < rate)
+      assert(kept == expect, s"$lang kept $kept != $expect")
+    }
+  }
+
   test("stratifiedSample matches the JVM-side hash-threshold recomputation") {
     val docs = TextOps.readDocs(spark, sfDir)
     val got = TextOps.stratifiedSample(docs)
