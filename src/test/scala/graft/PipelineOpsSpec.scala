@@ -202,6 +202,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampEx.size <= 1, s"strat_sample shuffles ${sampEx.size}x")
   }
 
+  test("connectedComponents equals union-find on random graphs (property)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 6).foreach { _ =>
+      val n = 4 + rnd.nextInt(16)
+      val ids = (0 until n).map(_.toLong)
+      val edges = (0 until rnd.nextInt(2 * n)).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = TextOps.connectedComponents(
+        ids.toDF("doc_id"),
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
+  test("urlNormalize is idempotent (property)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val urls = (0 until 300).map { i =>
+      val scheme = if (rnd.nextBoolean()) "https" else "HTTPS"
+      val host = (if (rnd.nextBoolean()) "Ex" else "ex") + i % 7 + ".Example"
+      val port = if (rnd.nextInt(3) == 0) ":443" else ""
+      val path = s"/P/$i"
+      val q = rnd.nextInt(3) match {
+        case 0 => "" case 1 => "?b=2&a=1" case _ => "?z=9&m=4&a=0"
+      }
+      val frag = if (rnd.nextBoolean()) "#Sec" else ""
+      (i.toLong, s"$scheme://$host$port$path$q$frag")
+    }
+    val once = TextOps.urlNormalize(urls.toDF("doc_id", "url_messy"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val twice = TextOps.urlNormalize(
+      once.toSeq.toDF("doc_id", "url_messy"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(twice.toSeq == once.toSeq)
+    once.foreach { case (_, u) =>
+      assert(!u.contains("#") && !u.contains(":443"), u)
+      assert(u.startsWith("https://ex"), u)
+    }
+  }
+
   test("oovRatio: docs built from rare words are flagged, common-word docs are not") {
     val sp = spark; import sp.implicits._
     // 2 common words dominate; doc 3 is all singletons (100% OOV with K=2)
