@@ -402,6 +402,20 @@ private[graft] object OracleSqlGen {
        |  doc_id = cluster_id AS keep
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Heavy-hitter 8-gram census over the near-dup corpus (ties broken
+    * count-desc/gram-asc on both engines).
+    */
+  val ngramCensus: String =
+    s"""WITH $nearDupCorpus,
+       |g AS (
+       |  SELECT u.gram
+       |  FROM corpus, UNNEST(list_transform(
+       |    range(len(string_split(text, ' ')) - 7),
+       |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' '))) AS u(gram))
+       |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
+       |HAVING count(*) >= 2
+       |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin
+
   /** Mixture balancing mirror: per-lang rate = min_n*1000 // n (all
     * positive, so `//` == Spark DIV), keep set via the splitmix chain.
     */

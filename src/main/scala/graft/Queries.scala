@@ -206,6 +206,26 @@ object Queries {
   def piiScrubQ(s: SparkSession, d: String): DataFrame =
     TextOps.piiScrub(TextOps.readDocs(s, d))
 
+  /** Benchmark decontamination over a corpus with PLANTED contamination:
+    * every eval doc (doc_id%50==0) is quoted verbatim by a training doc
+    * at doc_id+4000001 (≡1 mod 50, so the plant stays on the training
+    * side) — those must surface with their full distinct-8-gram count;
+    * natural collisions surface identically on both engines.
+    */
+  def decontaminateQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(4000001L))
+    TextOps.decontaminate(docs.unionByName(planted))
+  }
+
+  /** Heavy-hitter 8-gram census over the near-dup corpus (the planted
+    * mutations repeat almost all their 8-grams).
+    */
+  def ngramCensusQ(s: SparkSession, d: String): DataFrame =
+    TextOps.ngramCensus(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 

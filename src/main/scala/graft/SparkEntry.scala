@@ -37,6 +37,8 @@ object SparkEntry {
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
     "mix_balance" -> (Queries.mixBalanceQ _),
+    "decontaminate" -> (Queries.decontaminateQ _),
+    "ngram_census" -> (Queries.ngramCensusQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -453,8 +455,25 @@ object SparkEntry {
         |  (sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 5 > count(*)) AS is_oov_heavy
         |FROM wx LEFT JOIN vocab v USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // eval-set 8-gram contamination: planted quote-docs at +4000001
+    // (≡1 mod 50 keeps them on the training side)
+    "decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |g AS (
+        |  SELECT doc_id, doc_id % 50 = 0 AS is_eval, u.gram
+        |  FROM corpus, UNNEST(list_distinct(list_transform(
+        |    range(len(string_split(text, ' ')) - 7),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS u(gram)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+        |SELECT doc_id, count(*) AS n_shared_ngrams
+        |FROM g JOIN ev USING (gram) WHERE NOT is_eval
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
+    "ngram_census" -> OracleSqlGen.ngramCensus,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "strat_sample" -> OracleSqlGen.stratSample,
     "mix_balance" -> OracleSqlGen.mixBalance,

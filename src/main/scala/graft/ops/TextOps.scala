@@ -530,6 +530,56 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Decontamination (eval-set n-gram overlap) + n-gram census
+  // -------------------------------------------------------------------
+
+  /** Word n-grams of the text column as an array (pure Column expr;
+    * total: shorter-than-n texts yield the empty array — `sequence`
+    * with a negative stop would otherwise count DOWNWARD).
+    */
+  def ngramArr(n: Int): Column =
+    expr(s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
+            |ELSE transform(sequence(0, size(split(text, ' ')) - $n),
+            |  i -> array_join(slice(split(text, ' '), i + 1, $n), ' ')) END""".stripMargin)
+
+  /** Benchmark decontamination: flag every training doc that shares at
+    * least one word n-gram with the eval set (the standard n-gram
+    * contamination rule). The eval side is reduced to its DISTINCT
+    * n-grams and broadcast — eval sets are tiny next to the corpus, so
+    * the corpus-side scan never shuffles; the per-doc overlap count is
+    * a map-side join + partial agg.
+    *
+    * @param evalPred marks eval docs; they are excluded from output.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8,
+                    evalPred: Column = col("doc_id") % 50 === 0): DataFrame = {
+    val grams = docs.select(col("doc_id").cast("long").as("doc_id"),
+        evalPred.as("is_eval"),
+        explode(array_distinct(ngramArr(n))).as("gram"))
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("gram")).distinct()
+    grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-corpus n-gram census: the most-repeated word n-grams (the
+    * memorization-risk / boilerplate census). One explode + one
+    * map-side-combined count + top-k — the classic heavy-hitter
+    * aggregation; at 100 TB swap the exact count for a count-min
+    * sketch feeding the same top-k.
+    */
+  def ngramCensus(docs: DataFrame, n: Int = 8, k: Int = 20): DataFrame =
+    docs.select(explode(ngramArr(n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= 2L)
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+
+  // -------------------------------------------------------------------
   // OOV-rate quality signal (top-K-vocabulary UNK rate)
   // -------------------------------------------------------------------
 

@@ -254,6 +254,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontaminate flags the planted quote-docs with their full gram count") {
+    val sp = spark; import sp.implicits._
+    val docs = TextOps.readDocs(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val got = Queries.decontaminateQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every eval doc's quote-plant is flagged with ALL its distinct 8-grams
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(evalDocs.nonEmpty)
+    evalDocs.foreach { case (id, text) =>
+      val words = text.split(' ')
+      val nGrams = words.sliding(8).map(_.mkString(" ")).toSet.size
+      assert(got.get(id + 4000001L).exists(_ >= nGrams),
+        s"plant for eval doc $id: ${got.get(id + 4000001L)} < $nGrams")
+    }
+    // no eval doc appears in the output
+    assert(!evalDocs.exists { case (id, _) => got.contains(id) })
+  }
+
+  test("ngramCensus finds the mutated-copy grams at count 2") {
+    val rows = Queries.ngramCensusQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._2 >= 2L))
+    // descending counts, ties by gram
+    rows.sliding(2).foreach {
+      case Array((g1, c1), (g2, c2)) =>
+        assert(c1 > c2 || (c1 == c2 && g1 < g2))
+      case _ =>
+    }
+  }
+
   test("oovRatio: docs built from rare words are flagged, common-word docs are not") {
     val sp = spark; import sp.implicits._
     // 2 common words dominate; doc 3 is all singletons (100% OOV with K=2)
