@@ -53,7 +53,8 @@ object CurateJob {
       budgetTokens: Long = 4096L,
       samplePermille: Long = 900L,
       minTokens: Long = 5L,
-      dupFactor: Long = 2L
+      dupFactor: Long = 2L,
+      format: String = "parquet" // or "json": JSONL shards for trainers
   ): CurateReport = {
     graft.functions.GraftExtensions.register(spark)
 
@@ -109,24 +110,27 @@ object CurateJob {
       .withColumn("shard", expr(s"(cum - n_tokens) DIV ${budgetTokens}L").cast("long"))
       .select(col("doc_id"), col("url_norm"), col("text"),
         col("n_tokens"), col("bucket"), col("shard"))
-    packed.write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
+    val writer = packed.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+    if (format == "json") // text-codec list has no zstd; gzip is the JSONL norm
+      writer.option("compression", "gzip").json(s"$outDir/shards")
+    else writer.option("compression", "zstd")
       .option("parquet.enable.dictionary", "false")
-      .partitionBy("bucket")
       .parquet(s"$outDir/shards")
 
-    // a gate-everything day writes NO shard files; parquet cannot
+    // a gate-everything day writes NO shard files; neither format can
     // infer a schema from an empty directory tree — report zeros
-    def hasParquet(f: java.io.File): Boolean =
+    val suffix = if (format == "json") ".json" else ".parquet"
+    def hasData(f: java.io.File): Boolean =
       Option(f.listFiles).getOrElse(Array.empty).exists(c =>
-        (c.isFile && c.getName.endsWith(".parquet")) ||
-          (c.isDirectory && hasParquet(c)))
+        (c.isFile && c.getName.contains(suffix)) ||
+          (c.isDirectory && hasData(c)))
     val (nSampled, nShards) =
-      if (!hasParquet(new java.io.File(s"$outDir/shards"))) (0L, 0L)
+      if (!hasData(new java.io.File(s"$outDir/shards"))) (0L, 0L)
       else {
-        val r = spark.read.parquet(s"$outDir/shards")
-          .agg(count(lit(1)),
-            countDistinct(col("bucket"), col("shard"))).collect()(0)
+        val out = if (format == "json") spark.read.json(s"$outDir/shards")
+          else spark.read.parquet(s"$outDir/shards")
+        val r = out.agg(count(lit(1)),
+          countDistinct(col("bucket"), col("shard"))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
     val nUrlDeduped = urlDeduped.count()

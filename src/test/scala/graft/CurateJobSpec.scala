@@ -103,5 +103,15 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       rs.map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("text"),
         x.getAs[Long]("bucket"), x.getAs[Long]("shard"))).sortBy(_._1).toSeq
     assert(key(rows2) == key(rows))
+
+    // JSONL shard format: same rows, trainer-consumable files
+    val outDirJ = java.nio.file.Files.createTempDirectory("curate-json").toString
+    val rj = CurateJob.run(spark, inputDir, outDirJ, format = "json")
+    assert(rj.nSampled == r.nSampled && rj.nShards == r.nShards)
+    val jrows = spark.read.json(s"$outDirJ/shards")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text",
+        "CAST(bucket AS BIGINT) AS bucket", "CAST(shard AS BIGINT) AS shard")
+      .collect()
+    assert(key(jrows) == key(rows))
   }
 }
