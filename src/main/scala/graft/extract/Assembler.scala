@@ -95,6 +95,14 @@ object Assembler {
         }
         val t = sp.blocks(i).text
         starts(k) = byteLen
+        // rendering knobs (default "" = byte-identity): list items /
+        // quotes carry their prefix inside the span
+        val pre = sp.blocks(i).tag match {
+          case "li" if cfg.listItemPrefix.nonEmpty => cfg.listItemPrefix
+          case "blockquote" if cfg.quotePrefix.nonEmpty => cfg.quotePrefix
+          case _ => ""
+        }
+        if (pre.nonEmpty) { out.append(pre); byteLen += utf8Len(pre) }
         out.append(t)
         byteLen += utf8Len(t)
         ends(k) = byteLen

@@ -114,13 +114,19 @@ final case class PartitionMetrics(
   * @param minChars       size/validity gate (P3): kept blocks must also
   *                       have at least this many chars (0 = off, the
   *                       default — score already rejects empty blocks)
+  * @param listItemPrefix rendering knob: prepended to kept `li` blocks
+  *                       (e.g. "- " for markdown-ish output). Default ""
+  *                       keeps byte-identity with the plain rendering.
+  * @param quotePrefix    same for `blockquote` blocks (e.g. "> ")
   */
 final case class ExtractorConfig(
     textThreshold: Float = 1.0f,
     linkThreshold: Float = 0.5f,
     blockSep: String = "\n",
     maxHtmlBytes: Int = 4 * 1024 * 1024,
-    minChars: Int = 0
+    minChars: Int = 0,
+    listItemPrefix: String = "",
+    quotePrefix: String = ""
 )
 
 object ExtractorConfig {

@@ -33,8 +33,9 @@ case class ExtractPage(children: Seq[Expression])
   override def foldable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (children.length != 6)
-      return TypeCheckResult.TypeCheckFailure("extract_page expects 6 args")
+    if (children.length != 6 && children.length != 8)
+      return TypeCheckResult.TypeCheckFailure(
+        "extract_page expects 6 args (+ optional listItemPrefix, quotePrefix)")
     if (children.head.dataType != BinaryType)
       return TypeCheckResult.TypeCheckFailure("arg 1 (html) must be BINARY")
     if (!children.tail.forall(_.foldable))
@@ -51,7 +52,11 @@ case class ExtractPage(children: Seq[Expression])
       linkThreshold = lit(children(2)).asInstanceOf[Number].floatValue(),
       blockSep = lit(children(3)).asInstanceOf[UTF8String].toString,
       maxHtmlBytes = lit(children(4)).asInstanceOf[Number].intValue(),
-      minChars = lit(children(5)).asInstanceOf[Number].intValue()
+      minChars = lit(children(5)).asInstanceOf[Number].intValue(),
+      listItemPrefix =
+        if (children.length > 6) lit(children(6)).asInstanceOf[UTF8String].toString else "",
+      quotePrefix =
+        if (children.length > 7) lit(children(7)).asInstanceOf[UTF8String].toString else ""
     )
   }
 

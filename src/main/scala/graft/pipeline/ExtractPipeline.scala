@@ -51,7 +51,8 @@ object ExtractPipeline {
     pages
       .withColumn("__ex", call_function("extract_page",
         col("html"), lit(cfg.textThreshold), lit(cfg.linkThreshold),
-        lit(cfg.blockSep), lit(cfg.maxHtmlBytes), lit(cfg.minChars)))
+        lit(cfg.blockSep), lit(cfg.maxHtmlBytes), lit(cfg.minChars),
+        lit(cfg.listItemPrefix), lit(cfg.quotePrefix)))
       .select(
         col("url"), col("warc_ts"),
         col("__ex.text").as("text"),

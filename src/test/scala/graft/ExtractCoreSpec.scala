@@ -36,6 +36,30 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(!blocks.exists(_.text.contains("no")))
   }
 
+  test("list/blockquote rendering knobs: default off (byte-identity), prefixes when set") {
+    val html =
+      """<body><p>intro words here</p>
+        |<ul><li>first item text ok</li><li>second item text ok</li></ul>
+        |<blockquote>quoted passage of text</blockquote></body>""".stripMargin
+    // default config: rendering unchanged — prefixes absent
+    val (plain, plainSpans) = GoldenExtractor.extract(bytes(html), cfg)
+    assert(!plain.contains("- ") && !plain.contains("> "))
+    // knobs on: li gets the bullet, blockquote the quote marker, spans
+    // cover the prefixed block and offsets stay exact byte offsets
+    val md = cfg.copy(listItemPrefix = "- ", quotePrefix = "> ")
+    val (text, spans) = GoldenExtractor.extract(bytes(html), md)
+    assert(text.contains("- first item text ok"))
+    assert(text.contains("- second item text ok"))
+    assert(text.contains("> quoted passage of text"))
+    assert(text.startsWith("intro words here"))
+    val tb = text.getBytes(StandardCharsets.UTF_8)
+    spans.foreach { s =>
+      val slice = new String(tb, s.start, s.end - s.start, StandardCharsets.UTF_8)
+      assert(slice.nonEmpty && text.contains(slice))
+    }
+    assert(spans.length == plainSpans.length)
+  }
+
   test("whitespace collapse and entities are deterministic") {
     val html = "<p>  a&nbsp;&amp; b\t\n  c &lt;tag&gt; &#65; &unknown; </p>"
     val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
