@@ -51,7 +51,7 @@ object CompactJob {
     // order-independent bit_xor — stronger than the url+text pipeline
     // digest because compaction must preserve ALL columns verbatim
     def fullDigest(df: org.apache.spark.sql.DataFrame) =
-      df.select(xxhash64(struct(df.columns.sorted.map(col): _*)).as("h"))
+      df.select(xxhash64(struct(df.columns.sorted.toIndexedSeq.map(col): _*)).as("h"))
         .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n_rows"))
         .collect()(0)
 

@@ -24,9 +24,10 @@ import graft.ops.TextOps
   *    projection pass — no shuffle, no UDF;
   *  - dedup edges carry (id, sha) / (id, band-bucket) only — document
   *    text never rides an exchange (same invariants as TextOps);
-  *  - the gated set is persisted once: it feeds edge building (several
-  *    small actions during component iteration) and the final write
-  *    without re-scanning the input;
+  *  - the url-deduped set is persisted once: the funnel counts, the
+  *    gate, edge building (several small actions during component
+  *    iteration) and the final write all derive from it — the input
+  *    parquet is scanned exactly once per run;
   *  - the funnel report reads counts from the persisted frames, not
   *    extra passes over parquet.
   *
@@ -65,10 +66,14 @@ object CurateJob {
     // keep: lexicographically-min sha — revisit-insensitive).
     val normed = TextOps.withUrlNorm(input.withColumnRenamed("url", "url_messy"))
       .select(xxhash64(col("url_norm")).as("doc_id"), col("url_norm"), col("text"))
+    // persisted ONCE here: the funnel count, the gate, edge building,
+    // clustering and the final write all derive from this frame — the
+    // input parquet is scanned exactly once per run
     val urlDeduped = normed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
       .filter(col("rn") === 1).drop("rn")
+      .persist()
 
     // ---- 2. quality + repetition gate: one projection, all flags
     // integer-exact (TextOps.qualityScores / repetitionStats rules).
@@ -82,8 +87,8 @@ object CurateJob {
       .filter(col("n_tokens") >= minTokens &&
         col("n_punct") * 5L <= length(col("text")) &&
         !(col("n_distinct") * dupFactor <= col("n_tokens")))
-      .persist()
-    val nGated = gated.count() // materializes the persist
+    val nUrlDeduped = urlDeduped.count() // materializes the persist
+    val nGated = gated.count() // cheap filter over the cached frame
 
     // ---- 3. near-dup clustering: exact (sha) + MinHash-LSH edges →
     // connected components; survivors are the component minima.
@@ -133,9 +138,8 @@ object CurateJob {
           countDistinct(col("bucket"), col("shard"))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
-    val nUrlDeduped = urlDeduped.count()
     val nCanonical = canonical.count()
-    gated.unpersist()
+    urlDeduped.unpersist()
 
     val report = CurateReport(nInput, nUrlDeduped, nGated, nCanonical, nSampled, nShards)
     import spark.implicits._

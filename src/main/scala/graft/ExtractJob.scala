@@ -118,7 +118,7 @@ object ExtractJob {
           jobId, attempt,
           wallMs = System.currentTimeMillis() - t0,
           inputSnapshot = snapshot)
-        .select(ParquetTableIO.checkpointSchema.fieldNames.map(col): _*)
+        .select(ParquetTableIO.checkpointSchema.fieldNames.toIndexedSeq.map(col): _*)
 
     val readBack = io.readCommit(spark, commit)
     val thisRun = // an all-resumed rerun appends no files at all
