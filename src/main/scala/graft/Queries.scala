@@ -268,6 +268,9 @@ object Queries {
   def mmEmbed(s: SparkSession, d: String): DataFrame =
     Multimodal.embedAssets(s, d)
 
+  def mmSegments(s: SparkSession, d: String): DataFrame =
+    Multimodal.segmentAssets(s, d)
+
   // ---------------- extraction pipeline (pages) ------------------------
 
   def scanPages(s: SparkSession, d: String): DataFrame =

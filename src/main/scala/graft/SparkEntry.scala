@@ -52,6 +52,7 @@ object SparkEntry {
     "mm_decode_stub" -> (Queries.mmDecodeStub _),
     "mm_resize" -> (Queries.mmResize _),
     "mm_embed" -> (Queries.mmEmbed _),
+    "mm_segments" -> (Queries.mmSegments _),
     // extraction pipeline operators (pages derived from documents)
     "scan_pages" -> (Queries.scanPages _),
     "filter_nonempty" -> (Queries.filterNonempty _),
@@ -188,6 +189,22 @@ object SparkEntry {
         |            ELSE 256 END AS INTEGER) AS out_h
         |FROM m ORDER BY doc_id""".stripMargin,
     "mm_embed" -> OracleSqlGen.mmEmbed,
+    // overlapping audio-style windows over the stub duration: positive
+    // integer ceil-div identical on both engines
+    "mm_segments" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         1000 + strlen(text) % 60000 AS duration_ms
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, duration_ms,
+        |         1 + GREATEST(0, (duration_ms - 10000 + 4999) // 5000) AS n_segments
+        |  FROM d)
+        |SELECT doc_id, CAST(r.i AS INTEGER) AS seg_idx,
+        |  CAST(r.i * 5000 AS BIGINT) AS start_ms,
+        |  CAST(LEAST(r.i * 5000 + 10000, duration_ms) AS BIGINT) AS end_ms
+        |FROM n, UNNEST(range(n_segments)) AS r(i)
+        |ORDER BY doc_id, seg_idx""".stripMargin,
     "scan_pages" ->
       s"SELECT $urlSql AS url, lang FROM documents ORDER BY url",
     "filter_nonempty" ->

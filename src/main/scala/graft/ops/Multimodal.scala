@@ -109,6 +109,29 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Audio-analog segmentation: stub duration from the payload size,
+    * then OVERLAPPING fixed windows (window > stride — the ASR
+    * preprocessing shape, distinct from mm_frames' disjoint fan-out):
+    * starts at i·stride, i < 1 + ceil((duration-window)/stride), each
+    * window clamped to the asset end. Pure Column exprs (explode over
+    * sequence) — integer-exact, embarrassingly parallel.
+    */
+  def segmentAssets(spark: SparkSession, sfDir: String,
+                    windowMs: Long = 10000L, strideMs: Long = 5000L): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (lit(1000L) + length(col("text")).cast("long") % 60000L).as("duration_ms"))
+      .withColumn("n_segments",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(duration_ms - ${windowMs}L + ${strideMs}L - 1) DIV ${strideMs}L")))
+      .select(col("doc_id"), col("duration_ms"),
+        posexplode(expr("sequence(0L, n_segments - 1)")).as(Seq("seg_idx", "_s")))
+      .select(col("doc_id"),
+        col("seg_idx").cast("int").as("seg_idx"),
+        (col("_s") * strideMs).as("start_ms"),
+        least(col("_s") * strideMs + windowMs, col("duration_ms")).as("end_ms"))
+      .orderBy("doc_id", "seg_idx")
+
   /** Batched feature extraction over the binary column (stubbed
     * encoder, real plumbing): one fixed-width vector per asset,
     * emitted as columns for the oracle.
