@@ -52,6 +52,14 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.functions.col("doc_id").as("doc_a"),
         org.apache.spark.sql.functions.col("doc_id").as("doc_b")))
     assert(labels.count() == 0)
+    assert(TextOps.oovRatio(d).count() == 0)
+    assert(TextOps.mixBalance(d).count() == 0)
+    assert(TextOps.decontaminate(d).count() == 0)
+    assert(TextOps.ngramCensus(d).count() == 0)
+    assert(TextOps.piiScrub(d).count() == 0)
+    assert(TextOps.urlNormalize(d.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text").as("url_messy"))).count() == 0)
   }
 
   test("CurateJob survives an input that the gate filters to nothing") {
