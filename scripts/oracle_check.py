@@ -22,9 +22,20 @@ def norm(v):
     if v != v: return None  # NaN -> None
     return v
 
+# Types the driver's typed value-hash distinguishes but norm() erases:
+# DuckDB window/agg sums of BIGINT silently widen to HUGEINT (int128),
+# and DECIMAL != DOUBLE/BIGINT. Reject them at the oracle-SQL output so
+# local green predicts driver green (the r2 q_windowframe escape).
+BANNED_TYPES = ('HUGEINT', 'DECIMAL', 'UHUGEINT')
+
 for name, sql in sorted(oracle.items()):
     sdf = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
     try:
+        offenders = [(r[0], r[1]) for r in
+                     con.execute(f"DESCRIBE {sql}").fetchall()
+                     if any(str(r[1]).upper().startswith(b) for b in BANNED_TYPES)]
+        if offenders:
+            bad.append((name, 'oracle_type', f'banned output types {offenders} - CAST to BIGINT/DOUBLE')); continue
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         bad.append((name, 'oracle_sql_error', str(e)[:300])); continue

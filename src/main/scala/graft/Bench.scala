@@ -24,8 +24,22 @@ import graft.sources.PageSource
   */
 object Bench {
 
+  /** 1/5/15-min load averages as a JSON array — the host is a shared
+    * VM and run-to-run noise is real (BENCH.md: the same jar measured
+    * 8.2k-95k docs/sec depending on neighbor load), so the artifact
+    * carries its own load evidence and a noisy reading is attributable
+    * without a separate uptime capture.
+    */
+  private def loadAvgJson(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3)
+      parts.mkString("[", ",", "]")
+    } catch { case _: Throwable => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadAvgJson()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "500000").toLong
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/data/bench_pages")
@@ -113,6 +127,8 @@ object Bench {
       s""""pipeline_docs_per_sec":$docsPerSec,"pipeline_rows":$rowsOut,""" +
       s""""pipeline_sec":$pipelineSec,"pipeline_cold_sec":$coldSec,""" +
       s""""pipeline_digest":$digest,""" +
+      s""""load_before":$loadBefore,"load_after":${loadAvgJson()},""" +
+      s""""host_cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""cpus":$cpus,"bench_pages":$benchPages,"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.mkString(",")}")

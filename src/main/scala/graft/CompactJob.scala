@@ -43,6 +43,17 @@ object CompactJob {
       targetFileBytes: Long = 128L * 1024 * 1024
   ): CompactReport = {
     val dir = new java.io.File(tableDir)
+    // The swap below is two non-atomic renames; a crash between them
+    // leaves the data in .bak (table dir absent). Refuse to run over
+    // such debris — RECOVERY: if <tableDir> is absent and <tableDir>.bak
+    // exists, `mv <tableDir>.bak <tableDir>`; always delete any stale
+    // <tableDir>.compacting (an unverified partial rewrite).
+    require(!new java.io.File(tableDir + ".bak").exists(),
+      s"$tableDir.bak exists — a previous compaction crashed mid-swap; " +
+        s"recover first (mv $tableDir.bak $tableDir if the table dir is missing)")
+    require(!new java.io.File(tableDir + ".compacting").exists(),
+      s"$tableDir.compacting exists — stale partial rewrite; delete it first")
+    require(dir.isDirectory, s"$tableDir is not a directory")
     val before = parquetFiles(dir)
     val bytesBefore = before.map(_.length).sum
     val nParts = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)

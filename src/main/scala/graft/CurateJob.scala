@@ -94,7 +94,7 @@ object CurateJob {
     // connected components; survivors are the component minima.
     val texts = gated.select(col("doc_id"), col("text"))
     val edges = TextOps.exactDupEdges(texts)
-      .unionByName(TextOps.dedupMinhash(spark, texts).select(col("doc_a"), col("doc_b")))
+      .unionByName(TextOps.dedupMinhashEdges(spark, texts).select(col("doc_a"), col("doc_b")))
     val labels = TextOps.connectedComponents(gated.select(col("doc_id")), edges)
     val canonical = gated.join(
       labels.filter(col("doc_id") === col("label")).select(col("doc_id")),
@@ -123,14 +123,18 @@ object CurateJob {
       .parquet(s"$outDir/shards")
 
     // a gate-everything day writes NO shard files; neither format can
-    // infer a schema from an empty directory tree — report zeros
+    // infer a schema from an empty directory tree — report zeros.
+    // Hadoop FS API, not java.io.File: the outDir may be HDFS/S3 on a
+    // real cluster, where a local-FS walk would silently report empty.
     val suffix = if (format == "json") ".json" else ".parquet"
-    def hasData(f: java.io.File): Boolean =
-      Option(f.listFiles).getOrElse(Array.empty).exists(c =>
-        (c.isFile && c.getName.contains(suffix)) ||
-          (c.isDirectory && hasData(c)))
+    val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+    val fs = shardsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        (s.isFile && s.getPath.getName.contains(suffix)) ||
+          (s.isDirectory && hasData(s.getPath)))
     val (nSampled, nShards) =
-      if (!hasData(new java.io.File(s"$outDir/shards"))) (0L, 0L)
+      if (!hasData(shardsPath)) (0L, 0L)
       else {
         val out = if (format == "json") spark.read.json(s"$outDir/shards")
           else spark.read.parquet(s"$outDir/shards")

@@ -74,6 +74,14 @@ object ExtractJob {
     val outPath = s"$outDir/pages_extracted"
     val ckptPath = s"$outDir/checkpoint_metrics"
 
+    // Fail fast on compaction-crash debris: if CompactJob died mid-swap
+    // the real table sits in .bak, and resuming against the absent/empty
+    // table dir would re-append every partition (duplicates once .bak is
+    // restored). Recovery is CompactJob's documented procedure.
+    require(!new java.io.File(outPath + ".bak").exists(),
+      s"$outPath.bak exists — a compaction crashed mid-swap; restore it " +
+        s"(mv $outPath.bak $outPath) before resuming extraction")
+
     val t0 = System.currentTimeMillis()
 
     // ---- Resume set (J1): committed = checkpoint ∪ output part_ids.

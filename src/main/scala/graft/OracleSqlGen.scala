@@ -349,6 +349,25 @@ private[graft] object OracleSqlGen {
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Recall@5 of the approximate ANN methods vs the exact brute-force
+    * top-k — a pure composition of the three already-mirrored queries,
+    * so the oracle re-derives the recall numbers from first principles.
+    */
+  val annRecall: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annCosine) e),
+       |lsh AS (SELECT query_id, neighbor_id FROM ($annLsh) l),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($annIvf) i),
+       |h AS (
+       |  SELECT 'ivf' AS method,
+       |         (SELECT count(*) FROM ivf JOIN exact USING (query_id, neighbor_id)) AS n_hits
+       |  UNION ALL
+       |  SELECT 'lsh' AS method,
+       |         (SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id)) AS n_hits)
+       |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(50 AS BIGINT) AS n_total,
+       |  CAST(n_hits * 1000 // 50 AS BIGINT) AS recall_milli
+       |FROM h ORDER BY method""".stripMargin
+
   val dedupEmbedding: String =
     s"""WITH ${bucketsCte(VectorOps.hyperplanes(32, 64))},
        |banded AS (

@@ -157,7 +157,7 @@ object Queries {
     val corpus = corpusWithExactDups(corpusNear)
     val nodes = corpus.select(col("doc_id").cast("long").as("doc_id"))
     val exactEdges = TextOps.exactDupEdges(corpus)
-    val nearEdges = TextOps.dedupMinhash(s, corpusNear)
+    val nearEdges = TextOps.dedupMinhashEdges(s, corpusNear)
       .select(col("doc_a"), col("doc_b"))
     val labels = TextOps.connectedComponents(
       nodes, exactEdges.unionByName(nearEdges))
@@ -252,6 +252,9 @@ object Queries {
 
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
+
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    VectorOps.annRecall(s, VectorOps.readEmbeddings(s, d))
 
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     VectorOps.dedupEmbedding(s, VectorOps.readEmbeddings(s, d), minSimMicro = 300000L)

@@ -47,6 +47,7 @@ object SparkEntry {
     "ann_cosine" -> (Queries.annCosine _),
     "ann_lsh" -> (Queries.annLsh _),
     "ann_ivf" -> (Queries.annIvf _),
+    "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "embed_stats" -> (Queries.embedStats _),
     "mm_decode_stub" -> (Queries.mmDecodeStub _),
@@ -341,9 +342,9 @@ object SparkEntry {
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,
-        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_cents
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT source,
@@ -410,9 +411,10 @@ object SparkEntry {
         |    FROM t, UNNEST(range(len(w) - 1)) AS r(i)) s
         |  GROUP BY doc_id, b),
         |bagg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram_freq FROM bg GROUP BY doc_id)
-        |SELECT wagg.doc_id, n_words, n_distinct_words, max_word_freq, max_bigram_freq,
+        |SELECT wagg.doc_id, n_words, n_distinct_words, max_word_freq,
+        |  coalesce(max_bigram_freq, 0) AS max_bigram_freq,
         |  (n_distinct_words * 2 <= n_words) AS is_repetitive
-        |FROM wagg JOIN bagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM wagg LEFT JOIN bagg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // token-budget shard packing: bucketed running sum (the window is
     // partitioned — no global cumsum on either engine)
     "shard_pack" ->
@@ -502,6 +504,7 @@ object SparkEntry {
     "ann_cosine" -> OracleSqlGen.annCosine,
     "ann_lsh" -> OracleSqlGen.annLsh,
     "ann_ivf" -> OracleSqlGen.annIvf,
+    "ann_recall" -> OracleSqlGen.annRecall,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding
   )
 }

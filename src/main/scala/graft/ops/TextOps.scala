@@ -212,7 +212,17 @@ object TextOps {
     * texts to the pairs and check exact Jaccard >= minJ.
     */
   def dedupMinhash(spark: SparkSession, docs: DataFrame,
-                   minJaccardMilli: Long = 700L, maxBucket: Int = 4096): DataFrame = {
+                   minJaccardMilli: Long = 700L, maxBucket: Int = 4096): DataFrame =
+    dedupMinhashEdges(spark, docs, minJaccardMilli, maxBucket)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[dedupMinhash]] without the presentation sort — the edge feed for
+    * connected components / CurateJob, where the consumer is
+    * order-insensitive (union → groupBy) and a Sort below the union
+    * would be wasted work the optimizer only *usually* removes.
+    */
+  def dedupMinhashEdges(spark: SparkSession, docs: DataFrame,
+                        minJaccardMilli: Long = 700L, maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val withSig = docs.select(col("doc_id").cast("long"), col("text"))
@@ -259,7 +269,6 @@ object TextOps {
       (a, b, math.floor(exactJaccard(ta, tb) * 1000.0).toLong)
     }).toDF("doc_a", "doc_b", "jaccard_milli")
       .filter(col("jaccard_milli") >= minJaccardMilli)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-dup pairs via 4×16-bit segment blocking: Hamming
@@ -424,8 +433,9 @@ object TextOps {
     * Scale notes (100 TB framing):
     *  - rounds = graph diameter. Dup graphs are near-star-shaped
     *    (most components are a canonical doc + its copies), so 2-3
-    *    rounds; the documented upgrade path for adversarial long-chain
-    *    graphs is the large-star/small-star variant (O(log n) rounds).
+    *    rounds; long-chain graphs (diameter > maxIter) THROW instead of
+    *    returning wrong labels — use [[connectedComponentsStar]]
+    *    (large-star/small-star, O(log n) rounds) for those.
     *  - each round is one shuffle (join on src + groupBy doc_id);
     *    `localCheckpoint` truncates lineage so plan depth stays O(1)
     *    per round instead of O(rounds) (on a cluster: checkpoint to a
@@ -444,6 +454,7 @@ object TextOps {
       .localCheckpoint()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
+    var prevCheckpoint: DataFrame = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -459,12 +470,114 @@ object TextOps {
         .agg(min(col("label")).as("label"), max(col("old_label")).as("old_label"))
         .localCheckpoint()
       val changed = next.filter(col("label") < col("old_label")).count()
+      // drop the previous round's cached blocks — only the newest
+      // checkpoint is ever referenced again (block buildup otherwise
+      // grows with round count)
+      if (prevCheckpoint != null) prevCheckpoint.unpersist()
+      prevCheckpoint = next
       labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
+    // NEVER return silently-unconverged (wrong) labels: a graph whose
+    // diameter exceeds maxIter (adversarial long chains) must use
+    // connectedComponentsStar instead
+    if (!converged) {
+      if (prevCheckpoint != null) prevCheckpoint.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter > maxIter?) — use connectedComponentsStar " +
+          "for long-chain graphs")
+    }
     labels
   }
+
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round variant for graphs where plain
+    * min-label propagation needs O(diameter) rounds (adversarial long
+    * chains). Each half-round is one groupBy + one join over bare
+    * (node, node) id pairs; convergence is an order-insensitive
+    * checksum (count + bit_xor of the edge hash), one tiny action per
+    * round.
+    *
+    *  - large-star: every node v > u re-links to the minimum of u's
+    *    closed neighborhood (folds chains onto local minima);
+    *  - small-star: every smaller neighbor re-links to the minimum
+    *    (flattens the local trees into stars);
+    *  - fixpoint: the edge set is a union of stars, every node linked
+    *    directly to its component minimum.
+    *
+    * @return (doc_id, label) for every node (isolated nodes label
+    *         themselves) plus the number of alternation rounds taken.
+    */
+  def connectedComponentsStarWithRounds(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // closed-neighborhood minimum per node over the symmetrized edges
+    def withMin(sym: DataFrame): DataFrame =
+      sym.join(
+        sym.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m")),
+        Seq("u"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      withMin(sym).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient larger -> smaller; every neighborhood is then all-smaller
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val linked = withMin(oriented)
+      linked.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(linked.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var e = edges
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sum = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSum = checksum(next)
+      e.unpersist()
+      e = next
+      converged = nextSum == sum
+      sum = nextSum
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edges are stars: each non-root u carries exactly one
+    // (u, component-min) edge; roots and isolated nodes label themselves
+    val labels = nodes
+      .join(e.groupBy("u").agg(min(col("v")).as("lbl")),
+        nodes("doc_id") === col("u"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+    (labels, rounds)
+  }
+
+  /** [[connectedComponentsStarWithRounds]] without the round count. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIter: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(nodes, edges, maxIter)._1
 
   // -------------------------------------------------------------------
   // Repetition quality features (Gopher-style)
@@ -566,18 +679,37 @@ object TextOps {
   }
 
   /** Cross-corpus n-gram census: the most-repeated word n-grams (the
-    * memorization-risk / boilerplate census). One explode + one
-    * map-side-combined count + top-k — the classic heavy-hitter
-    * aggregation; at 100 TB swap the exact count for a count-min
-    * sketch feeding the same top-k.
+    * memorization-risk / boilerplate census), TWO-LEVEL so the
+    * corpus-scale shuffle never carries gram strings:
+    *
+    *  1. count 64-bit gram hashes — the full-data shuffle carries
+    *     (xxhash64, partial count), 16 bytes/row instead of ~60-char
+    *     strings with near-unique cardinality (the r2 scale-killer);
+    *  2. re-count EXACT strings for the candidate hashes only (count
+    *     >= 2) — at census scale the repeated set is the boilerplate
+    *     tail, orders of magnitude smaller than the corpus; it is
+    *     broadcast as bare 8-byte ids (never text).
+    *
+    * Exactness: hash collisions can only ADD a candidate (a unique gram
+    * colliding into count >= 2), and the exact re-count filters it back
+    * out — every true count >= 2 gram survives level 1, so the result
+    * is IDENTICAL to the single-pass exact census (the DuckDB oracle).
     */
-  def ngramCensus(docs: DataFrame, n: Int = 8, k: Int = 20): DataFrame =
-    docs.select(explode(ngramArr(n)).as("gram"))
+  def ngramCensus(docs: DataFrame, n: Int = 8, k: Int = 20): DataFrame = {
+    val grams = docs.select(explode(ngramArr(n)).as("gram"))
+    val hot = grams.select(xxhash64(col("gram")).as("ghash"))
+      .groupBy(col("ghash"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L)
+      .select(col("ghash"))
+    grams
+      .join(broadcast(hot), xxhash64(col("gram")) === col("ghash"), "left_semi")
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= 2L)
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
+  }
 
   // -------------------------------------------------------------------
   // OOV-rate quality signal (top-K-vocabulary UNK rate)

@@ -289,6 +289,32 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@k of the approximate ANN methods against the exact
+    * brute-force ground truth — the number a user tuning
+    * nPlanes/nProbe/bands actually needs. Deterministic and fully
+    * oracle-able: both sides are the already-mirrored top-k queries,
+    * the metric is a semi-join hit count and an integer-exact
+    * permille. At scale the ground truth is computed once on a sampled
+    * query set (here: the same 10 queries all three methods use), so
+    * the cost is one extra exact pass over the base — an offline
+    * tuning job, not a serving-path op.
+    */
+  def annRecall(spark: SparkSession, emb: DataFrame,
+                nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val nTotal = nQueries.toLong * k
+    val exact = annBrute(emb, nQueries, k).select(col("query_id"), col("neighbor_id"))
+    def row(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          lit(nTotal).as("n_total"),
+          expr(s"n_hits * 1000 DIV ${nTotal}L").cast("long").as("recall_milli"))
+    row("ivf", annIvf(spark, emb, nQueries, k))
+      .unionByName(row("lsh", annLsh(spark, emb, nQueries, k)))
+      .orderBy(col("method"))
+  }
+
   /** Per-label vector stats with integer-exact norms (oracle-friendly):
     * sum over elements of floor(x*1000)² in BIGINT — float→double is
     * exact, so Spark and DuckDB agree bit-for-bit.

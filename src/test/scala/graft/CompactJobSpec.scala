@@ -59,4 +59,40 @@ class CompactJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (rows2, resumed) = ExtractJob.run(spark, pagesDir, outDir, 8, "c2")
     assert(rows2 == 800L && resumed == 8L)
   }
+
+  test("crash-debris guards: CompactJob and ExtractJob refuse to run over .bak / .compacting") {
+    val pagesDir = java.nio.file.Files.createTempDirectory("compact-pages2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("compact-out2").toString
+    PageSource.genPages(spark, 50, 4).toDF()
+      .write.mode("overwrite").parquet(pagesDir)
+    ExtractJob.run(spark, pagesDir, outDir, 4, "g1")
+    val tableDir = s"$outDir/pages_extracted"
+
+    // simulate a compaction that died between the two swap renames
+    val bak = new java.io.File(tableDir + ".bak")
+    assert(bak.mkdir())
+    val e1 = intercept[IllegalArgumentException] { CompactJob.run(spark, tableDir) }
+    assert(e1.getMessage.contains(".bak"))
+    // a resume against the half-swapped table must fail fast too — it
+    // would otherwise re-append every partition (duplicate rows once
+    // .bak is restored)
+    val e2 = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, pagesDir, outDir, 4, "g2")
+    }
+    assert(e2.getMessage.contains(".bak"))
+    assert(bak.delete())
+
+    // stale partial rewrite: refuse until it is cleaned up
+    val tmp = new java.io.File(tableDir + ".compacting")
+    assert(tmp.mkdir())
+    val e3 = intercept[IllegalArgumentException] { CompactJob.run(spark, tableDir) }
+    assert(e3.getMessage.contains(".compacting"))
+    assert(tmp.delete())
+
+    // clean state: both run again
+    val r = CompactJob.run(spark, tableDir, targetFileBytes = 1L << 30)
+    assert(r.rows == 50L)
+    val (rows, resumed) = ExtractJob.run(spark, pagesDir, outDir, 4, "g3")
+    assert(rows == 50L && resumed == 4L)
+  }
 }

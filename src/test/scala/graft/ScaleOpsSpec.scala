@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Round-3 scale hardening: large-star/small-star connected components
+  * on adversarial long chains (O(log n) rounds, correct labels), the
+  * fail-loud non-convergence guard on plain min-label propagation, the
+  * two-level hashed n-gram census (no corpus-scale string shuffle), the
+  * sort-free minhash edge feed, and the ANN recall report.
+  */
+class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scaleops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def chain(n: Int) = {
+    val sp = spark; import sp.implicits._
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    (nodes, edges)
+  }
+
+  test("connectedComponentsStar: 64-node chain collapses in O(log n) rounds") {
+    val (nodes, edges) = chain(64)
+    val (labels, rounds) =
+      TextOps.connectedComponentsStarWithRounds(nodes, edges)
+    assert(rounds <= 10, s"took $rounds rounds on a 64-chain (diameter 63)")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L), s"labels: $got")
+  }
+
+  test("connectedComponentsStar: chains + star + isolated nodes, mixed graph") {
+    val sp = spark; import sp.implicits._
+    // chain 0..9, star 100<-{101..105}, pair (200,201), isolated 300
+    val edges = ((0 until 9).map(i => (i.toLong, i.toLong + 1)) ++
+      (101 to 105).map(i => (100L, i.toLong)) ++ Seq((200L, 201L)))
+      .toDF("doc_a", "doc_b")
+    val nodes = ((0L to 9L) ++ (100L to 105L) ++ Seq(200L, 201L, 300L))
+      .toDF("doc_id")
+    val got = TextOps.connectedComponentsStar(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 9L).foreach(i => assert(got(i) == 0L))
+    (100L to 105L).foreach(i => assert(got(i) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L && got(300L) == 300L)
+  }
+
+  test("connectedComponentsStar equals union-find on random graphs (property)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { _ =>
+      val n = 6 + rnd.nextInt(20)
+      val ids = (0 until n).map(_.toLong)
+      val edges = (0 until rnd.nextInt(2 * n)).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = TextOps.connectedComponentsStar(
+          ids.toDF("doc_id"),
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
+  test("connectedComponents (min-label) THROWS on a chain deeper than maxIter instead of returning wrong labels") {
+    val (nodes, edges) = chain(12)
+    val e = intercept[IllegalStateException] {
+      TextOps.connectedComponents(nodes, edges, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("connectedComponentsStar"))
+    // and converges fine when maxIter covers the diameter
+    val ok = TextOps.connectedComponents(nodes, edges, maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ok.values.forall(_ == 0L))
+  }
+
+  test("ngramCensus (two-level) equals the exact single-pass census") {
+    val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+    val got = TextOps.ngramCensus(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact single-pass reference (the r2 implementation / oracle SQL)
+    val want = docs.select(explode(TextOps.ngramArr(8)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2L)
+      .orderBy(col("n").desc, col("gram").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("plan shape: ngramCensus string shuffle is candidates-only; corpus shuffle is 8-byte hashes") {
+    val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+    val plan = TextOps.ngramCensus(docs).queryExecution.executedPlan.toString
+    val gramShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(gram#"))
+    val hashShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(ghash#"))
+    assert(gramShuffles == 1,
+      s"expected exactly one (post-prune) string shuffle, got $gramShuffles:\n$plan")
+    assert(hashShuffles >= 1, s"expected the 64-bit hash census shuffle:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "candidate hash set should broadcast (ids only)")
+  }
+
+  test("plan shape: dedupMinhashEdges has no global sort (edge-feed variant)") {
+    val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+    def globalSorts(plan: String): Int =
+      plan.linesIterator.count(l => l.contains("Sort [") && l.contains("], true,"))
+    val edgesPlan = TextOps.dedupMinhashEdges(spark, docs)
+      .queryExecution.executedPlan.toString
+    assert(globalSorts(edgesPlan) == 0,
+      s"edge feed should not globally sort:\n$edgesPlan")
+    // the presentation variant keeps its deterministic output order
+    val presPlan = TextOps.dedupMinhash(spark, docs)
+      .queryExecution.executedPlan.toString
+    assert(globalSorts(presPlan) >= 1)
+  }
+
+  test("annRecall: hit counts match a hand-join of the top-k outputs; deterministic") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.annBrute(emb))
+    val wantIvf = (pairs(VectorOps.annIvf(spark, emb)) intersect exact).size.toLong
+    val wantLsh = (pairs(VectorOps.annLsh(spark, emb)) intersect exact).size.toLong
+    val got = VectorOps.annRecall(spark, emb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq("ivf", "lsh"))
+    val byM = got.map(r => r._1 -> r).toMap
+    assert(byM("ivf")._2 == wantIvf && byM("lsh")._2 == wantLsh)
+    got.foreach { case (_, hits, total, milli) =>
+      assert(total == 50L && hits >= 0L && hits <= 50L && milli == hits * 1000L / 50L)
+    }
+    // deterministic across runs
+    assert(VectorOps.annRecall(spark, emb).collect().toSeq ==
+      VectorOps.annRecall(spark, emb).collect().toSeq)
+  }
+}
