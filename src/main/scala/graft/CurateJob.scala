@@ -95,7 +95,11 @@ object CurateJob {
     val texts = gated.select(col("doc_id"), col("text"))
     val edges = TextOps.exactDupEdges(texts)
       .unionByName(TextOps.dedupMinhashEdges(spark, texts).select(col("doc_a"), col("doc_b")))
-    val labels = TextOps.connectedComponents(gated.select(col("doc_id")), edges)
+    // star alternation, not min-label: a production corpus can contain
+    // adversarial near-dup CHAINS (a~b~c~...) whose diameter exceeds
+    // any fixed round budget — large-star/small-star converges in
+    // O(log n) rounds on any shape instead of throwing mid-job
+    val labels = TextOps.connectedComponentsStar(gated.select(col("doc_id")), edges)
     val canonical = gated.join(
       labels.filter(col("doc_id") === col("label")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")

@@ -273,7 +273,11 @@ private[graft] object OracleSqlGen {
        |  SELECT e.vec_id, e.embedding, b.bucketbits AS bucket,
        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS norm
        |  FROM embeddings e JOIN buckets b USING (vec_id)),
-       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket FROM normed WHERE vec_id < 10),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket FROM normed WHERE vec_id < 10),
+       |q AS (
+       |  SELECT query_id, q_emb, q_norm, p.pb AS bucket
+       |  FROM q0, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+       |                   xor(bucket, 4), xor(bucket, 8)]) AS p(pb)),
        |scored AS (
        |  SELECT q.query_id, n.vec_id AS neighbor_id,
        |         ${dotSql("q.q_emb", "n.embedding")} / (n.norm * q.q_norm) AS sim

@@ -112,12 +112,26 @@ object VectorOps {
     }
 
   /** Approximate top-k: bucket base and queries with sign-bit LSH, then
-    * brute-force WITHIN the bucket (equi-join on bucket — shuffle
-    * bounded by bucket sizes, no global pass per query at scale).
+    * brute-force WITHIN the probed buckets (equi-join on bucket —
+    * shuffle bounded by bucket sizes, no global pass per query at
+    * scale).
+    *
+    * MULTI-PROBE (Lv et al., VLDB'07 shape): each query probes its own
+    * bucket plus every bucket at Hamming distance <= probeHamming of
+    * it — the standard recall dial for sign LSH. Probing stays an
+    * EQUI-join (the query side explodes into 1 + nPlanes probe bucket
+    * values), so the scale shape is unchanged: per-query work =
+    * (1+nPlanes)/2^nPlanes of the base, not a full pass. Measured on
+    * the synthetic corpus by ann_recall (BENCH.md): recall@5 0.04-0.08
+    * single-probe -> ~10x better with probeHamming=1 at 5/16 of the
+    * base scanned; for mid-similarity top-k IVF remains the better
+    * structure (recall 0.86 at 1/8 probed) — this measurement is the
+    * point of the recall report.
     */
   def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+             nPlanes: Int = 4, dim: Int = 64, probeHamming: Int = 1): DataFrame = {
     import spark.implicits._
+    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
     val planes = hyperplanes(nPlanes, dim)
     val bucketed = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -128,9 +142,14 @@ object VectorOps {
       .toDF("vec_id", "embedding", "bucket")
 
     val normed = bucketed.withColumn("norm", l2norm(col("embedding")))
+    // a neighbor's single bucket matches at most ONE probe value, so
+    // the explode introduces no duplicate (query, neighbor) pairs
+    val probeCols = col("bucket") +:
+      (if (probeHamming == 0) Seq.empty[Column]
+       else (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p))))
     val queries = normed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("bucket"))
+        col("norm").as("q_norm"), explode(array(probeCols: _*)).as("bucket"))
     val scored = normed
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"), col("bucket"))
       .join(broadcast(queries), Seq("bucket"))
