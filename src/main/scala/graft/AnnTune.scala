@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.VectorOps
+
+/** Dev tool: recall@k / candidate-fraction sweep over the ann_lsh
+  * (nTables, planesPerTable) grid against the exact brute-force ground
+  * truth — the measurement behind the defaults pinned in
+  * VectorOps.annLsh and the OracleSqlGen.annLsh mirror. Not part of
+  * the driver contract.
+  */
+object AnnTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = VectorOps.readEmbeddings(spark, sfDir).cache()
+    val nVec = emb.count()
+    val nQueries = 10
+    val k = 5
+    val exact = VectorOps.annBrute(emb, nQueries, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"sfDir=$sfDir nVec=$nVec exactTopK=${exact.size}")
+    for ((t, p) <- Seq((4, 6), (8, 8), (10, 8), (12, 8), (8, 7), (16, 9))) {
+      val approx = VectorOps.annLsh(spark, emb, nQueries, k,
+        nTables = t, planesPerTable = p)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hits = (approx intersect exact).size
+      // candidate fraction: distinct (query, neighbor) candidates / full
+      val planes = VectorOps.hyperplanes(t * p, 64)
+      import spark.implicits._
+      val bucketed = emb
+        .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val f = VectorOps.bandBuckets(planes, t, p) _
+          it.flatMap { case (id, v) =>
+            val bs = f(v); bs.indices.map(b => (id, b, bs(b))) }
+        }
+        .toDF("vec_id", "band", "bucket")
+      import org.apache.spark.sql.functions._
+      val masks = 0 +: (0 until p).map(1 << _)
+      val qprobes = bucketed.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("band"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val nCand = bucketed.join(qprobes, Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct().count()
+      val frac = nCand.toDouble / (nQueries.toDouble * (nVec - 1))
+      println(f"tables=$t planes=$p recall@$k=${hits.toDouble / exact.size}%.2f candFrac=$frac%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -124,6 +124,30 @@ private[graft] object OracleSqlGen {
        |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucketbits
        |  FROM sums GROUP BY vec_id)""".stripMargin
 
+  /** CTE chain ending in banded(vec_id, band, bucket): per-band sign-bit
+    * LSH buckets with band b = consecutive plane slice
+    * [b·planesPerBand, (b+1)·planesPerBand) — the VectorOps.bandBuckets
+    * mirror. Unlike bucketsCte this never packs all planes into ONE
+    * integer, so any table count works (16 tables × 9 planes = 144
+    * bits > BIGINT).
+    */
+  private def bandedCte(planes: Array[Array[Float]], planesPerBand: Int): String =
+    s"""vmilli AS (
+       |  SELECT vec_id, dd.i,
+       |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
+       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
+       |plel AS (
+       |  SELECT pp.p, dd.i, (${planesLit(planes)})[CAST(pp.p AS INTEGER)+1][CAST(dd.i AS INTEGER)+1] AS sign
+       |  FROM UNNEST(range(${planes.length})) AS pp(p), UNNEST(range(64)) AS dd(i)),
+       |sums AS (
+       |  SELECT v.vec_id, p.p, sum(v.m * p.sign) AS s
+       |  FROM vmilli v JOIN plel p ON v.i = p.i
+       |  GROUP BY v.vec_id, p.p),
+       |banded AS (
+       |  SELECT vec_id, CAST(p // $planesPerBand AS INTEGER) AS band,
+       |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p % $planesPerBand AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sums GROUP BY vec_id, p // $planesPerBand)""".stripMargin
+
   /** CTE chain `${p}1..${p}6` applying splitmix64 to the unsigned
     * HUGEINT column `x` of CTE `src`, carrying `keys` through, ending
     * in column `hk` — one generated source for every query that needs
@@ -267,27 +291,37 @@ private[graft] object OracleSqlGen {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  val annLsh: String =
-    s"""WITH ${bucketsCte(VectorOps.hyperplanes(4, 64))},
+  /** Multi-table multi-probe sign-LSH mirror: 16 tables × 9 planes,
+    * each query probes its own bucket plus the 9 Hamming-1 buckets per
+    * table (xor masks 0,1,2,…,256); candidates are the DISTINCT
+    * (query, neighbor) id pairs over all tables, scored once.
+    */
+  val annLsh: String = {
+    val masks = (0 +: (0 until 9).map(1 << _)).mkString(", ")
+    s"""WITH ${bandedCte(VectorOps.hyperplanes(16 * 9, 64), 9)},
        |normed AS (
-       |  SELECT e.vec_id, e.embedding, b.bucketbits AS bucket,
-       |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS norm
-       |  FROM embeddings e JOIN buckets b USING (vec_id)),
-       |q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket FROM normed WHERE vec_id < 10),
-       |q AS (
-       |  SELECT query_id, q_emb, q_norm, p.pb AS bucket
-       |  FROM q0, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
-       |                   xor(bucket, 4), xor(bucket, 8)]) AS p(pb)),
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |qp AS (
+       |  SELECT b.vec_id AS query_id, b.band, xor(b.bucket, CAST(m.mask AS BIGINT)) AS bucket
+       |  FROM banded b, UNNEST([$masks]) AS m(mask)
+       |  WHERE b.vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id
+       |  FROM banded n JOIN qp q ON n.band = q.band AND n.bucket = q.bucket
+       |  WHERE n.vec_id <> q.query_id),
        |scored AS (
-       |  SELECT q.query_id, n.vec_id AS neighbor_id,
-       |         ${dotSql("q.q_emb", "n.embedding")} / (n.norm * q.q_norm) AS sim
-       |  FROM normed n JOIN q USING (bucket) WHERE n.vec_id <> q.query_id),
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ${dotSql("q.embedding", "n.embedding")} / (n.norm * q.norm) AS sim
+       |  FROM cand c JOIN normed n ON n.vec_id = c.neighbor_id
+       |              JOIN normed q ON q.vec_id = c.query_id),
        |r AS (SELECT query_id, neighbor_id,
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
        |        CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
        |      FROM scored)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** IVF oracle: the deterministic integer k-means of VectorOps
     * .kmeansMilli UNROLLED (fixed iteration count, no RNG) — all
@@ -438,6 +472,33 @@ private[graft] object OracleSqlGen {
        |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
        |HAVING count(*) >= 2
        |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin
+
+  /** Passage-dedup mirror: 16-word non-overlapping windows, FNV-hashed
+    * (signed BIGINT view), duplicated = present in >= 2 distinct docs;
+    * per-doc stats count every window occurrence. Window list slice is
+    * 1-based INCLUSIVE on both ends in DuckDB, matching the Scala
+    * slice(i*w, (i+1)*w).
+    */
+  val passageDedup: String =
+    s"""WITH $nearDupCorpus,
+       |pw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |pass AS (
+       |  SELECT doc_id, array_to_string(ws[CAST(u.i*16+1 AS INTEGER):CAST(u.i*16+16 AS INTEGER)], ' ') AS passage
+       |  FROM pw, UNNEST(range((len(ws) + 15) // 16)) AS u(i)),
+       |fv AS (SELECT passage, ${sb(fnvU("passage"))} AS phash
+       |       FROM (SELECT DISTINCT passage FROM pass) dp),
+       |ph AS (SELECT p.doc_id, f.phash FROM pass p JOIN fv f USING (passage)),
+       |dup AS (
+       |  SELECT phash FROM (SELECT DISTINCT doc_id, phash FROM ph) d
+       |  GROUP BY phash HAVING count(*) >= 2),
+       |agg AS (
+       |  SELECT ph.doc_id, count(*) AS n_passages,
+       |         sum(CASE WHEN dup.phash IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+       |  FROM ph LEFT JOIN dup USING (phash) GROUP BY ph.doc_id)
+       |SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+       |  CAST(n_dup AS BIGINT) AS n_dup_passages,
+       |  CAST(n_dup * 1000 // n_passages AS BIGINT) AS dup_permille
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Mixture balancing mirror: per-lang rate = min_n*1000 // n (all
     * positive, so `//` == Spark DIV), keep set via the splitmix chain.

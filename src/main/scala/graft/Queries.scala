@@ -226,6 +226,13 @@ object Queries {
   def ngramCensusQ(s: SparkSession, d: String): DataFrame =
     TextOps.ngramCensus(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
 
+  /** Per-doc duplicated-passage fraction over the near-dup corpus (the
+    * planted mutations share all their full 16-word windows with their
+    * source doc).
+    */
+  def passageDedupQ(s: SparkSession, d: String): DataFrame =
+    TextOps.passageDedup(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 

@@ -39,6 +39,7 @@ object SparkEntry {
     "mix_balance" -> (Queries.mixBalanceQ _),
     "decontaminate" -> (Queries.decontaminateQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
+    "passage_dedup" -> (Queries.passageDedupQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -493,6 +494,7 @@ object SparkEntry {
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,
+    "passage_dedup" -> OracleSqlGen.passageDedup,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "strat_sample" -> OracleSqlGen.stratSample,
     "mix_balance" -> OracleSqlGen.mixBalance,

@@ -691,24 +691,75 @@ object TextOps {
     *     broadcast as bare 8-byte ids (never text).
     *
     * Exactness: hash collisions can only ADD a candidate (a unique gram
-    * colliding into count >= 2), and the exact re-count filters it back
-    * out — every true count >= 2 gram survives level 1, so the result
-    * is IDENTICAL to the single-pass exact census (the DuckDB oracle).
+    * colliding into count >= minCount), and the exact re-count filters
+    * it back out — every true count >= minCount gram survives level 1,
+    * so the result is IDENTICAL to the single-pass exact census (the
+    * DuckDB oracle).
+    *
+    * @param minCount candidate floor. On a corpus whose repeated tail
+    *   is itself huge (the level-1 candidate set would overflow the
+    *   broadcast), RAISE it — the top-k winners have counts orders of
+    *   magnitude above 2, so a higher floor shrinks the candidate set
+    *   without touching the winners.
     */
-  def ngramCensus(docs: DataFrame, n: Int = 8, k: Int = 20): DataFrame = {
+  def ngramCensus(docs: DataFrame, n: Int = 8, k: Int = 20,
+                  minCount: Long = 2L): DataFrame = {
     val grams = docs.select(explode(ngramArr(n)).as("gram"))
     val hot = grams.select(xxhash64(col("gram")).as("ghash"))
       .groupBy(col("ghash"))
       .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2L)
+      .filter(col("c") >= minCount)
       .select(col("ghash"))
     grams
       .join(broadcast(hot), xxhash64(col("gram")) === col("ghash"), "left_semi")
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences") >= 2L)
+      .filter(col("n_occurrences") >= minCount)
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
+  }
+
+  /** Sub-document duplicated-passage detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * passage-level analog of doc-level dedup): each doc is cut into
+    * consecutive non-overlapping w-word windows; a passage is
+    * duplicated if it appears VERBATIM in >= 2 distinct docs. Emits the
+    * per-doc duplicated-passage fraction — the signal a curation
+    * pipeline uses to strip boilerplate-heavy docs that doc-level
+    * dedup misses.
+    *
+    * Scale shape: passages are FNV-hashed inside the flatMap, so the
+    * corpus-scale shuffle carries (doc_id, 8-byte hash) — never
+    * passage strings; the dup set is an 8-byte-key aggregate joined
+    * back by hash with NO forced broadcast (the optimizer may pick BHJ
+    * only when the dup side is provably small). Per-doc repeats are
+    * collapsed BEFORE the cross-doc count, so a doc repeating its own
+    * boilerplate does not fake a cross-doc duplicate.
+    */
+  def passageDedup(docs: DataFrame, w: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ph = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val words = text.split(' ')
+        val n = (words.length + w - 1) / w
+        (0 until n).iterator.map { i =>
+          (id, fnv1a64(words.slice(i * w, math.min((i + 1) * w, words.length)).mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "phash")
+    val dup = ph.distinct() // per-doc collapse: cross-DOC duplication only
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2L)
+      .select(col("phash"), lit(true).as("is_dup"))
+    ph.join(dup, Seq("phash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_permille",
+        expr("n_dup_passages * 1000 DIV n_passages").cast("long"))
+      .orderBy(col("doc_id"))
   }
 
   // -------------------------------------------------------------------

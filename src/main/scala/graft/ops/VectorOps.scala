@@ -112,48 +112,67 @@ object VectorOps {
     }
 
   /** Approximate top-k: bucket base and queries with sign-bit LSH, then
-    * brute-force WITHIN the probed buckets (equi-join on bucket —
+    * brute-force WITHIN the probed buckets (equi-join on (band,bucket) —
     * shuffle bounded by bucket sizes, no global pass per query at
     * scale).
     *
-    * MULTI-PROBE (Lv et al., VLDB'07 shape): each query probes its own
-    * bucket plus every bucket at Hamming distance <= probeHamming of
-    * it — the standard recall dial for sign LSH. Probing stays an
-    * EQUI-join (the query side explodes into 1 + nPlanes probe bucket
-    * values), so the scale shape is unchanged: per-query work =
-    * (1+nPlanes)/2^nPlanes of the base, not a full pass. Measured on
-    * the synthetic corpus by ann_recall (BENCH.md): recall@5 0.04-0.08
-    * single-probe -> ~10x better with probeHamming=1 at 5/16 of the
-    * base scanned; for mid-similarity top-k IVF remains the better
-    * structure (recall 0.86 at 1/8 probed) — this measurement is the
-    * point of the recall report.
+    * MULTI-TABLE + MULTI-PROBE (the two standard recall dials,
+    * composed): nTables independent hash tables of planesPerTable sign
+    * bits each (OR amplification — a neighbor is a candidate if ANY
+    * table agrees), and within each table every query also probes the
+    * buckets at Hamming distance <= probeHamming of its own (Lv et
+    * al., VLDB'07). Candidate generation carries IDS ONLY — (vec_id,
+    * band, bucket) rows into the equi-join, then a distinct on
+    * (query_id, neighbor_id) — so vectors never ride the bucket join
+    * or the distinct; embeddings re-join once per side for the single
+    * cosine pass. Per-query work is bounded by the probed-bucket mass
+    * (measured ~0.30 of the base for T=16, P=9 on this corpus), not a
+    * full pass. Measured recall@5 on the synthetic corpus by ann_recall
+    * (BENCH.md; AnnTune sweep): single-table single-probe 0.04-0.08
+    * (r2) -> single-table multi-probe 0.34-0.48 (r3) -> this shape
+    * 0.74-0.84 at a LOWER scan fraction (~0.30 vs 0.31). The ceiling
+    * is data-limited, not structural: exact rank-5 cosine is only
+    * 0.26-0.35 here (near-uniform sphere), so each sign bit agrees
+    * with p ~= 0.59 — on real embedding corpora with tighter neighbors
+    * the same shape probes far less for far more.
     */
   def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nPlanes: Int = 4, dim: Int = 64, probeHamming: Int = 1): DataFrame = {
+             nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64,
+             probeHamming: Int = 1): DataFrame = {
     import spark.implicits._
     require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
-    val planes = hyperplanes(nPlanes, dim)
+    val planes = hyperplanes(nTables * planesPerTable, dim)
     val bucketed = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val f = lshBucket(planes) _
-        it.map { case (id, v) => (id, v, f(v)) }
+        val f = bandBuckets(planes, nTables, planesPerTable) _
+        it.flatMap { case (id, v) =>
+          val bs = f(v)
+          bs.indices.map(t => (id, t, bs(t)))
+        }
       }
-      .toDF("vec_id", "embedding", "bucket")
+      .toDF("vec_id", "band", "bucket")
 
-    val normed = bucketed.withColumn("norm", l2norm(col("embedding")))
-    // a neighbor's single bucket matches at most ONE probe value, so
-    // the explode introduces no duplicate (query, neighbor) pairs
-    val probeCols = col("bucket") +:
-      (if (probeHamming == 0) Seq.empty[Column]
-       else (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p))))
+    // xor-mask probe expansion; mask 0 = the query's own bucket
+    val masks = 0 +: (if (probeHamming == 0) Seq.empty[Int]
+                      else (0 until planesPerTable).map(1 << _))
+    val qprobes = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+
+    val cand = bucketed
+      .join(broadcast(qprobes), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+
+    val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
     val queries = normed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), explode(array(probeCols: _*)).as("bucket"))
-    val scored = normed
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"), col("bucket"))
-      .join(broadcast(queries), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .toDF("query_id", "q_emb", "q_norm")
+    val scored = cand
+      .join(normed.toDF("neighbor_id", "embedding", "norm"), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -141,6 +141,51 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(globalSorts(presPlan) >= 1)
   }
 
+  test("passageDedup: planted cross-doc dup found; self-repeats don't count; partial tails exact") {
+    val sp = spark; import sp.implicits._
+    val w16a = (1 to 16).map(i => s"a$i").mkString(" ")
+    val w16b = (1 to 16).map(i => s"b$i").mkString(" ")
+    val w16c = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$w16a $w16b"),        // 2 passages; first shared with doc 2
+      (2L, s"$w16a $w16c"),        // 2 passages; first shared with doc 1
+      (3L, (1 to 20).map(i => s"z$i").mkString(" ")), // 2 passages (16+4 tail), unique
+      (4L, ((1 to 16).map(i => s"d$i").mkString(" ") + " " +
+        (1 to 16).map(i => s"d$i").mkString(" ")))  // self-repeat ONLY -> no cross-doc dup
+    ).toDF("doc_id", "text")
+    val got = TextOps.passageDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((2L, 1L, 500L)))
+    assert(got(2L) == ((2L, 1L, 500L)))
+    assert(got(3L) == ((2L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 0L)), "within-doc repetition must not count as duplication")
+  }
+
+  test("passageDedup on the sf corpus: planted near-dups are passage-duplicated; strings never shuffle") {
+    val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+    val q = TextOps.passageDedup(docs)
+    val rows = q.collect()
+    val planted = rows.filter(_.getLong(0) >= 1000000L)
+    assert(planted.nonEmpty)
+    // a mutant shares every FULL window with its source; only the
+    // word-dropped tail window can differ
+    planted.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1) - 1,
+        s"doc ${r.getLong(0)}: ${r.getLong(2)} of ${r.getLong(1)} windows dup")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(passage"),
+      s"passage strings must not ride a shuffle:\n$plan")
+  }
+
+  test("annLsh multi-table: recall@5 >= 0.7 on the sf corpus at ~0.3 scan fraction") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val recall = VectorOps.annRecall(spark, emb).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(recall("lsh") >= 700L, s"lsh recall_milli = ${recall("lsh")}")
+    assert(recall("ivf") >= 700L, s"ivf recall_milli = ${recall("ivf")}")
+  }
+
   test("annRecall: hit counts match a hand-join of the top-k outputs; deterministic") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
