@@ -27,7 +27,15 @@ object AnnTune {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"sfDir=$sfDir nVec=$nVec exactTopK=${exact.size}")
-    for ((t, p) <- Seq((4, 6), (8, 8), (10, 8), (12, 8), (8, 7), (16, 9))) {
+    for ((kc, sl) <- Seq((16, 50), (16, 100), (64, 50), (64, 100), (256, 50))) {
+      val approx = VectorOps.annPq(spark, emb, nQueries, k,
+        kCode = kc, shortlist = sl)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hits = (approx intersect exact).size
+      println(f"pq kCode=$kc shortlist=$sl recall@$k=${hits.toDouble / exact.size}%.2f")
+    }
+    for ((t, p) <- Seq((16, 9))) {
       val approx = VectorOps.annLsh(spark, emb, nQueries, k,
         nTables = t, planesPerTable = p)
         .select("query_id", "neighbor_id").collect()

@@ -387,20 +387,94 @@ private[graft] object OracleSqlGen {
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PQ oracle: per-subspace integer k-means (VectorOps.pqTrain)
+    * unrolled with (subspace, cell) keys — same exact-arithmetic
+    * discipline as the IVF mirror (milli integers, truncating `//`,
+    * fixed iterations, ties to the smaller cell id) — then codes, the
+    * per-query exact distance table, the ADC shortlist, and the exact
+    * cosine re-rank.
+    */
+  val annPq: String = {
+    val (kCode, iters, nQueries, topK, shortlist, sub) = (64, 3, 10, 5, 100, 8)
+    val iterCtes = (1 to iters).map { n =>
+      val prev = s"pc${n - 1}"
+      s"""pa$n AS (
+         |  SELECT v.vec_id, c.s, c.cid, sum((v.m - c.m) * (v.m - c.m)) AS d
+         |  FROM vm v JOIN $prev c ON v.i = c.i
+         |  GROUP BY v.vec_id, c.s, c.cid),
+         |pb$n AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+         |    FROM pa$n) t WHERE rn = 1),
+         |ps$n AS (
+         |  SELECT b.s, b.cid, v.i, sum(v.m) AS sm, count(*) AS cnt
+         |  FROM vm v JOIN pb$n b ON b.vec_id = v.vec_id AND b.s = v.i // $sub
+         |  GROUP BY b.s, b.cid, v.i),
+         |pc$n AS (
+         |  SELECT p.s, p.cid, p.i, COALESCE(ps$n.sm // ps$n.cnt, p.m) AS m
+         |  FROM $prev p LEFT JOIN ps$n ON ps$n.s = p.s AND ps$n.cid = p.cid AND ps$n.i = p.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vm AS (
+       |  SELECT vec_id, dd.i,
+       |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
+       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
+       |pc0 AS (SELECT i // $sub AS s, vec_id AS cid, i, m FROM vm WHERE vec_id < $kCode),
+       |$iterCtes,
+       |paf AS (
+       |  SELECT v.vec_id, c.s, c.cid, sum((v.m - c.m) * (v.m - c.m)) AS d
+       |  FROM vm v JOIN pc$iters c ON v.i = c.i
+       |  GROUP BY v.vec_id, c.s, c.cid),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT vec_id, s, cid,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+       |    FROM paf) t WHERE rn = 1),
+       |qd AS (SELECT vec_id AS query_id, s, cid, d FROM paf WHERE vec_id < $nQueries),
+       |adc AS (
+       |  SELECT q.query_id, a.vec_id, sum(q.d) AS adc_dist
+       |  FROM codes a JOIN qd q ON q.s = a.s AND q.cid = a.cid
+       |  WHERE a.vec_id <> q.query_id
+       |  GROUP BY q.query_id, a.vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rn
+       |    FROM adc) t WHERE rn <= $shortlist),
+       |normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |         ${dotSql("q.embedding", "n.embedding")} / (n.norm * q.norm) AS sim
+       |  FROM short sh JOIN normed n ON n.vec_id = sh.neighbor_id
+       |                JOIN normed q ON q.vec_id = sh.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       |        CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
+       |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Recall@5 of the approximate ANN methods vs the exact brute-force
-    * top-k — a pure composition of the three already-mirrored queries,
-    * so the oracle re-derives the recall numbers from first principles.
+    * top-k — a pure composition of the already-mirrored queries, so the
+    * oracle re-derives the recall numbers from first principles.
     */
   val annRecall: String =
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annCosine) e),
        |lsh AS (SELECT query_id, neighbor_id FROM ($annLsh) l),
        |ivf AS (SELECT query_id, neighbor_id FROM ($annIvf) i),
+       |pq AS (SELECT query_id, neighbor_id FROM ($annPq) p),
        |h AS (
        |  SELECT 'ivf' AS method,
        |         (SELECT count(*) FROM ivf JOIN exact USING (query_id, neighbor_id)) AS n_hits
        |  UNION ALL
        |  SELECT 'lsh' AS method,
-       |         (SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id)) AS n_hits)
+       |         (SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id)) AS n_hits
+       |  UNION ALL
+       |  SELECT 'pq' AS method,
+       |         (SELECT count(*) FROM pq JOIN exact USING (query_id, neighbor_id)) AS n_hits)
        |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
        |  CAST(50 AS BIGINT) AS n_total,
        |  CAST(n_hits * 1000 // 50 AS BIGINT) AS recall_milli

@@ -257,6 +257,9 @@ object Queries {
   def annLsh(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(s, VectorOps.readEmbeddings(s, d))
 
+  def annPq(s: SparkSession, d: String): DataFrame =
+    VectorOps.annPq(s, VectorOps.readEmbeddings(s, d))
+
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
 

@@ -48,6 +48,7 @@ object SparkEntry {
     "ann_cosine" -> (Queries.annCosine _),
     "ann_lsh" -> (Queries.annLsh _),
     "ann_ivf" -> (Queries.annIvf _),
+    "ann_pq" -> (Queries.annPq _),
     "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "embed_stats" -> (Queries.embedStats _),
@@ -506,6 +507,7 @@ object SparkEntry {
     "ann_cosine" -> OracleSqlGen.annCosine,
     "ann_lsh" -> OracleSqlGen.annLsh,
     "ann_ivf" -> OracleSqlGen.annIvf,
+    "ann_pq" -> OracleSqlGen.annPq,
     "ann_recall" -> OracleSqlGen.annRecall,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding
   )

@@ -327,6 +327,168 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -------------------------------------------------------------------
+  // PQ (product quantization): compressed-code ADC search + re-rank
+  // -------------------------------------------------------------------
+
+  /** Deterministic per-subspace integer k-means (PQ codebook training,
+    * Jégou et al. TPAMI'11): the vector space splits into m contiguous
+    * dim/m-component subspaces, each trained with the same integer
+    * k-means discipline as [[kmeansMilli]] (init = subvectors of the
+    * first k vectors; exact milli arithmetic; TRUNCATING division ==
+    * DuckDB `//`; fixed iteration count, no RNG). One data pass per
+    * iteration trains ALL m codebooks (keyed aggregate on (subspace,
+    * cell)); only m·k·(dim/m) longs ever reach the driver.
+    * Returns codebooks(s)(cid)(component).
+    */
+  def pqTrain(spark: SparkSession, emb: DataFrame, m: Int = 8, k: Int = 16,
+              iters: Int = 3, dim: Int = 64): Array[Array[Array[Long]]] = {
+    import spark.implicits._
+    val sub = dim / m
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, milli(v)) }
+      .toDF("vec_id", "vm")
+      .as[(Long, Array[Long])]
+      .cache()
+    val init = vecs.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    var codebooks: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => init.map(_.slice(s * sub, (s + 1) * sub)))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(codebooks)
+      val sums = vecs
+        .flatMap { case (_, vm) =>
+          val cbs = bc.value
+          (0 until m).iterator.map { s =>
+            val sv = vm.slice(s * sub, (s + 1) * sub)
+            var best = 0
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < cbs(s).length) {
+              val d = dist2(sv, cbs(s)(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            ((s, best), (sv, 1L))
+          }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val (va, na) = a._2; val (vb, nb) = b._2
+          val sum = new Array[Long](va.length)
+          var i = 0
+          while (i < va.length) { sum(i) = va(i) + vb(i); i += 1 }
+          (a._1, (sum, na + nb))
+        }
+        .map { case ((s, cid), (_, (sum, n))) => (s, cid, sum, n) }
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      sums.foreach { case (s, cid, sum, n) =>
+        next(s)(cid) = sum.map(_ / n) // truncating: mirrors DuckDB //
+      }
+      codebooks = next
+      bc.unpersist()
+      it += 1
+    }
+    vecs.unpersist()
+    codebooks
+  }
+
+  /** PQ approximate top-k with asymmetric-distance (ADC) shortlist +
+    * exact re-rank — the memory-bound scale path for similarity search
+    * (the IVF-PQ serving shape without the coarse stage):
+    *
+    *  - base vectors compress to m sub-codes (m·log2(k)/8 bytes each —
+    *    here 8 codes ≈ 4-8 bytes vs 256 bytes of raw floats), the
+    *    representation the scan actually touches at 10^10 vectors;
+    *  - each query computes its EXACT integer distance table to all
+    *    m·k codebook entries (tiny; broadcast), so per-candidate ADC
+    *    distance is a sum of m table lookups — an equi-join on
+    *    (subspace, code) plus a partially-aggregated sum, never a
+    *    full-vector read;
+    *  - the top `shortlist` candidates by ADC are re-ranked with ONE
+    *    exact cosine pass (the standard two-stage serving plan), which
+    *    also heals most quantization error: recall@5 is then bounded
+    *    by the shortlist, not the 4-bit codes.
+    *
+    * All arithmetic is exact (milli integers; ADC distances are exact
+    * BIGINT sums), so the DuckDB oracle recomputes codebooks, codes,
+    * shortlists and the final ranking bit-for-bit.
+    */
+  def annPq(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+            m: Int = 8, kCode: Int = 64, iters: Int = 3, shortlist: Int = 100,
+            dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sub = dim / m
+    val codebooks = pqTrain(spark, emb, m, kCode, iters, dim)
+    val bc = spark.sparkContext.broadcast(codebooks)
+
+    val codes = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cbs = bc.value
+        rows.flatMap { case (id, v) =>
+          val vm = milli(v)
+          (0 until cbs.length).iterator.map { s =>
+            val sv = vm.slice(s * sub, (s + 1) * sub)
+            var best = 0
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < cbs(s).length) {
+              val d = dist2(sv, cbs(s)(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            (id, s, best)
+          }
+        }
+      }
+      .toDF("vec_id", "s", "code")
+
+    // per-query exact distance table to every codebook entry (m·k rows
+    // per query — broadcastable by construction)
+    val qd = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id") < nQueries)
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val cbs = bc.value
+        val vm = milli(v)
+        for {
+          s <- cbs.indices.iterator
+          c <- cbs(s).indices.iterator
+        } yield (id, s, c, dist2(vm.slice(s * sub, (s + 1) * sub), cbs(s)(c)))
+      }
+      .toDF("query_id", "s", "code", "d")
+
+    val adc = codes
+      .join(broadcast(qd), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "q_emb", "q_norm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short
+      .join(normed.toDF("neighbor_id", "embedding", "norm"), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Recall@k of the approximate ANN methods against the exact
     * brute-force ground truth — the number a user tuning
     * nPlanes/nProbe/bands actually needs. Deterministic and fully
@@ -350,6 +512,7 @@ object VectorOps {
           expr(s"n_hits * 1000 DIV ${nTotal}L").cast("long").as("recall_milli"))
     row("ivf", annIvf(spark, emb, nQueries, k))
       .unionByName(row("lsh", annLsh(spark, emb, nQueries, k)))
+      .unionByName(row("pq", annPq(spark, emb, nQueries, k)))
       .orderBy(col("method"))
   }
 

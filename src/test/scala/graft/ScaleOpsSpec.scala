@@ -184,6 +184,24 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(recall("lsh") >= 700L, s"lsh recall_milli = ${recall("lsh")}")
     assert(recall("ivf") >= 700L, s"ivf recall_milli = ${recall("ivf")}")
+    assert(recall("pq") >= 700L, s"pq recall_milli = ${recall("pq")}")
+  }
+
+  test("annPq: ADC shortlist covers the exact top-k it reports; deterministic; codes compress") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val a = VectorOps.annPq(spark, emb).collect().toSeq
+    val b = VectorOps.annPq(spark, emb).collect().toSeq
+    assert(a == b, "PQ search must be run-to-run deterministic")
+    assert(a.nonEmpty && a.size <= 50)
+    // exact re-rank means reported sims are TRUE cosines: each reported
+    // neighbor's sim_micro must match the brute-force value for that pair
+    val brute = VectorOps.annBrute(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    a.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(simB => assert(simB == r.getLong(3),
+        s"re-ranked sim for $key diverges from exact"))
+    }
   }
 
   test("annRecall: hit counts match a hand-join of the top-k outputs; deterministic") {
@@ -193,11 +211,13 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = pairs(VectorOps.annBrute(emb))
     val wantIvf = (pairs(VectorOps.annIvf(spark, emb)) intersect exact).size.toLong
     val wantLsh = (pairs(VectorOps.annLsh(spark, emb)) intersect exact).size.toLong
+    val wantPq = (pairs(VectorOps.annPq(spark, emb)) intersect exact).size.toLong
     val got = VectorOps.annRecall(spark, emb).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(got.map(_._1).toSeq == Seq("ivf", "lsh"))
+    assert(got.map(_._1).toSeq == Seq("ivf", "lsh", "pq"))
     val byM = got.map(r => r._1 -> r).toMap
-    assert(byM("ivf")._2 == wantIvf && byM("lsh")._2 == wantLsh)
+    assert(byM("ivf")._2 == wantIvf && byM("lsh")._2 == wantLsh &&
+      byM("pq")._2 == wantPq)
     got.foreach { case (_, hits, total, milli) =>
       assert(total == 50L && hits >= 0L && hits <= 50L && milli == hits * 1000L / 50L)
     }
