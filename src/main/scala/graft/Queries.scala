@@ -236,6 +236,9 @@ object Queries {
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 
+  def tfidfTopTermsQ(s: SparkSession, d: String): DataFrame =
+    TextOps.tfidfTopTerms(TextOps.readDocs(s, d))
+
   def mixBalanceQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixBalance(TextOps.readDocs(s, d))
 

@@ -36,6 +36,7 @@ object SparkEntry {
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
+    "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
     "mix_balance" -> (Queries.mixBalanceQ _),
     "decontaminate" -> (Queries.decontaminateQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
@@ -476,6 +477,23 @@ object SparkEntry {
         |  (sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 5 > count(*)) AS is_oov_heavy
         |FROM wx LEFT JOIN vocab v USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // integer-exact TF/DF salience (tf*10^6 // df; all positive so
+    // DuckDB // == Spark DIV), ties score-desc/term-asc on both engines
+    "tfidf_topterms" ->
+      """WITH wx AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.x AS w
+        |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(x)),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM wx GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM wx GROUP BY w),
+        |s AS (
+        |  SELECT tf.doc_id, tf.w, CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+        |  FROM tf JOIN df USING (w)),
+        |r AS (
+        |  SELECT doc_id, w, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
+        |  FROM s)
+        |SELECT doc_id, w AS term, CAST(rank AS BIGINT) AS rank, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // eval-set 8-gram contamination: planted quote-docs at +4000001
     // (≡1 mod 50 keeps them on the training side)
     "decontaminate" ->

@@ -762,6 +762,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Top salient terms per doc by an integer-exact TF/DF score
+    * (score = tf·10^6 DIV df): the keyword/topic-signal primitive for
+    * corpus exploration and domain tagging. A true tf·idf would need
+    * ln(N/df) — cross-engine float logs are not bit-guaranteed, so the
+    * score keeps the same "frequent here, rare elsewhere" ordering in
+    * exact integers instead (df-monotone for fixed tf).
+    *
+    * Scale shape: two hash aggregates (per-doc tf, corpus df — both
+    * map-side combined) and a vocabulary-keyed shuffle join (df is NOT
+    * broadcast: at web scale the vocabulary is huge); the per-doc top-N
+    * is a bounded window.
+    */
+  def tfidfTopTerms(docs: DataFrame, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("w"))
+      .withColumn("score", expr("tf * 1000000 DIV df").cast("long"))
+    val wnd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("w").as("term"),
+        col("rank").cast("long").as("rank"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   // -------------------------------------------------------------------
   // OOV-rate quality signal (top-K-vocabulary UNK rate)
   // -------------------------------------------------------------------

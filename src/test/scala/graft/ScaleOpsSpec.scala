@@ -178,6 +178,26 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"passage strings must not ride a shuffle:\n$plan")
   }
 
+  test("tfidfTopTerms: frequent-here-rare-elsewhere wins; deterministic ties") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple common common"),   // apple: tf 3, df 1
+      (2L, "banana banana common zebra"),        // banana: tf 2, df 1
+      (3L, "common cherry")                      // every word df context
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, topN = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc1: apple 3*1M/1 = 3,000,000 > common 2*1M/3
+    assert(got.filter(_._1 == 1L).toSeq ==
+      Seq((1L, "apple", 1L, 3000000L), (1L, "common", 2L, 666666L)))
+    // doc2: banana 2M > zebra 1M > common 333k
+    assert(got.filter(_._1 == 2L).toSeq ==
+      Seq((2L, "banana", 1L, 2000000L), (2L, "zebra", 2L, 1000000L)))
+    // doc3: cherry 1M > common 333k
+    assert(got.filter(_._1 == 3L).toSeq ==
+      Seq((3L, "cherry", 1L, 1000000L), (3L, "common", 2L, 333333L)))
+  }
+
   test("annLsh multi-table: recall@5 >= 0.7 on the sf corpus at ~0.3 scan fraction") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val recall = VectorOps.annRecall(spark, emb).collect()
