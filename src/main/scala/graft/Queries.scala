@@ -382,6 +382,39 @@ object Queries {
       .orderBy(col("url"))
   }
 
+  /** WARC ingestion leg (the Common-Crawl container): documents are
+    * packed 5-per-file into synthesized WARC/1.0 files (warcinfo +
+    * request + response records; every other file gzipped per record —
+    * the CC convention), the reader splits records / unwraps the HTTP
+    * message / keeps only responses, and THE PRODUCTION extraction
+    * expression runs on the recovered html. Output text byte-identical
+    * to documents.text — record splitting is proven by the same oracle
+    * as the HTML and PDF legs.
+    */
+  def extractWarc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val files = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 5)
+      .mapGroups { (g, it) =>
+        val members = it.toArray.sortBy(_._1).map { case (id, text) =>
+          (id, PageSource.urlOf(id), PageSource.EpochBase + id,
+            PageSource.wrapHtml(id, text))
+        }
+        graft.sources.WarcSource.buildWarcFile(members.toSeq, gzipPerRecord = g % 2 == 1)
+      }
+    val warcPages = files
+      .flatMap(bytes => graft.sources.WarcSource.responses(bytes))
+      .map { case (url, epoch, body) =>
+        (url, new java.sql.Timestamp(epoch * 1000L), body)
+      }
+      .toDF("url", "warc_ts", "html")
+    ExtractPipeline.extractExpr(warcPages, ExtractorConfig.spaceJoined)
+      .select(col("url"), col("text"))
+      .orderBy(col("url"))
+  }
+
   def digestOutput(s: SparkSession, d: String): DataFrame =
     extracted(s, d).toDF()
       .select(col("url"), sha2(col("text"), 256).as("text_sha"))

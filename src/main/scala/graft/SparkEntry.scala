@@ -68,6 +68,7 @@ object SparkEntry {
     "spans_view" -> (Queries.spansView _),
     "extract_pipeline" -> (Queries.extractPipeline _),
     "extract_pdf" -> (Queries.extractPdf _),
+    "extract_warc" -> (Queries.extractWarc _),
     "digest_output" -> (Queries.digestOutput _),
     "dedup_latest" -> (Queries.dedupLatest _),
     "metrics_by_host" -> (Queries.metricsByHost _),
@@ -249,6 +250,10 @@ object SparkEntry {
       s"SELECT $urlSql AS url, text FROM documents ORDER BY url",
     // PDF leg: wrap → extract must reproduce the text byte-identically
     "extract_pdf" ->
+      s"SELECT $urlSql AS url, text FROM documents ORDER BY url",
+    // WARC leg: pack into multi-record (gzipped) WARC files → split →
+    // unwrap HTTP → extract must reproduce the text byte-identically
+    "extract_warc" ->
       s"SELECT $urlSql AS url, text FROM documents ORDER BY url",
     "digest_output" ->
       s"SELECT $urlSql AS url, sha256(text) AS text_sha FROM documents ORDER BY url",
