@@ -60,6 +60,30 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.urlNormalize(d.select(
       org.apache.spark.sql.functions.col("doc_id"),
       org.apache.spark.sql.functions.col("text").as("url_messy"))).count() == 0)
+    assert(TextOps.passageDedup(d).count() == 0)
+    assert(TextOps.tfidfTopTerms(d).count() == 0)
+  }
+
+  test("vector operators accept a tiny corpus (fewer vectors than codebook/query sizes)") {
+    val sp = spark; import sp.implicits._
+    // 3 vectors, 64-dim — smaller than kCode=64, nQueries=10, shortlist
+    val emb = (0 until 3).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (i + 1) * 0.01f * ((j % 5) - 2)), i)
+    }.toDF("vec_id", "embedding", "label")
+    assert(graft.ops.VectorOps.annBrute(emb).count() > 0)
+    assert(graft.ops.VectorOps.annLsh(spark, emb).count() >= 0)
+    assert(graft.ops.VectorOps.annPq(spark, emb).count() >= 0)
+    val recall = graft.ops.VectorOps.annRecall(spark, emb).collect()
+    assert(recall.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "pq"))
+  }
+
+  test("single-doc corpus: passage/tfidf/census degenerate sanely") {
+    val sp = spark; import sp.implicits._
+    val d = Seq((1L, "only one document here now", "en")).toDF("doc_id", "text", "lang")
+    val pd = TextOps.passageDedup(d).collect()
+    assert(pd.length == 1 && pd(0).getLong(2) == 0L, "nothing cross-doc to duplicate")
+    assert(TextOps.tfidfTopTerms(d).count() == 3)
+    assert(TextOps.ngramCensus(d).count() == 0)
   }
 
   test("CurateJob survives an input that the gate filters to nothing") {
