@@ -330,8 +330,11 @@ private[graft] object OracleSqlGen {
     * the SQL recomputes identical centroids, identical cell
     * assignments, identical probes, and the same cosine top-k.
     */
-  val annIvf: String = {
-    val (k, iters, nProbe, nQueries, topK) = (16, 3, 2, 10, 5)
+  /** Shared k-means CTE chain (VectorOps.kmeansMilli unrolled): ends in
+    * `af(vec_id, cid, d)` (distances to final centroids) and
+    * `assigned(vec_id, cid)` — used by both annIvf and embedCluster.
+    */
+  private def kmeansAssignCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
       s"""a$n AS (
@@ -349,7 +352,7 @@ private[graft] object OracleSqlGen {
          |  SELECT p.cid, p.i, COALESCE(s$n.sm // s$n.cnt, p.m) AS m
          |  FROM $prev p LEFT JOIN s$n ON s$n.cid = p.cid AND s$n.i = p.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH vm AS (
+    s"""vm AS (
        |  SELECT vec_id, dd.i,
        |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
        |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
@@ -362,7 +365,12 @@ private[graft] object OracleSqlGen {
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
-       |    FROM af) t WHERE rn = 1),
+       |    FROM af) t WHERE rn = 1)""".stripMargin
+  }
+
+  val annIvf: String = {
+    val (k, iters, nProbe, nQueries, topK) = (16, 3, 2, 10, 5)
+    s"""WITH ${kmeansAssignCtes(k, iters)},
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid,
@@ -386,6 +394,24 @@ private[graft] object OracleSqlGen {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Cluster census mirror: the k-means assignment chain + label join,
+    * majority label with (count desc, label asc) ties, integer purity.
+    */
+  val embedCluster: String =
+    s"""WITH ${kmeansAssignCtes(16, 3)},
+       |lab AS (
+       |  SELECT a.vec_id, a.cid AS cell, CAST(e.label AS BIGINT) AS label
+       |  FROM assigned a JOIN embeddings e USING (vec_id)),
+       |pl AS (SELECT cell, label, count(*) AS n FROM lab GROUP BY cell, label),
+       |tot AS (SELECT cell, sum(n) AS n_vecs FROM pl GROUP BY cell),
+       |r AS (
+       |  SELECT cell, label, n,
+       |         row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rn
+       |  FROM pl)
+       |SELECT CAST(r.cell AS BIGINT) AS cell, CAST(t.n_vecs AS BIGINT) AS n_vecs,
+       |  r.label AS top_label, CAST(r.n * 1000 // t.n_vecs AS BIGINT) AS purity_permille
+       |FROM r JOIN tot t USING (cell) WHERE r.rn = 1 ORDER BY cell""".stripMargin
 
   /** PQ oracle: per-subspace integer k-means (VectorOps.pqTrain)
     * unrolled with (subspace, cell) keys — same exact-arithmetic

@@ -263,6 +263,9 @@ object Queries {
   def annPq(s: SparkSession, d: String): DataFrame =
     VectorOps.annPq(s, VectorOps.readEmbeddings(s, d))
 
+  def embedClusterQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
+
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
 

@@ -50,6 +50,7 @@ object SparkEntry {
     "ann_lsh" -> (Queries.annLsh _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_pq" -> (Queries.annPq _),
+    "embed_cluster" -> (Queries.embedClusterQ _),
     "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "embed_stats" -> (Queries.embedStats _),
@@ -531,6 +532,7 @@ object SparkEntry {
     "ann_lsh" -> OracleSqlGen.annLsh,
     "ann_ivf" -> OracleSqlGen.annIvf,
     "ann_pq" -> OracleSqlGen.annPq,
+    "embed_cluster" -> OracleSqlGen.embedCluster,
     "ann_recall" -> OracleSqlGen.annRecall,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding
   )

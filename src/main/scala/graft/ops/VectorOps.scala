@@ -327,6 +327,54 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cluster census over the embedding space (the domain-discovery /
+    * mixing-diagnostics view): assign every vector to its deterministic
+    * k-means cell (the IVF coarse quantizer reused as a clustering),
+    * then report per-cell size, majority label and purity — the
+    * numbers a curation pipeline reads to decide which embedding
+    * regions are over/under-represented before reweighting. One
+    * assignment map (centroids broadcast) + two hash aggregates; ties
+    * on (count desc, label asc) so the census is engine-reproducible.
+    */
+  def embedCluster(spark: SparkSession, emb: DataFrame, k: Int = 16,
+                   iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val centroids = kmeansMilli(spark, emb, k, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = emb.select(col("vec_id").cast("long"), col("embedding"),
+        col("label").cast("long"))
+      .as[(Long, Seq[Float], Long)]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v, label) =>
+          val vm = milli(v)
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val d = dist2(vm, cs(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (id, best, label)
+        }
+      }
+      .toDF("vec_id", "cell", "label")
+    val perLabel = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("n").desc, col("label").asc)
+    perLabel
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy(col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("cell").cast("long").as("cell"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("label").as("top_label"),
+        expr("n * 1000 DIV n_vecs").cast("long").as("purity_permille"))
+      .orderBy(col("cell"))
+  }
+
   // -------------------------------------------------------------------
   // PQ (product quantization): compressed-code ADC search + re-rank
   // -------------------------------------------------------------------

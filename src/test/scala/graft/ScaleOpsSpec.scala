@@ -207,6 +207,20 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall("pq") >= 700L, s"pq recall_milli = ${recall("pq")}")
   }
 
+  test("embedCluster: every vector lands in one cell; purity and majority are consistent") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val total = emb.count()
+    val rows = VectorOps.embedCluster(spark, emb).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "cells must partition the corpus")
+    rows.foreach { r =>
+      val (n, purity) = (r.getLong(1), r.getLong(3))
+      assert(purity >= 1000L / 10 / 2 || n < 10,
+        s"cell ${r.getLong(0)}: purity $purity implausibly low for majority-of-10-labels")
+      assert(purity <= 1000L)
+    }
+    assert(VectorOps.embedCluster(spark, emb).collect().toSeq == rows.toSeq)
+  }
+
   test("annPq: ADC shortlist covers the exact top-k it reports; deterministic; codes compress") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val a = VectorOps.annPq(spark, emb).collect().toSeq
