@@ -61,6 +61,47 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcSource.responses(noLen).isEmpty)
   }
 
+  test("property: round-trip holds for random page sets (either codec); fuzzed bytes never throw") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default.withSize(40)
+    val htmlGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(10)),
+      Gen.oneOf("<p>", "</p>", "\r\n\r\nWARC/1.0\r\n", "Content-Length: 7",
+        "é中文", "")
+    )).map(_.mkString(" "))
+    var seed = 0L
+    var runs = 0
+    while (runs < 60) {
+      Gen.zip(Gen.choose(0, 6), Gen.listOfN(6, htmlGen), Gen.oneOf(true, false))
+        .apply(params, Seed(seed)) match {
+        case Some((n, texts, gz)) =>
+          val ps = (0 until n).map { i =>
+            (i.toLong, PageSource.urlOf(i.toLong), PageSource.EpochBase + i,
+              texts(i).getBytes(StandardCharsets.UTF_8))
+          }.filter(_._4.nonEmpty)
+          val warc = WarcSource.buildWarcFile(ps, gz)
+          val got = WarcSource.responses(warc)
+          assert(got.size == ps.size,
+            s"lost records (n=${ps.size}, gz=$gz, got=${got.size})")
+          got.zip(ps).foreach { case ((uri, _, body), (_, url, _, html)) =>
+            assert(uri == url && body.sameElements(html))
+          }
+          // fuzz: responses() is total on arbitrary corruption
+          if (warc.nonEmpty) {
+            val corrupt = warc.clone()
+            corrupt((seed % corrupt.length).toInt.abs) =
+              (seed & 0xff).toByte
+            WarcSource.responses(corrupt)
+            WarcSource.responses(java.util.Arrays.copyOf(warc, warc.length / 2))
+          }
+          runs += 1
+        case None =>
+      }
+      seed += 1
+    }
+  }
+
   test("deterministic bytes: same pages -> same file, gzip included") {
     val a = WarcSource.buildWarcFile(pages(3), gzipPerRecord = true)
     val b = WarcSource.buildWarcFile(pages(3), gzipPerRecord = true)
