@@ -14,6 +14,10 @@ import graft.ops.TextOps
   *     → quality + repetition gate (single projection, codegen)
   *     → near-dup clustering (exact sha + MinHash-LSH edges →
   *       connected components; keep one canonical doc per cluster)
+  *     → [optional] passage-level gate (drop boilerplate-mosaic docs
+  *       whose cross-doc duplicated-passage share exceeds
+  *       maxDupPermille — the sub-document signal doc-level dedup
+  *       cannot see; off by default)
   *     → PII scrub → deterministic hash sampling
   *     → token-budget shard packing → shard-partitioned parquet write
   *
@@ -55,7 +59,12 @@ object CurateJob {
       samplePermille: Long = 900L,
       minTokens: Long = 5L,
       dupFactor: Long = 2L,
-      format: String = "parquet" // or "json": JSONL shards for trainers
+      format: String = "parquet", // or "json": JSONL shards for trainers
+      // optional sub-document gate: drop docs whose cross-doc
+      // duplicated-passage share exceeds this permille (the
+      // boilerplate-mosaic filter doc-level dedup cannot see).
+      // None (default) keeps the funnel byte-identical to r2/r3 runs.
+      maxDupPermille: Option[Long] = None
   ): CurateReport = {
     graft.functions.GraftExtensions.register(spark)
 
@@ -104,9 +113,23 @@ object CurateJob {
       labels.filter(col("doc_id") === col("label")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+    // ---- 3b (optional). passage-level gate: a doc that is mostly a
+    // mosaic of passages duplicated ACROSS the corpus survives both
+    // exact and near-dup clustering (its word set is unique) — this is
+    // the RefinedWeb/Lee-et-al sub-document signal. Hashes only on the
+    // wire (TextOps.passageDedup).
+    val passGated = maxDupPermille match {
+      case Some(th) =>
+        val keep = TextOps.passageDedup(canonical.select(col("doc_id"), col("text")))
+          .filter(col("dup_permille") <= th)
+          .select(col("doc_id"))
+        canonical.join(keep, Seq("doc_id"), "left_semi")
+      case None => canonical
+    }
+
     // ---- 4. scrub + sample + shard-pack, one more projection + the
     // bucket-partitioned window, then the shard write.
-    val sampled = canonical
+    val sampled = passGated
       .withColumn("text",
         regexp_replace(col("text"), TextOps.EmailPattern, "<EMAIL>"))
       .filter(TextOps.unsignedMod1000(

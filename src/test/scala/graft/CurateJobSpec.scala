@@ -114,4 +114,35 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(key(jrows) == key(rows))
   }
+
+  test("optional passage gate drops boilerplate-mosaic docs; default-off funnel unchanged") {
+    val sp = spark; import sp.implicits._
+    val boiler = (0 until 16).map(k => s"boiler$k").mkString(" ")
+    // 6 clean docs; 3 "mosaic" docs = the SAME 16-word boilerplate
+    // window + a unique 16-word tail (distinct word sets → they pass
+    // the repetition gate AND survive near-dup clustering)
+    val docs =
+      (0 until 6).map(i => (s"https://pg.example/c/$i",
+        (0 until 17).map(k => s"c${i}w$k").mkString(" "))) ++
+      (0 until 3).map(i => (s"https://pg.example/m/$i",
+        boiler + " " + (0 until 16).map(k => s"m${i}u$k").mkString(" ")))
+    val in = java.nio.file.Files.createTempDirectory("pg-in").toString
+    docs.toDF("url", "text").write.mode("overwrite").parquet(in)
+
+    val outOff = java.nio.file.Files.createTempDirectory("pg-off").toString
+    val rOff = CurateJob.run(spark, in, outOff, samplePermille = 1000L)
+    assert(rOff.nCanonical == 9, "no doc-level dup among these")
+    assert(rOff.nSampled == 9, "gate off: every canonical doc ships")
+
+    // mosaics are 50% duplicated passages (1 of 2 windows) → threshold
+    // 400 drops all three; clean docs are 0-permille and survive
+    val outOn = java.nio.file.Files.createTempDirectory("pg-on").toString
+    val rOn = CurateJob.run(spark, in, outOn, samplePermille = 1000L,
+      maxDupPermille = Some(400L))
+    assert(rOn.nCanonical == 9, "the gate acts after clustering")
+    assert(rOn.nSampled == 6, s"mosaic docs must be dropped, got ${rOn.nSampled}")
+    val kept = spark.read.parquet(s"$outOn/shards")
+      .select("url_norm").collect().map(_.getString(0))
+    assert(kept.forall(_.contains("/c/")), kept.mkString(","))
+  }
 }

@@ -207,6 +207,20 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall("pq") >= 700L, s"pq recall_milli = ${recall("pq")}")
   }
 
+  test("new operators are partition-invariant (repartitioned input, identical output)") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(rows(VectorOps.annPq(spark, emb)) ==
+      rows(VectorOps.annPq(spark, emb.repartition(7))))
+    assert(rows(VectorOps.embedCluster(spark, emb)) ==
+      rows(VectorOps.embedCluster(spark, emb.repartition(7))))
+    assert(rows(TextOps.passageDedup(docs)) ==
+      rows(TextOps.passageDedup(docs.repartition(7))))
+    assert(rows(TextOps.tfidfTopTerms(docs)) ==
+      rows(TextOps.tfidfTopTerms(docs.repartition(7))))
+  }
+
   test("embedCluster: every vector lands in one cell; purity and majority are consistent") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val total = emb.count()
