@@ -107,4 +107,39 @@ class WarcSpec extends AnyFunSuite {
     val b = WarcSource.buildWarcFile(pages(3), gzipPerRecord = true)
     assert(a.sameElements(b))
   }
+
+  test("IngestJob: WARC dir (plain + gzip + damaged) -> pages parquet, idempotent rerun") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ingest-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val warcDir = java.nio.file.Files.createTempDirectory("ingest-warc")
+      val pagesDir = java.nio.file.Files.createTempDirectory("ingest-pages").toString
+      val ps = pages(9)
+      def write(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(warcDir.resolve(name), bytes)
+      write("a.warc", WarcSource.buildWarcFile(ps.slice(0, 4), gzipPerRecord = false))
+      write("b.warc.gz", WarcSource.buildWarcFile(ps.slice(4, 7), gzipPerRecord = true))
+      val full = WarcSource.buildWarcFile(ps.slice(7, 9), gzipPerRecord = false)
+      write("c.warc", java.util.Arrays.copyOf(full, full.length / 2)) // damaged
+      write("notes.txt", "not a warc".getBytes) // glob-filtered out
+
+      val (nFiles, nPages) = IngestJob.run(spark, warcDir.toString, pagesDir, numParts = 3)
+      assert(nFiles == 3, "pathGlobFilter keeps only *.warc*")
+      assert(nPages >= 7 && nPages <= 8, s"4 + 3 + (damaged partial) pages, got $nPages")
+      val got = spark.read.parquet(pagesDir)
+        .collect().map(r => r.getAs[String]("url") ->
+          r.getAs[Array[Byte]]("html")).toMap
+      ps.take(7).foreach { case (_, url, _, html) =>
+        assert(got(url).sameElements(html), s"html bytes differ for $url")
+      }
+      val (nFiles2, nPages2) = IngestJob.run(spark, warcDir.toString, pagesDir, numParts = 3)
+      assert(nFiles2 == nFiles && nPages2 == nPages, "rerun is idempotent")
+    } finally spark.stop()
+  }
 }
