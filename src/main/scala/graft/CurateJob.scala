@@ -120,10 +120,16 @@ object CurateJob {
     // wire (TextOps.passageDedup).
     val passGated = maxDupPermille match {
       case Some(th) =>
-        val keep = TextOps.passageDedup(canonical.select(col("doc_id"), col("text")))
-          .filter(col("dup_permille") <= th)
+        // persist: the passage aggregate AND the join's left side both
+        // read canonical — without this the whole funnel lineage
+        // (gate + dedup + components) executes twice. Drop only docs
+        // PROVEN over threshold (left_anti): a doc with no passages at
+        // all is absent from the report and must survive.
+        val cached = canonical.persist()
+        val drop = TextOps.passageDedup(cached.select(col("doc_id"), col("text")))
+          .filter(col("dup_permille") > th)
           .select(col("doc_id"))
-        canonical.join(keep, Seq("doc_id"), "left_semi")
+        cached.join(drop, Seq("doc_id"), "left_anti")
       case None => canonical
     }
 
@@ -170,6 +176,7 @@ object CurateJob {
         (r.getLong(0), r.getLong(1))
       }
     val nCanonical = canonical.count()
+    if (maxDupPermille.isDefined) canonical.unpersist()
     urlDeduped.unpersist()
 
     val report = CurateReport(nInput, nUrlDeduped, nGated, nCanonical, nSampled, nShards)

@@ -581,7 +581,7 @@ private[graft] object OracleSqlGen {
     */
   val passageDedup: String =
     s"""WITH $nearDupCorpus,
-       |pw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |pw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
        |pass AS (
        |  SELECT doc_id, array_to_string(ws[CAST(u.i*16+1 AS INTEGER):CAST(u.i*16+16 AS INTEGER)], ' ') AS passage
        |  FROM pw, UNNEST(range((len(ws) + 15) // 16)) AS u(i)),

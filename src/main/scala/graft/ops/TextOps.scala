@@ -741,7 +741,11 @@ object TextOps {
     val ph = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val words = text.split(' ')
+        // empty tokens dropped on BOTH sides (oracle: list_filter) —
+        // Scala split(' ') silently drops trailing empties while DuckDB
+        // string_split keeps them, so the filter is the only tokenizing
+        // the two engines agree on for ragged whitespace
+        val words = text.split(' ').filter(_.nonEmpty)
         val n = (words.length + w - 1) / w
         (0 until n).iterator.map { i =>
           (id, fnv1a64(words.slice(i * w, math.min((i + 1) * w, words.length)).mkString(" ")))

@@ -136,27 +136,56 @@ object VectorOps {
     * with p ~= 0.59 — on real embedding corpora with tighter neighbors
     * the same shape probes far less for far more.
     */
+  /** Exact-cosine top-k over candidate (query_id, neighbor_id) id
+    * pairs — the shared re-rank tail of the candidate-generating ANN
+    * methods (annLsh, annPq). ONE scoring contract: precomputed norms,
+    * micro-floored similarity, (sim desc, neighbor asc) ties — the
+    * constants every DuckDB mirror tracks live here, not in N copies.
+    */
+  private def rerankExact(cand: DataFrame, emb: DataFrame,
+                          nQueries: Int, k: Int): DataFrame = {
+    val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "q_emb", "q_norm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand
+      .join(normed.toDF("neighbor_id", "embedding", "norm"), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
              nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64,
              probeHamming: Int = 1): DataFrame = {
     import spark.implicits._
     require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
     val planes = hyperplanes(nTables * planesPerTable, dim)
-    val bucketed = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val f = bandBuckets(planes, nTables, planesPerTable) _
-        it.flatMap { case (id, v) =>
-          val bs = f(v)
-          bs.indices.map(t => (id, t, bs(t)))
+    def bucketize(df: DataFrame): DataFrame =
+      df.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val f = bandBuckets(planes, nTables, planesPerTable) _
+          it.flatMap { case (id, v) =>
+            val bs = f(v)
+            bs.indices.map(t => (id, t, bs(t)))
+          }
         }
-      }
-      .toDF("vec_id", "band", "bucket")
+        .toDF("vec_id", "band", "bucket")
 
-    // xor-mask probe expansion; mask 0 = the query's own bucket
+    val bucketed = bucketize(emb)
+    // the query side buckets a PRE-filtered relation (vec_id < nQueries
+    // pushes to the scan) — filtering after the opaque typed map would
+    // re-run the full 144-plane pass over the whole corpus
     val masks = 0 +: (if (probeHamming == 0) Seq.empty[Int]
                       else (0 until planesPerTable).map(1 << _))
-    val qprobes = bucketed.filter(col("vec_id") < nQueries)
+    val qprobes = bucketize(emb.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("band"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
 
@@ -165,22 +194,7 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-
-    val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("norm"))
-    val queries = normed.filter(col("vec_id") < nQueries)
-      .toDF("query_id", "q_emb", "q_norm")
-    val scored = cand
-      .join(normed.toDF("neighbor_id", "embedding", "norm"), Seq("neighbor_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
-      .orderBy(col("query_id"), col("rank"))
+    rerankExact(cand, emb, nQueries, k)
   }
 
   // -------------------------------------------------------------------
@@ -519,22 +533,7 @@ object VectorOps {
     val short = adc.withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-    val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("norm"))
-    val queries = normed.filter(col("vec_id") < nQueries)
-      .toDF("query_id", "q_emb", "q_norm")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    short
-      .join(normed.toDF("neighbor_id", "embedding", "norm"), Seq("neighbor_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
-      .orderBy(col("query_id"), col("rank"))
+    rerankExact(short, emb, nQueries, k)
   }
 
   /** Recall@k of the approximate ANN methods against the exact

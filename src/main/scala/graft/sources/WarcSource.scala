@@ -30,17 +30,48 @@ object WarcSource {
     bos.toByteArray
   }
 
-  private def gunzipAll(data: Array[Byte]): Array[Byte] = {
-    // concatenated gzip members decompress sequentially; the
-    // constructor itself throws on a damaged header — keep the prefix
-    val out = new ByteArrayOutputStream(data.length * 3 + 64)
-    try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(data), 8192)
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: java.io.IOException => /* damaged tail: keep prefix */ }
-    out.toByteArray
+  /** Hard cap on one record's payload (a page, not a file) — a header
+    * claiming more is treated as damage, and parsing stops rather than
+    * synthesizing records out of payload bytes.
+    */
+  private val MaxPayload: Long = 1L << 30
+
+  /** Bounded line-and-payload reader over a (possibly gzip) stream —
+    * decompression is STREAMED, so memory is O(one record payload),
+    * never O(decompressed file) (a ~1 GB .warc.gz expands past the 2 GB
+    * byte[] limit; the old whole-file inflate could not run on real
+    * Common-Crawl members).
+    */
+  private final class ByteLines(in: java.io.InputStream) {
+    private val buf = new java.io.BufferedInputStream(in, 65536)
+    /** Next LF-terminated line (CR stripped), UTF-8, capped at 64 KiB
+      * (excess consumed); None at EOF.
+      */
+    def readLine(): Option[String] = {
+      var c = buf.read()
+      if (c < 0) return None
+      val bos = new ByteArrayOutputStream(128)
+      var n = 0
+      while (c >= 0 && c != '\n') {
+        if (n < 65536) { bos.write(c); n += 1 }
+        c = buf.read()
+      }
+      val b = bos.toByteArray
+      val len = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
+      Some(new String(b, 0, len, StandardCharsets.UTF_8))
+    }
+    /** Read exactly n bytes (short at EOF — the truncated-tail case). */
+    def readN(n: Long): Array[Byte] = {
+      val want = math.min(n, MaxPayload).toInt
+      val out = new Array[Byte](want)
+      var off = 0
+      while (off < want) {
+        val r = buf.read(out, off, want - off)
+        if (r < 0) return java.util.Arrays.copyOf(out, off)
+        off += r
+      }
+      out
+    }
   }
 
   private def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
@@ -100,40 +131,46 @@ object WarcSource {
   }
 
   /** (targetUri, captureEpochSec, httpBodyBytes) per response record.
-    * Gzipped input (magic 1f 8b) is decompressed first; non-response
-    * records are skipped; a record without a parseable Content-Length
-    * ends parsing (cannot locate the next boundary — the damaged-file
-    * degradation real readers use).
+    * Gzipped input (magic 1f 8b) is decompressed as a STREAM (memory
+    * O(one record), concatenated members handled); non-response
+    * records are skipped; a record whose Content-Length is missing,
+    * negative, or absurd (> 1 GiB) ends parsing — the next boundary
+    * cannot be trusted, and real readers degrade the same way. The
+    * cursor only ever moves FORWARD (line reads + exact payload
+    * reads), so no adversarial header can loop the parser.
     */
   def responses(warc: Array[Byte]): Seq[(String, Long, Array[Byte])] = {
     if (warc == null || warc.length < 4) return Seq.empty
-    val plain =
-      if ((warc(0) & 0xff) == 0x1f && (warc(1) & 0xff) == 0x8b) gunzipAll(warc)
-      else warc
     val out = Seq.newBuilder[(String, Long, Array[Byte])]
-    var pos = 0
-    while (pos >= 0 && pos < plain.length) {
-      pos = indexOf(plain, "WARC/".getBytes(StandardCharsets.US_ASCII), pos)
-      if (pos >= 0) {
-        val headEnd = indexOf(plain, s"$Crlf$Crlf".getBytes(StandardCharsets.US_ASCII), pos)
-        if (headEnd < 0) { pos = -1 }
-        else {
-          val head = new String(plain, pos, headEnd - pos, StandardCharsets.UTF_8)
-          val fields = head.split("\r\n").iterator.flatMap { line =>
-            val i = line.indexOf(':')
-            if (i > 0) Some(line.substring(0, i).trim.toLowerCase ->
-              line.substring(i + 1).trim)
-            else None
-          }.toMap
-          fields.get("content-length").flatMap(s => s.toLongOption) match {
-            case None => pos = -1 // boundary unknown: stop (damaged)
+    try {
+      val raw = new ByteArrayInputStream(warc)
+      val in: java.io.InputStream =
+        if ((warc(0) & 0xff) == 0x1f && (warc(1) & 0xff) == 0x8b)
+          new GZIPInputStream(raw, 8192)
+        else raw
+      val lines = new ByteLines(in)
+      var line = lines.readLine()
+      var damaged = false
+      while (!damaged && line.isDefined) {
+        if (line.exists(_.startsWith("WARC/"))) {
+          // header fields up to the blank line
+          var fields = Map.empty[String, String]
+          var l = lines.readLine()
+          while (l.exists(_.nonEmpty)) {
+            val s = l.get
+            val i = s.indexOf(':')
+            if (i > 0) fields += (s.substring(0, i).trim.toLowerCase ->
+              s.substring(i + 1).trim)
+            l = lines.readLine()
+          }
+          fields.get("content-length").flatMap(_.toLongOption)
+            .filter(len => len >= 0 && len <= MaxPayload) match {
+            case None => damaged = true // boundary unknown: stop
             case Some(len) =>
-              val payloadStart = headEnd + 4
-              val payloadEnd = math.min(plain.length, payloadStart + len.toInt)
-              if (fields.get("warc-type").contains("response") &&
-                payloadEnd > payloadStart) {
-                val payload = java.util.Arrays.copyOfRange(plain, payloadStart, payloadEnd)
-                val bodyAt = indexOf(payload, s"$Crlf$Crlf".getBytes(StandardCharsets.US_ASCII), 0)
+              val payload = lines.readN(len)
+              if (fields.get("warc-type").contains("response") && payload.nonEmpty) {
+                val bodyAt = indexOf(payload,
+                  s"$Crlf$Crlf".getBytes(StandardCharsets.US_ASCII))
                 val body =
                   if (bodyAt < 0) Array.empty[Byte]
                   else java.util.Arrays.copyOfRange(payload, bodyAt + 4, payload.length)
@@ -143,16 +180,18 @@ object WarcSource {
                 val uri = fields.getOrElse("warc-target-uri", "")
                 if (uri.nonEmpty && body.nonEmpty) out += ((uri, epoch, body))
               }
-              pos = payloadEnd
           }
         }
+        if (!damaged) line = lines.readLine()
       }
+    } catch {
+      case _: java.io.IOException => // damaged gzip/stream: keep prefix
     }
     out.result()
   }
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
-    var i = math.max(0, from)
+  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
     val limit = hay.length - needle.length
     while (i <= limit) {
       var j = 0

@@ -61,6 +61,35 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcSource.responses(noLen).isEmpty)
   }
 
+  test("adversarial Content-Length values terminate (negative, 2^32-wrapped, absurd)") {
+    // regression: a negative length once moved the scan cursor BACKWARD
+    // past the same header — infinite loop inside a Spark task
+    def rec(len: String) =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        s"Content-Length: $len\r\n\r\npayload\r\n\r\n").getBytes
+    for (len <- Seq("-100", "4294967196", "999999999999999", "nonsense")) {
+      val t0 = System.nanoTime()
+      assert(WarcSource.responses(rec(len)).isEmpty, s"len=$len")
+      assert(System.nanoTime() - t0 < 5e9, s"len=$len must not hang")
+    }
+    // a valid record FOLLOWED by a poisoned one keeps the valid prefix
+    val good = WarcSource.buildWarcFile(pages(1), gzipPerRecord = false)
+    val mixed = good ++ rec("-100")
+    assert(WarcSource.responses(mixed).size == 1)
+  }
+
+  test("gzip decompression is streamed: member damage keeps the parsed prefix") {
+    val warc = WarcSource.buildWarcFile(pages(4), gzipPerRecord = true)
+    // corrupt the LAST quarter (inside later members): earlier members
+    // must still parse; never throws
+    val damaged = warc.clone()
+    var i = warc.length * 3 / 4
+    while (i < warc.length) { damaged(i) = 0x55.toByte; i += 1 }
+    val got = WarcSource.responses(damaged)
+    assert(got.size < 4, "damage must lose something")
+    got.foreach { case (uri, _, body) => assert(uri.nonEmpty && body.nonEmpty) }
+  }
+
   test("property: round-trip holds for random page sets (either codec); fuzzed bytes never throw") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
