@@ -571,6 +571,34 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
+  /** Explicit GROUPING SETS (not derivable from rollup/cube): totals
+    * by priority, by status, and the grand total in one pass.
+    */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("q_gs_orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM q_gs_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Correlated EXISTS subquery (decorrelated by Catalyst into a
+    * semi-join): customers holding at least one urgent open order.
+    */
+  def qExists(s: SparkSession, d: String): DataFrame = {
+    s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("q_ex_customer")
+    s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("q_ex_orders")
+    s.sql(
+      """SELECT c_custkey FROM q_ex_customer
+        |WHERE EXISTS (SELECT 1 FROM q_ex_orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** NOT EXISTS as left-anti join: customers with no orders. */
   def qAntijoin(s: SparkSession, d: String): DataFrame = {
     val customer = s.read.parquet(s"$d/customer.parquet")

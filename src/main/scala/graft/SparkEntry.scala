@@ -85,6 +85,8 @@ object SparkEntry {
     "salted_join" -> (Queries.saltedJoin _),
     "q_subquery" -> (Queries.qSubquery _),
     "q_rollup" -> (Queries.qRollup _),
+    "q_groupingsets" -> (Queries.qGroupingSets _),
+    "q_exists" -> (Queries.qExists _),
     "q_antijoin" -> (Queries.qAntijoin _),
     "q_windowframe" -> (Queries.qWindowFrame _),
     "q_pivot" -> (Queries.qPivot _),
@@ -347,6 +349,19 @@ object SparkEntry {
     "q_antijoin" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_groupingsets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_exists" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
