@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *     append protocol.
   *
   * All columns (including the resume-critical part_id) pass through
-  * unchanged — only the file layout changes.
+  * unchanged — only the file layout changes. The swap resets the
+  * table's _commits append log (it lives inside the old dir): the next
+  * ExtractJob append re-adopts the compacted files into a genesis
+  * commit list — safe, because the swap is digest-verified equal.
+  * Streaming-sink tables (_spark_metadata) are refused, see the guard.
   */
 object CompactJob {
 
@@ -54,6 +58,14 @@ object CompactJob {
     require(!new java.io.File(tableDir + ".compacting").exists(),
       s"$tableDir.compacting exists — stale partial rewrite; delete it first")
     require(dir.isDirectory, s"$tableDir is not a directory")
+    // A Structured-Streaming file sink keeps its own _spark_metadata
+    // log; readers of such a table see ONLY log-listed files, so a
+    // directory-level rewrite would make every compacted row invisible
+    // (and the swap would destroy the log). Refuse — stop the stream
+    // and migrate (read + rewrite to a NEW batch table) instead.
+    require(!new java.io.File(dir, "_spark_metadata").exists(),
+      s"$tableDir is a streaming-sink table (_spark_metadata present) — " +
+        s"compacting it would orphan the sink log; migrate to a batch table first")
     val before = parquetFiles(dir)
     val bytesBefore = before.map(_.length).sum
     val nParts = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
@@ -68,6 +80,11 @@ object CompactJob {
 
     val src = spark.read.parquet(tableDir)
     val srcStats = fullDigest(src)
+    // bit_xor over zero rows is NULL — an all-gated-out table has files
+    // but no rows; nothing to compact, and getLong(0) would NPE
+    if (srcStats.isNullAt(0) || srcStats.getLong(1) == 0L)
+      return CompactReport(0L, before.length, before.length,
+        bytesBefore, bytesBefore, 0L)
     val (digest, rows) = (srcStats.getLong(0), srcStats.getLong(1))
 
     val tmp = tableDir + ".compacting"

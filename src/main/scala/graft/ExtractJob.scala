@@ -23,18 +23,24 @@ import graft.pipeline.{ExtractPipeline, ParquetTableIO, TableIO}
   * one pipeline pass plus a cheap columnar rollup of what it just
   * wrote. (Plan/listener test asserts the pages scan runs once.)
   *
-  * Idempotence & the two-append window: output append and checkpoint
+  * Idempotence & the crash windows: output append and checkpoint
   * append are two separate commits (atomic snapshots on Iceberg; plain
   * directory appends in the parquet sandbox, single-writer protocol).
-  * A crash between them leaves "orphan" part_ids — present in the
-  * output, missing from the checkpoint. Reruns treat the OUTPUT as the
-  * source of truth for "already appended": committed = checkpoint
-  * part_ids ∪ output part_ids, so orphaned parts are never re-appended
-  * (no duplicate rows, ever), and their missing checkpoint rows are
-  * backfilled from the already-written files. Extraction is pure and
-  * part_id is a pure function of url, so a re-extracted part would be
-  * byte-identical anyway; the reconciliation just avoids paying for it
-  * and keeps row counts exact.
+  *  - Crash MID-append: the parquet append is multi-file and
+  *    non-atomic, so partial files would make every part_id of the run
+  *    look committed. [[TableIO.reconcileOrphanFiles]] (the _commits
+  *    log ParquetTableIO.appendCommit maintains) deletes files no
+  *    completed commit recorded, so the rerun re-extracts those parts.
+  *  - Crash BETWEEN the appends: "orphan" part_ids — present in the
+  *    output, missing from the checkpoint. Reruns treat the OUTPUT as
+  *    the source of truth for "already appended": committed =
+  *    checkpoint part_ids ∪ output part_ids, so orphaned parts are
+  *    never re-appended (no duplicate rows, ever), and their missing
+  *    checkpoint rows are backfilled from the already-written files.
+  * Extraction is pure and part_id is a pure function of url for FIXED
+  * P (P is persisted in parts.meta on first run and adopted by every
+  * rerun), so a re-extracted part would be byte-identical anyway; the
+  * reconciliation just avoids paying for it and keeps row counts exact.
   *
   * On a real cluster the appends are Iceberg snapshots
   * ([[graft.pipeline.IcebergTableIO]]) and the output-part_id probe
@@ -77,10 +83,30 @@ object ExtractJob {
     // Fail fast on compaction-crash debris: if CompactJob died mid-swap
     // the real table sits in .bak, and resuming against the absent/empty
     // table dir would re-append every partition (duplicates once .bak is
-    // restored). Recovery is CompactJob's documented procedure.
-    require(!new java.io.File(outPath + ".bak").exists(),
+    // restored). Recovery is CompactJob's documented procedure. Hadoop
+    // FS, not java.io.File — outDir may be a URI (file:/, hdfs://, s3a://)
+    // where a local-FS probe is silently vacuous.
+    require(!ParquetTableIO.exists(spark, outPath + ".bak"),
       s"$outPath.bak exists — a compaction crashed mid-swap; restore it " +
         s"(mv $outPath.bak $outPath) before resuming extraction")
+
+    // part_id = pmod(xxhash64(url), P) is only a pure function of url
+    // for FIXED P: resuming with a different P than the run that wrote
+    // the checkpoint silently drops/duplicates parts. The FIRST run
+    // persists P next to the table; every later run ADOPTS it (the CLI
+    // value is a request, not an override). Iceberg deployment: store P
+    // as a table property instead.
+    val parts =
+      if (io eq ParquetTableIO) resolveParts(spark, outDir, numLogicalParts)
+      else numLogicalParts
+
+    // Drop data files a crashed append left behind (present on disk,
+    // recorded by no completed commit) — otherwise their part_ids look
+    // fully committed with partial rows and resume loses data.
+    val debris = io.reconcileOrphanFiles(spark, outPath)
+    if (debris.nonEmpty)
+      System.err.println(s"[extract] removed ${debris.size} uncommitted " +
+        s"data file(s) from a crashed append: ${debris.take(5).mkString(", ")}…")
 
     val t0 = System.currentTimeMillis()
 
@@ -101,7 +127,7 @@ object ExtractJob {
     val gated = ExtractPipeline.inputGate(pages)
     val done = doneIds.toSeq.sorted.toDF("part_id")
     val todo = ExtractPipeline
-      .withPartId(gated, numLogicalParts)
+      .withPartId(gated, parts)
       .join(broadcast(done), Seq("part_id"), "left_anti")
 
     // Extract FIRST (pure map, no shuffle), then ONE exchange does both
@@ -110,7 +136,7 @@ object ExtractJob {
     // and there is no range-sampling recompute (see dedupAndCluster).
     val extracted = ExtractPipeline
       .extractExpr(todo.select("url", "warc_ts", "html"), cfg)
-    val keyed = ExtractPipeline.withPartId(extracted, numLogicalParts)
+    val keyed = ExtractPipeline.withPartId(extracted, parts)
     val clustered = ExtractPipeline.dedupAndCluster(
       keyed, spark.sparkContext.defaultParallelism * 2)
 
@@ -145,6 +171,33 @@ object ExtractJob {
     val totalRows = io.readOrEmpty(spark, ckptPath, ParquetTableIO.checkpointSchema)
       .agg(coalesce(sum(col("n_docs")), lit(0L))).as[Long].collect()(0)
     (totalRows, doneIds.size.toLong)
+  }
+
+  /** Persisted logical-part count: first run writes `$outDir/parts.meta`
+    * (temp + atomic rename); later runs adopt it, warning when the CLI
+    * requested something else.
+    */
+  private def resolveParts(spark: SparkSession, outDir: String, requested: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/parts.meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      if (stored != requested)
+        System.err.println(s"[extract] adopting persisted numLogicalParts=$stored " +
+          s"(CLI requested $requested — changing P would corrupt resume)")
+      stored
+    } else {
+      fs.mkdirs(p.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/.parts.meta.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$requested\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(tmp, p)
+      requested
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -39,6 +39,16 @@ trait TableIO {
     * lengths, no data read) in the parquet sandbox.
     */
   def snapshotId(spark: SparkSession, ident: String): String
+
+  /** Delete data files a CRASHED append left behind — files physically
+    * present but not recorded by any completed [[appendCommit]].
+    * Without this a crash mid-append makes every part_id of the run
+    * look committed with only PARTIAL rows, and resume silently loses
+    * data. No-op where appends are atomic (Iceberg) or where no commit
+    * log exists yet (legacy tables). Single-writer protocol. Returns
+    * the deleted file names.
+    */
+  def reconcileOrphanFiles(spark: SparkSession, ident: String): Seq[String] = Seq.empty
 }
 
 object ParquetTableIO extends TableIO {
@@ -107,16 +117,81 @@ object ParquetTableIO extends TableIO {
     }.toSeq
   }
 
+  // ---- commit log (_commits/*.list): which data files belong to a
+  // COMPLETED append. The list is written (temp + atomic rename) only
+  // AFTER the parquet append finishes, so a crash mid-append leaves its
+  // files unlisted and reconcileOrphanFiles removes them on the next
+  // run — closing the partial-append resume hole. Iceberg makes this
+  // whole mechanism a snapshot commit.
+
+  private def commitsPath(ident: String) = new org.apache.hadoop.fs.Path(s"$ident/_commits")
+
+  /** Data-file names recorded by completed appends; None when the
+    * table predates the commit log (legacy: trust the directory).
+    */
+  def committedNames(spark: SparkSession, ident: String): Option[Set[String]] = {
+    val cp = commitsPath(ident)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cp)) None
+    else Some(fs.listStatus(cp).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty).toSet)
+  }
+
+  private def writeCommitList(spark: SparkSession, ident: String,
+                              names: Seq[String]): Unit = {
+    if (names.isEmpty) return
+    val cp = commitsPath(ident)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(cp)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(cp, s".tmp-$id")
+    val fin = new org.apache.hadoop.fs.Path(cp, s"c-$id.list")
+    val out = fs.create(tmp, true)
+    try out.write((names.sorted.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmp, fin)
+  }
+
+  override def reconcileOrphanFiles(spark: SparkSession, ident: String): Seq[String] =
+    committedNames(spark, ident) match {
+      case None => Seq.empty
+      case Some(ok) =>
+        val debris = listDataFiles(spark, ident)
+          .filterNot(st => ok.contains(st.getPath.getName))
+        val fs = new org.apache.hadoop.fs.Path(ident)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        debris.foreach(st => fs.delete(st.getPath, false))
+        debris.map(_.getPath.getName)
+    }
+
   /** Directory-listing diff around the append (single-writer protocol,
     * as documented in ExtractJob); Iceberg replaces this with the
-    * commit snapshot's added files — no listing at all.
+    * commit snapshot's added files — no listing at all. Pre-existing
+    * files of a table that predates the commit log are adopted into a
+    * genesis list first, so reconciliation never deletes legacy data.
     */
   override def appendCommit(df: DataFrame, ident: String): Commit = {
     val spark = df.sparkSession
-    val before = listDataFiles(spark, ident).map(_.getPath.toString).toSet
+    val beforeSt = listDataFiles(spark, ident)
+    val before = beforeSt.map(_.getPath.toString).toSet
+    val needGenesis = beforeSt.nonEmpty && committedNames(spark, ident).isEmpty
+    if (needGenesis) writeCommitList(spark, ident, beforeSt.map(_.getPath.getName))
+    // the (possibly empty) _commits dir must exist BEFORE the append:
+    // a crash mid-FIRST-append then leaves unlisted files next to an
+    // empty log, which reconciliation recognizes as debris
+    val cp = commitsPath(ident)
+    cp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(cp)
     append(df, ident)
     val added = listDataFiles(spark, ident).map(_.getPath.toString)
       .filterNot(before.contains).sorted
+    writeCommitList(spark, ident, added.map(p => new org.apache.hadoop.fs.Path(p).getName))
     Commit(ident, added)
   }
 

@@ -48,7 +48,13 @@ object StreamingCurate {
       .dropDuplicatesWithinWatermark("url_norm")
       .withColumn("n_tokens", size(words).cast("long"))
       .withColumn("n_distinct", size(array_distinct(words)).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(translate(col("text"), TextOps.PunctChars, "")))
+          .cast("long"))
+      // SAME three rules as CurateJob.run's batch gate — the lambda
+      // split's two halves must agree on what passes
       .filter(col("n_tokens") >= minTokens &&
+        col("n_punct") * 5L <= length(col("text")) &&
         !(col("n_distinct") * dupFactor <= col("n_tokens")))
       .select(col("url_norm"), col("warc_ts"), col("text"), col("n_tokens"))
       .writeStream

@@ -40,11 +40,17 @@ object StreamingExtract {
       ExtractPipeline.inputGate(pages)
         .select(col("url"), col("warc_ts"), col("html")).as[PageLite],
       cfg)
-    ExtractPipeline.withPartId(extracted.toDF(), 256)
+    // SAME part count as the batch job (the resume-unit contract is
+    // shared — a divergent P here would corrupt batch resumes against
+    // this table) and SAME output codec decisions (zstd, dictionary
+    // off — see ParquetTableIO.append)
+    ExtractPipeline.withPartId(extracted.toDF(), graft.ExtractJob.DefaultLogicalParts)
       .drop("url_hash")
       .writeStream
       .format("parquet")
       .option("path", outDir)
+      .option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -66,11 +66,13 @@ object StreamingStats {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch
           .withColumn("win_part", date_format(col("win_start"), "yyyyMMddHH"))
           .write.mode("overwrite")
+          // writer-scoped, NOT spark.conf.set: mutating the session conf
+          // would silently turn every later full-table overwrite in the
+          // same session into a partial one
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("win_part", "event_type")
           .parquet(outDir)
       }
@@ -95,7 +97,17 @@ object StreamingStats {
     * now fall within the gap (a late event can BRIDGE two sessions).
     */
   private[streaming] def insert(sessions: List[SessionState], t: Long): List[SessionState] =
-    (SessionState(t, t, 1) :: sessions).sortBy(_.start)
+    mergeAll(sessions, Array(t))
+
+  /** Merge a WHOLE batch of timestamps in one sort + one coalesce pass
+    * (a hot key with k events and n live sessions pays O((k+n)·log(k+n))
+    * once, not k separate re-sorts of the session list).
+    */
+  private[streaming] def mergeAll(sessions: List[SessionState],
+                                  ts: Array[Long]): List[SessionState] = {
+    if (ts.isEmpty) return sessions
+    (sessions ++ ts.iterator.map(t => SessionState(t, t, 1)))
+      .sortBy(_.start)
       .foldLeft(List.empty[SessionState]) { (acc, s) =>
         acc match {
           case h :: tl if s.start - h.last <= GapUs =>
@@ -103,6 +115,7 @@ object StreamingStats {
           case _ => s :: acc
         }
       }.reverse
+  }
 
   /** Custom per-key state: sessions stay in GroupState until the
     * EVENT-TIME watermark passes last+gap — only then is a session
@@ -120,7 +133,7 @@ object StreamingStats {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           var ss = state.getOption.map(_.sessions).getOrElse(Nil)
           if (!state.hasTimedOut) {
-            it.map(_.ts_us).toArray.sorted.foreach { t => ss = insert(ss, t) }
+            ss = mergeAll(ss, it.map(_.ts_us).toArray)
           }
           // finalize every session the watermark has sealed
           val (done, live) = ss.partition(s => s.last + GapUs <= wmUs)

@@ -60,6 +60,23 @@ class CompactJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2 == 800L && resumed == 8L)
   }
 
+  test("CompactJob: zero-row table returns trivially (no NPE); streaming-sink table refused") {
+    val sp = spark; import sp.implicits._
+    // files exist but every row was gated out upstream -> zero rows
+    val emptyDir = java.nio.file.Files.createTempDirectory("compact-empty").toString + "/t"
+    Seq.empty[(String, String)].toDF("url", "text").write.parquet(emptyDir)
+    val r = CompactJob.run(spark, emptyDir)
+    assert(r.rows == 0L && r.filesBefore == r.filesAfter && r.digest == 0L)
+
+    // a Structured-Streaming sink table: readers see only log-listed
+    // files, so a directory rewrite would lose data — must refuse
+    val sinkDir = java.nio.file.Files.createTempDirectory("compact-sink").toString + "/t"
+    Seq(("u1", "text one")).toDF("url", "text").write.parquet(sinkDir)
+    assert(new java.io.File(sinkDir, "_spark_metadata").mkdir())
+    val e = intercept[IllegalArgumentException] { CompactJob.run(spark, sinkDir) }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("crash-debris guards: CompactJob and ExtractJob refuse to run over .bak / .compacting") {
     val pagesDir = java.nio.file.Files.createTempDirectory("compact-pages2").toString
     val outDir = java.nio.file.Files.createTempDirectory("compact-out2").toString

@@ -174,6 +174,56 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ckpt.filter(col("input_snapshot").startsWith("reconciled:")).count() == 16)
   }
 
+  test("ExtractJob: a crashed MID-append (uncommitted data file) is reconciled, not trusted") {
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 300, 6).toDF().write.parquet(pagesDir)
+    val outD = tmp()
+    ExtractJob.run(spark, pagesDir, outD, numLogicalParts = 16, jobId = "d")
+    // simulate a crash mid-append: a data file lands in the table dir
+    // but no commit list records it (its rows duplicate existing urls)
+    val tableDir = new java.io.File(s"$outD/pages_extracted")
+    val committed = tableDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(tableDir, "part-debris-uncommitted.parquet").toPath)
+    assert(spark.read.parquet(s"$outD/pages_extracted")
+      .select("url").distinct().count() < spark.read.parquet(s"$outD/pages_extracted").count(),
+      "setup: debris must introduce duplicates")
+    val (rows, resumed) = ExtractJob.run(spark, pagesDir, outD, numLogicalParts = 16, jobId = "d2")
+    assert(resumed == 16 && rows == 300)
+    val out = spark.read.parquet(s"$outD/pages_extracted")
+    assert(out.count() == 300 && out.select("url").distinct().count() == 300,
+      "uncommitted debris must be removed on the next run")
+    assert(!new java.io.File(tableDir, "part-debris-uncommitted.parquet").exists())
+  }
+
+  test("ExtractJob: persisted numLogicalParts wins over a divergent CLI value (resume soundness)") {
+    val s = spark
+    import s.implicits._
+    val pagesDir = tmp() + "/pages"
+    PageSource.genPages(spark, 300, 6).toDF().write.parquet(pagesDir)
+    val outA = tmp()
+    ExtractJob.run(spark, pagesDir, outA, numLogicalParts = 16, jobId = "a")
+
+    // predecessor ran with P=16 and committed only parts 8..15
+    val outH = tmp()
+    ParquetTableIO.append(
+      spark.read.parquet(s"$outA/pages_extracted").filter(col("part_id") >= 8),
+      s"$outH/pages_extracted")
+    ParquetTableIO.append(
+      spark.read.schema(ParquetTableIO.checkpointSchema)
+        .parquet(s"$outA/checkpoint_metrics").filter(col("part_id") >= 8),
+      s"$outH/checkpoint_metrics")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outH/parts.meta"),
+      "16\n".getBytes)
+    // resume asks for P=8 — without adoption, done={8..15} matches no
+    // mod-8 id, every page re-extracts, and the table holds duplicates
+    val (rows, _) = ExtractJob.run(spark, pagesDir, outH, numLogicalParts = 8, jobId = "h")
+    assert(rows == 300)
+    val out = spark.read.parquet(s"$outH/pages_extracted")
+    assert(out.count() == 300 && out.select("url").distinct().count() == 300,
+      "divergent CLI P must not corrupt the resume")
+  }
+
   test("production pipeline handles a mixed HTML+PDF corpus (content sniffing)") {
     val s = spark
     import s.implicits._
