@@ -1,7 +1,5 @@
 package graft.extract
 
-import java.nio.charset.StandardCharsets
-
 /** Stage M3+M4 — region grouping + deterministic span assembly
   * (SURVEY.md §2.3), the CRNN/CTC-decode analog (BASELINE.json
   * north_star): threshold the score array, coalesce adjacent winning
@@ -30,7 +28,8 @@ object Assembler {
       else if (c < 0x800) n += 2
       else if (Character.isHighSurrogate(c) && i + 1 < len && Character.isLowSurrogate(s.charAt(i + 1))) {
         n += 4; i += 1
-      } else n += 3
+      } else if (Character.isSurrogate(c)) n += 1 // UNPAIRED: encoder emits one '?'
+      else n += 3
       i += 1
     }
     n
@@ -69,7 +68,8 @@ object Assembler {
       starts: Array[Int],
       ends: Array[Int],
       blockIds: Array[Int],
-      scores: Array[Float]) {
+      scores: Array[Float],
+      textBytes: Int) { // UTF-8 length of `text`, accumulated during assembly
     def nSpans: Int = starts.length
   }
 
@@ -112,7 +112,7 @@ object Assembler {
       }
       i += 1
     }
-    Assembled(out.toString, starts, ends, blockIds, scores)
+    Assembled(out.toString, starts, ends, blockIds, scores, byteLen)
   }
 
   /** Row-form spans (tests / executable-spec surface). */

@@ -1,7 +1,5 @@
 package graft.extract
 
-import java.nio.charset.StandardCharsets
-
 /** The executable spec (SURVEY.md §5.2.1): single-threaded,
   * dependency-free, pure per-document extraction — tokenize (M1) →
   * score (M2) → group+assemble (M3/M4). The Spark pipeline MUST produce
@@ -33,7 +31,7 @@ object GoldenExtractor {
       n_blocks = blocks.length,
       n_kept = a.nSpans,
       bytes_in = bytesIn,
-      bytes_out = Assembler.utf8Len(a.text).toLong
+      bytes_out = a.textBytes.toLong // accumulated during assembly, no second pass
     )
   }
 }

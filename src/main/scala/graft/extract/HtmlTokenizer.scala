@@ -44,6 +44,12 @@ object HtmlTokenizer {
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
+  /** A tag NAME must start with a letter (HTML spec; digits only later,
+    * h1..h6) — '<' followed by anything else is literal text ("I <3 u").
+    */
+  private def isNameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
   /** Tokenize page bytes into blocks. Truncates at cfg.maxHtmlBytes. */
   def tokenize(html: Array[Byte], cfg: ExtractorConfig): Array[Block] = {
     if (html == null || html.isEmpty) return Array.empty
@@ -73,6 +79,7 @@ object HtmlTokenizer {
     // the opening tag is stripped
     var preDepth = 0
     var preJustOpened = false
+    var preStripLf = false // pending '\n'-strip after a post-<pre> '\r'
 
     def flush(): Unit = {
       if (sb.length() > 0) {
@@ -89,12 +96,18 @@ object HtmlTokenizer {
 
     def appendChar(c: Char): Unit = {
       if (preDepth > 0) {
-        // verbatim mode; strip the single spec-mandated newline after <pre>
+        // verbatim mode; strip the single spec-mandated newline after
+        // <pre> — exactly one of "\n", "\r" or "\r\n", never a run
         if (preJustOpened && (c == '\r' || c == '\n')) {
-          if (c == '\n') preJustOpened = false
+          preJustOpened = false
+          preStripLf = c == '\r' // a following '\n' completes the CRLF pair
           return
         }
         preJustOpened = false
+        if (preStripLf) {
+          preStripLf = false
+          if (c == '\n') return
+        }
         sb.append(c)
         if (inLink > 0) nLink += 1
       } else if (isWs(c)) {
@@ -140,6 +153,10 @@ object HtmlTokenizer {
         } else if (c1 == '?') {
           val end = s.indexOf('>', i + 2)
           i = if (end < 0) n else end + 1
+        } else if (c1 == '/' && (i + 2 >= n || !isNameStart(s.charAt(i + 2)))) {
+          // "</" + non-letter is a bogus comment per spec: consume to '>'
+          val end = s.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
         } else if (c1 == '/') {
           // closing tag
           var j = i + 2
@@ -151,18 +168,27 @@ object HtmlTokenizer {
           if (BlockTags.contains(name)) {
             flush()
             if (stack.contains(name)) {
-              while (stack.nonEmpty && stack.head != name) stack = stack.tail
+              while (stack.nonEmpty && stack.head != name) {
+                // an ancestor's close tag implicitly pops unclosed
+                // children — a popped <pre> must leave verbatim mode,
+                // or the REST of the page stays whitespace-preserved
+                if (stack.head == "pre" && preDepth > 0) {
+                  preDepth -= 1; preJustOpened = false; preStripLf = false
+                }
+                stack = stack.tail
+              }
               if (stack.nonEmpty) stack = stack.tail
             } // unmatched closer: ignore (irregular fixture class)
             curTag = stack.headOption.getOrElse("body")
             if (name == "pre") {
               if (preDepth > 0) preDepth -= 1
               preJustOpened = false
+              preStripLf = false
             }
           } else if (name == "a") {
             if (inLink > 0) inLink -= 1
           }
-        } else if (isNameChar(c1)) {
+        } else if (isNameStart(c1)) {
           // opening tag: parse name, then scan to '>' honoring quotes
           var j = i + 1
           val nameStart = j

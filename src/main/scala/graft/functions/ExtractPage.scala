@@ -33,14 +33,23 @@ case class ExtractPage(children: Seq[Expression])
   override def foldable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (children.length != 6 && children.length != 8)
+    if (children.length < 6 || children.length > 8)
       return TypeCheckResult.TypeCheckFailure(
         "extract_page expects 6 args (+ optional listItemPrefix, quotePrefix)")
     if (children.head.dataType != BinaryType)
       return TypeCheckResult.TypeCheckFailure("arg 1 (html) must be BINARY")
     if (!children.tail.forall(_.foldable))
       return TypeCheckResult.TypeCheckFailure("config args must be literals")
-    TypeCheckResult.TypeCheckSuccess
+    // analysis-time type errors beat executor-side ClassCastException
+    def bad(i: Int, want: String) = TypeCheckResult.TypeCheckFailure(
+      s"arg ${i + 1} must be $want, got ${children(i).dataType.simpleString}")
+    val numeric = Seq(1, 2, 4, 5)
+    val strings = Seq(3) ++ (6 until children.length)
+    numeric.collectFirst {
+      case i if !children(i).dataType.isInstanceOf[NumericType] => bad(i, "numeric")
+    }.orElse(strings.collectFirst {
+      case i if children(i).dataType != StringType => bad(i, "STRING")
+    }).getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 
   override val dataType: DataType = ExtractPage.schema
@@ -87,7 +96,11 @@ object ExtractPage {
     ExtractPage(Seq(html,
       Literal(cfg.textThreshold), Literal(cfg.linkThreshold),
       Literal(UTF8String.fromString(cfg.blockSep), StringType),
-      Literal(cfg.maxHtmlBytes), Literal(cfg.minChars)))
+      Literal(cfg.maxHtmlBytes), Literal(cfg.minChars),
+      // EVERY cfg field rides along — dropping the rendering prefixes
+      // here would silently diverge from the typed path for the same cfg
+      Literal(UTF8String.fromString(cfg.listItemPrefix), StringType),
+      Literal(UTF8String.fromString(cfg.quotePrefix), StringType)))
 
   /** Kernel → InternalRow, no case-class intermediates. */
   def extractToRow(html: Array[Byte], cfg: ExtractorConfig): InternalRow = {
@@ -103,7 +116,7 @@ object ExtractPage {
     row.update(5, blocks.length)
     row.update(6, a.nSpans)
     row.update(7, (if (html == null) 0 else html.length).toLong)
-    row.update(8, Assembler.utf8Len(a.text).toLong)
+    row.update(8, a.textBytes.toLong) // accumulated during assembly, no second pass
     row
   }
 }

@@ -20,6 +20,37 @@ class ExtractCoreSpec extends AnyFunSuite {
 
   // ---- tokenizer -----------------------------------------------------
 
+  test("unclosed <pre> implicitly popped by an ancestor's close tag leaves verbatim mode") {
+    val html = "<div><pre>code</div>\n  hello   world</body>"
+    val blocks = HtmlTokenizer.tokenize(bytes(html), cfg)
+    val texts = blocks.map(_.text).toSeq
+    assert(texts.contains("code"))
+    assert(texts.exists(_ == "hello world"),
+      s"text after the implicit pre-pop must be whitespace-collapsed, got $texts")
+  }
+
+  test("'<' followed by a non-letter is literal text, not a swallowed tag") {
+    val blocks = HtmlTokenizer.tokenize(bytes("<p>I <3 u > all, 1 < 2, -5 <-3</p>"), cfg)
+    assert(blocks.length == 1)
+    assert(blocks(0).text == "I <3 u > all, 1 < 2, -5 <-3")
+    // "</" + non-letter = bogus comment (consumed to '>'), per spec
+    val b2 = HtmlTokenizer.tokenize(bytes("<p>x </3> y</p>"), cfg)
+    assert(b2(0).text == "x y")
+  }
+
+  test("<pre> strips exactly ONE leading newline: \\n, \\r, or \\r\\n — never a run") {
+    def pre(s: String): String = {
+      val blocks = HtmlTokenizer.tokenize(bytes(s"<pre>$s</pre>"), cfg)
+      if (blocks.isEmpty) "" else blocks(0).text
+    }
+    assert(pre("\nx") == "x")
+    assert(pre("\rx") == "x")
+    assert(pre("\r\nx") == "x")
+    assert(pre("\n\nx") == "\nx")
+    assert(pre("\r\rx") == "\rx", "second bare CR is CONTENT")
+    assert(pre("\r\n\r\nx") == "\r\nx")
+  }
+
   test("nested fixture: content vs boilerplate blocks") {
     val html =
       """<html><head><title>skip me</title><script>var a='<p>no</p>';</script></head>
