@@ -488,7 +488,7 @@ object SparkEntry {
     "oov_ratio" ->
       """WITH wx AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.x AS w
-        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(x)),
+        |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(x)),
         |vocab AS (
         |  SELECT w, 1 AS in_vocab FROM (
         |    SELECT w, count(*) AS c FROM wx GROUP BY w

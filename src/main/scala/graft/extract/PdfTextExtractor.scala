@@ -43,6 +43,16 @@ object PdfTextExtractor {
 
   /** Locate `stream ... endstream` payloads by scanning (not via xref)
     * and Flate-decode those whose object header names /FlateDecode.
+    *
+    * Two scanning disciplines that matter on real files:
+    *  - the header window is the stream's OWN object dict (from the
+    *    LAST `obj` before the keyword) — an unrelated earlier dict
+    *    mentioning /FlateDecode (xref/object-stream descriptors) must
+    *    not leak its filter onto a raw stream;
+    *  - a DIRECT /Length locates the payload end exactly — a raw
+    *    payload may legally contain the bytes "endstream" (document
+    *    text!), so the keyword scan is only the fallback for
+    *    absent/indirect/implausible lengths.
     */
   private[extract] def streams(pdf: Array[Byte]): Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
@@ -56,23 +66,74 @@ object PdfTextExtractor {
         var dataStart = s + 6
         if (dataStart < pdf.length && pdf(dataStart) == '\r') dataStart += 1
         if (dataStart < pdf.length && pdf(dataStart) == '\n') dataStart += 1
-        val e = indexOf(pdf, "endstream", dataStart)
-        if (e < 0) { from = pdf.length }
-        else {
-          var dataEnd = e
-          // trailing EOL before `endstream` belongs to the delimiter
-          if (dataEnd > dataStart && pdf(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && pdf(dataEnd - 1) == '\r') dataEnd -= 1
-          val header = new String(pdf, headerStart, s - headerStart, StandardCharsets.ISO_8859_1)
-          val raw = java.util.Arrays.copyOfRange(pdf, dataStart, dataEnd)
-          val data = if (header.contains("/FlateDecode")) inflate(raw) else Some(raw)
-          data.foreach(out += _)
-          from = e + 9
-          headerStart = from
+        val objIdx = lastIndexOfBefore(pdf, "obj", headerStart, s)
+        val hdrFrom = if (objIdx < 0) headerStart else objIdx
+        val header = new String(pdf, hdrFrom, s - hdrFrom, StandardCharsets.ISO_8859_1)
+        val byLength: Option[Int] = directLength(header)
+          .map(dataStart + _)
+          .filter { pe =>
+            pe >= dataStart && pe <= pdf.length && {
+              val e = indexOf(pdf, "endstream", pe)
+              e >= 0 && eolOnly(pdf, pe, e)
+            }
+          }
+        val (dataEndOpt, eOpt) = byLength match {
+          case Some(pe) => (Some(pe), Some(indexOf(pdf, "endstream", pe)))
+          case None =>
+            val e = indexOf(pdf, "endstream", dataStart)
+            if (e < 0) (None, None)
+            else {
+              var dataEnd = e
+              // trailing EOL before `endstream` belongs to the delimiter
+              if (dataEnd > dataStart && pdf(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > dataStart && pdf(dataEnd - 1) == '\r') dataEnd -= 1
+              (Some(dataEnd), Some(e))
+            }
+        }
+        (dataEndOpt, eOpt) match {
+          case (Some(dataEnd), Some(e)) =>
+            val raw = java.util.Arrays.copyOfRange(pdf, dataStart, dataEnd)
+            val data = if (header.contains("/FlateDecode")) inflate(raw) else Some(raw)
+            data.foreach(out += _)
+            from = e + 9
+            headerStart = from
+          case _ => from = pdf.length
         }
       }
     }
     out.result()
+  }
+
+  private val LengthRe = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
+
+  /** The dict's direct /Length, if any (indirect `N 0 R` refs need the
+    * xref we deliberately don't parse — fall back to scanning).
+    */
+  private def directLength(header: String): Option[Int] =
+    LengthRe.findAllMatchIn(header).toSeq.lastOption
+      .filter(_.group(2) == null)
+      .flatMap(_.group(1).toIntOption)
+
+  /** All bytes in [a, b) are EOL/whitespace. */
+  private def eolOnly(pdf: Array[Byte], a: Int, b: Int): Boolean = {
+    var i = a
+    while (i < b) {
+      val c = pdf(i)
+      if (c != '\r' && c != '\n' && c != ' ' && c != '\t') return false
+      i += 1
+    }
+    true
+  }
+
+  private def lastIndexOfBefore(hay: Array[Byte], needle: String,
+                                from: Int, until: Int): Int = {
+    var last = -1
+    var i = indexOf(hay, needle, from)
+    while (i >= 0 && i < until) {
+      last = i
+      i = indexOf(hay, needle, i + 1)
+    }
+    last
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -138,7 +199,12 @@ object PdfTextExtractor {
       if (c == '(') {
         val (bytes, next) = literalString(content, i)
         record(bytes); i = next
-      } else if (c == '<' && i + 1 < n && content(i + 1).toChar != '<') {
+      } else if (c == '<' && i + 1 < n && content(i + 1).toChar == '<') {
+        // skip << … >> dicts as a unit (e.g. /P <</MCID 0>> BDC) — the
+        // second '<' must not be misparsed as a hex string whose bytes
+        // could later leak into the output
+        i = skipDict(content, i)
+      } else if (c == '<') {
         val (bytes, next) = hexString(content, i)
         record(bytes); i = next
       } else if (c == '[') {
@@ -155,19 +221,63 @@ object PdfTextExtractor {
         op match {
           case "BT" => inText = true
           case "ET" => if (inText) flushLine(); inText = false
-          case "Tj" => if (inText) show(pendingString)
-          case "'" => if (inText) { flushLine(); show(pendingString) }
-          case "\"" => if (inText) { flushLine(); show(pendingString) }
+          // every show op CONSUMES its operand — a stale pendingString
+          // must never be re-shown by a later operand-less op
+          case "Tj" => if (inText) show(pendingString); pendingString = null
+          case "'" => if (inText) { flushLine(); show(pendingString) }; pendingString = null
+          case "\"" => if (inText) { flushLine(); show(pendingString) }; pendingString = null
           case "TJ" =>
             if (inText && pendingArray != null) pendingArray.foreach(show)
             pendingArray = null
           case "Td" | "TD" | "T*" => if (inText) flushLine()
+          case "BI" =>
+            // inline image: raw binary follows `ID` — parsing it as
+            // tokens would swallow or corrupt real text; skip to `EI`
+            i = skipInlineImage(content, i)
           case _ => // numbers, names, other operators: ignored
         }
       } else i += 1
     }
     flushLine()
     lines.result()
+  }
+
+  /** Skip a << … >> dict (nested dicts and embedded strings included);
+    * returns the index after the closing '>>' (or EOF when truncated).
+    */
+  private def skipDict(content: Array[Byte], start: Int): Int = {
+    val n = content.length
+    var depth = 0
+    var i = start
+    while (i < n) {
+      val c = content(i).toChar
+      if (c == '<' && i + 1 < n && content(i + 1).toChar == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < n && content(i + 1).toChar == '>') {
+        depth -= 1; i += 2
+        if (depth <= 0) return i
+      } else if (c == '(') i = literalString(content, i)._2
+      else i += 1
+    }
+    n
+  }
+
+  /** Skip a BI … ID <binary> EI inline image: scan for whitespace+"EI"
+    * followed by a delimiter/whitespace/EOF (the standard heuristic —
+    * the binary has no declared length). Returns the index after EI.
+    */
+  private def skipInlineImage(content: Array[Byte], start: Int): Int = {
+    val n = content.length
+    var i = start
+    while (i + 2 < n) {
+      val w = content(i).toChar
+      if ((w == ' ' || w == '\n' || w == '\r' || w == '\t' || w == '\f' || w == 0) &&
+        content(i + 1) == 'E' && content(i + 2) == 'I' &&
+        (i + 3 >= n || !isRegular(content(i + 3).toChar))) {
+        return i + 3
+      }
+      i += 1
+    }
+    n
   }
 
   private def isRegular(c: Char): Boolean =

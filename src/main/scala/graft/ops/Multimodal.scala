@@ -77,7 +77,7 @@ object Multimodal {
     * UTF-8 text bytes standing in for image bytes) and run the batched
     * decode. Binary column → mapPartitions → typed metadata rows.
     */
-  def decodeAssets(spark: SparkSession, sfDir: String): DataFrame = {
+  private def decodedFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val assets = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"),
@@ -89,16 +89,21 @@ object Multimodal {
       batch.map { case (id, payload) => decodeStub(id, payload) }
     }.toDF()
       .select("doc_id", "n_bytes", "width", "height", "n_frames", "format")
-      .orderBy("doc_id")
   }
+
+  def decodeAssets(spark: SparkSession, sfDir: String): DataFrame =
+    decodedFrame(spark, sfDir).orderBy("doc_id")
 
   /** Resize plan per asset over the stub-decoded dims (pure Column
     * exprs would also work; kept typed for symmetry with the decode
-    * batch shape).
+    * batch shape). Consumes the UNSORTED decode frame — the
+    * presentation orderBy is applied once at the end, never under the
+    * opaque typed map (a range-sort there costs a sampling pass plus a
+    * full shuffle the optimizer cannot remove).
     */
   def resizeAssets(spark: SparkSession, sfDir: String, maxDim: Int = 256): DataFrame = {
     import spark.implicits._
-    decodeAssets(spark, sfDir)
+    decodedFrame(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"))
       .as[(Long, Int, Int)]
       .mapPartitions(_.map { case (id, w, h) =>
@@ -138,15 +143,18 @@ object Multimodal {
     */
   def embedAssets(spark: SparkSession, sfDir: String, dim: Int = 4): DataFrame = {
     import spark.implicits._
+    require(dim >= 1, "dim must be positive")
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"),
         encode(col("text"), "UTF-8").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val f = featureStub(payload, dim)
-        (id, f(0), f(1), f(2), f(3))
+        (id, featureStub(payload, dim).toSeq)
       })
-      .toDF("doc_id", "f0", "f1", "f2", "f3")
+      .toDF("doc_id", "f")
+      // one column per feature, honoring dim (a hardcoded f0..f3 would
+      // crash for dim<4 and silently truncate for dim>4)
+      .select(col("doc_id") +: (0 until dim).map(i => col("f")(i).as(s"f$i")): _*)
       .orderBy("doc_id")
   }
 }

@@ -46,8 +46,10 @@ object TextOps {
     if (words.length < ShingleWords) {
       if (text.isEmpty) Array.empty[String] else Array(text)
     } else {
+      // honors ShingleWords (a hardcoded 3-word join would silently
+      // produce malformed shingles if the constant is ever tuned)
       (0 to words.length - ShingleWords)
-        .map(i => words(i) + " " + words(i + 1) + " " + words(i + 2)).toArray
+        .map(i => words.slice(i, i + ShingleWords).mkString(" ")).toArray
     }
   }
 
@@ -295,12 +297,23 @@ object TextOps {
     val sigs = docs.selectExpr(
       "CAST(doc_id AS BIGINT) AS doc_id", "simhash64(text) AS simhash")
 
+    // pigeonhole blocking honors the ASKED threshold: maxHamming+1
+    // disjoint segments guarantee one equal segment for any pair at
+    // Hamming <= maxHamming (a fixed 4x16 split silently loses pairs
+    // for maxHamming >= 4); the last segment absorbs the remainder bits
+    val nSegs = maxHamming + 1
+    require(nSegs >= 1 && nSegs <= 64, "maxHamming in [0, 63]")
+    val segBits = 64 / nSegs
+    val segCols = (0 until nSegs).map { i =>
+      val lo = i * segBits
+      val width = if (i == nSegs - 1) 64 - lo else segBits
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
     val w = Window.partitionBy(col("seg"), col("segval"))
     val segs = sigs.select(
         col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("seg", "segval")))
+        posexplode(array(segCols: _*)).as(Seq("seg", "segval")))
       .withColumn("cnt", count(lit(1)).over(w))
       .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
       .drop("cnt")
@@ -469,7 +482,11 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"), max(col("old_label")).as("old_label"))
         .localCheckpoint()
-      val changed = next.filter(col("label") < col("old_label")).count()
+      // null old_label = a node first seen via an edge this round (an
+      // endpoint missing from `nodes`): it MUST count as changed or the
+      // loop can converge before its label propagates back
+      val changed = next.filter(
+        col("old_label").isNull || col("label") < col("old_label")).count()
       // drop the previous round's cached blocks — only the newest
       // checkpoint is ever referenced again (block buildup otherwise
       // grows with round count)
@@ -812,7 +829,8 @@ object TextOps {
     */
   def oovRatio(docs: DataFrame, vocabK: Int = 64): DataFrame = {
     val words = docs.select(col("doc_id").cast("long").as("doc_id"),
-      explode(split(col("text"), " ")).as("w"))
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "") // ragged whitespace must not count as words
     val vocab = words.groupBy(col("w"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)

@@ -73,6 +73,21 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.nonEmpty, "fixture should contain at least one close pair")
   }
 
+  test("dedupSimhash maxHamming > 3: segment count scales, brute-force equality holds") {
+    val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
+    val got = TextOps.dedupSimhash(spark, docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all pairs at Hamming <= 6 (pigeonhole with 7
+    // segments must lose nothing)
+    val sigs = docs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+      .collect().map(r => (r.getLong(0), TextOps.simhash(r.getString(1))))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("dedupSimhash hot-bucket cap: degenerate corpus stays bounded, distinct pair still found") {
     val s = spark
     import s.implicits._

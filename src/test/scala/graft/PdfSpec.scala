@@ -65,6 +65,38 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfTextExtractor.extractText(PdfSource.wrapPdf(3L, tricky), " ") == tricky)
   }
 
+  test("raw stream whose TEXT contains the word endstream round-trips (length-located)") {
+    val doc = "the marker endstream appears mid text and extraction must survive it fine"
+    // docId 3 -> raw (uncompressed) path: the payload embeds the bytes
+    // 'endstream'; /Length must locate the true end, not the first match
+    assert(PdfTextExtractor.extractText(PdfSource.wrapPdf(3L, doc), " ") == doc)
+    assert(PdfTextExtractor.extractText(PdfSource.wrapPdf(1L, doc), " ") == doc)
+  }
+
+  test("an earlier non-stream dict naming /FlateDecode does not misclassify a raw stream") {
+    val content = "BT (Hello raw) Tj ET"
+    val pdf = bytes(
+      "%PDF-1.4\n" +
+        "5 0 obj << /Type /XRef /Filter /FlateDecode /DecodeParms 7 >> endobj\n" +
+        s"6 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n%%EOF")
+    assert(PdfTextExtractor.extractText(pdf, " ") == "Hello raw")
+  }
+
+  test("inline images (BI..ID..EI) are skipped: binary never corrupts or swallows text") {
+    // image bytes contain '(' and 'BT'-shaped runs that would derail a
+    // naive token scan
+    val content = "BT (before) Tj ET BI /W 2 /H 2 ID ( BT ( Tj ÿ EI\nBT (after) Tj ET"
+    assert(PdfTextExtractor.extractLines(rawPdf(content)).toSeq == Seq("before", "after"))
+  }
+
+  test("content-stream dicts are skipped as units; stale show operands never re-emit") {
+    // <</MCID 0>> must not be read as a hex string
+    assert(PdfTextExtractor.extractLines(
+      rawPdf("/P <</MCID 0>> BDC BT (ok) Tj ET")).toSeq == Seq("ok"))
+    // ' with a missing operand must NOT re-show the consumed "A"
+    assert(PdfTextExtractor.extractLines(rawPdf("BT (A) Tj T* ' ET")).toSeq == Seq("A"))
+  }
+
   test("totality on junk and truncated input") {
     assert(PdfTextExtractor.extractLines(null).isEmpty)
     assert(PdfTextExtractor.extractLines(bytes("")).isEmpty)

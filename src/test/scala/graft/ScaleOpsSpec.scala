@@ -88,6 +88,17 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connectedComponents: edge-only endpoints (not in nodes) cannot cause premature convergence") {
+    val sp = spark; import sp.implicits._
+    // node 1 appears ONLY in edges; before the null-aware convergence
+    // counter, round 1 declared converged and 5/9 kept different labels
+    val nodes = Seq(5L, 9L).toDF("doc_id")
+    val edges = Seq((5L, 1L), (1L, 9L)).toDF("doc_a", "doc_b")
+    val got = TextOps.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(5L) == got(9L), s"5 and 9 share a component, got $got")
+  }
+
   test("connectedComponents (min-label) THROWS on a chain deeper than maxIter instead of returning wrong labels") {
     val (nodes, edges) = chain(12)
     val e = intercept[IllegalStateException] {
