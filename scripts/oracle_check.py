@@ -28,8 +28,17 @@ def norm(v):
 # local green predicts driver green (the r2 q_windowframe escape).
 BANNED_TYPES = ('HUGEINT', 'DECIMAL', 'UHUGEINT')
 
+if not oracle:
+    print("MISMATCH ('<all>', 'empty_oracle', 'oracle_sql.json has no entries')")
+    sys.exit(1)
+
 for name, sql in sorted(oracle.items()):
-    sdf = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+    try:
+        sdf = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+    except Exception as e:
+        # Verify deletes the output dir when a query throws — a missing
+        # dir means THAT query failed, not that the harness broke
+        bad.append((name, 'missing_output', str(e)[:200])); continue
     try:
         offenders = [(r[0], r[1]) for r in
                      con.execute(f"DESCRIBE {sql}").fetchall()
@@ -52,5 +61,8 @@ for name, sql in sorted(oracle.items()):
 print(f"MATCH {len(ok)}/{len(oracle)}")
 for b in bad: print("MISMATCH", b)
 dirs = [os.path.basename(d) for d in glob.glob(f'{out_dir}/*') if os.path.isdir(d)]
-print("no_oracle:", sorted(set(dirs) - set(oracle)))
-sys.exit(1 if bad else 0)
+no_oracle = sorted(set(dirs) - set(oracle))
+print("no_oracle:", no_oracle)
+# an output dir with no oracle entry = a query shipped unverified
+# (dropped/typo'd oracleSql key) — that is a FAILURE, not a footnote
+sys.exit(1 if (bad or no_oracle) else 0)

@@ -107,15 +107,26 @@ object Bench {
         .option("parquet.enable.dictionary", "false")
         .parquet(s"$outDir/pages_extracted")
       val sec = (System.nanoTime() - t0) / 1e9
-      val rowsOut = spark.read.parquet(s"$outDir/pages_extracted").count()
-      val digest = ExtractPipeline.globalDigest(
-        spark.read.parquet(s"$outDir/pages_extracted")).collect()(0).getLong(0)
+      // ONE verification pass: globalDigest already carries n_rows
+      val r = ExtractPipeline.globalDigest(
+        spark.read.parquet(s"$outDir/pages_extracted")).collect()(0)
+      val (digest, rowsOut) = (r.getLong(0), r.getLong(1))
+      // the full extracted copy (hundreds of MB) must not leak per run —
+      // the interleaved protocol invokes Bench many times per session
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
       (sec, rowsOut, digest)
     }
     val (coldSec, rowsCold, digestCold) = runPipeline()
     val (pipelineSec, rowsOut, digest) = runPipeline()
     require(rowsOut == rowsCold && digest == digestCold, "non-deterministic pipeline output")
     val docsPerSec = rowsOut / pipelineSec
+    // the recorded bench_pages must be what was MEASURED, not what was
+    // requested: a pre-existing corpus (reused via _SUCCESS) wins over
+    // a divergent SPARK_GRAFT_BENCH_PAGES value
+    val corpusRows = spark.read.parquet(benchDir).count()
+    if (corpusRows != benchPages)
+      System.err.println(s"[bench] corpus at $benchDir has $corpusRows pages " +
+        s"(requested $benchPages) — recording the measured count")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -129,7 +140,7 @@ object Bench {
       s""""pipeline_digest":$digest,""" +
       s""""load_before":$loadBefore,"load_after":${loadAvgJson()},""" +
       s""""host_cpus":${Runtime.getRuntime.availableProcessors()},""" +
-      s""""cpus":$cpus,"bench_pages":$benchPages,"sf":"$sfDir"}""")
+      s""""cpus":$cpus,"bench_pages":$corpusRows,"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.mkString(",")}")
     spark.stop()

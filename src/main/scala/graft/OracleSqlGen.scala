@@ -26,6 +26,12 @@ import graft.ops.{TextOps, VectorOps}
   */
 private[graft] object OracleSqlGen {
 
+  /** dedup_embedding similarity floor for the synthetic corpus — ONE
+    * constant for the Spark call (Queries.dedupEmbedding) and the SQL
+    * mirror below; a bare literal on either side desynchronizes them.
+    */
+  val DedupEmbeddingMinSimMicro = 300000L
+
   private val M64 = "18446744073709551616::HUGEINT"
 
   /** Signed BIGINT view of an unsigned HUGEINT (two's-complement wrap). */
@@ -519,7 +525,7 @@ private[graft] object OracleSqlGen {
        |  SELECT p.vec_a, p.vec_b,
        |    CAST(floor(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) * 1000000.0) AS BIGINT) AS sim_micro
        |  FROM cand p JOIN normed a ON a.vec_id = p.vec_a JOIN normed b ON b.vec_id = p.vec_b)
-       |SELECT vec_a, vec_b, sim_micro FROM simd WHERE sim_micro >= 300000
+       |SELECT vec_a, vec_b, sim_micro FROM simd WHERE sim_micro >= $DedupEmbeddingMinSimMicro
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Duplicate clustering: recursive min-label propagation over the

@@ -273,7 +273,8 @@ object Queries {
     VectorOps.annRecall(s, VectorOps.readEmbeddings(s, d))
 
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
-    VectorOps.dedupEmbedding(s, VectorOps.readEmbeddings(s, d), minSimMicro = 300000L)
+    VectorOps.dedupEmbedding(s, VectorOps.readEmbeddings(s, d),
+      minSimMicro = OracleSqlGen.DedupEmbeddingMinSimMicro)
 
   def embedStats(s: SparkSession, d: String): DataFrame =
     VectorOps.embedStats(VectorOps.readEmbeddings(s, d))
@@ -571,18 +572,31 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
+  /** ONE SQL body for the Spark run and the DuckDB oracle (only the
+    * table name differs) — two hand-kept copies would desynchronize
+    * silently, the exact hazard the generated mirrors avoid.
+    */
+  private[graft] def groupingSetsSql(orders: String): String =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  count(*) AS n_orders,
+       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM $orders
+       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  private[graft] def existsSql(customer: String, orders: String): String =
+    s"""SELECT c_custkey FROM $customer
+       |WHERE EXISTS (SELECT 1 FROM $orders
+       |              WHERE o_custkey = c_custkey
+       |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+       |ORDER BY c_custkey""".stripMargin
+
   /** Explicit GROUPING SETS (not derivable from rollup/cube): totals
     * by priority, by status, and the grand total in one pass.
     */
   def qGroupingSets(s: SparkSession, d: String): DataFrame = {
     s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("q_gs_orders")
-    s.sql(
-      """SELECT o_orderpriority, o_orderstatus,
-        |  count(*) AS n_orders,
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM q_gs_orders
-        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+    s.sql(groupingSetsSql("q_gs_orders"))
   }
 
   /** Correlated EXISTS subquery (decorrelated by Catalyst into a
@@ -591,12 +605,7 @@ object Queries {
   def qExists(s: SparkSession, d: String): DataFrame = {
     s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("q_ex_customer")
     s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("q_ex_orders")
-    s.sql(
-      """SELECT c_custkey FROM q_ex_customer
-        |WHERE EXISTS (SELECT 1 FROM q_ex_orders
-        |              WHERE o_custkey = c_custkey
-        |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
-        |ORDER BY c_custkey""".stripMargin)
+    s.sql(existsSql("q_ex_customer", "q_ex_orders"))
   }
 
   /** NOT EXISTS as left-anti join: customers with no orders. */

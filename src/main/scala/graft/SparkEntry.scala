@@ -300,8 +300,13 @@ object SparkEntry {
          |         max(n_docs) AS max_docs
          |  FROM hc),
          |q AS (
+         |  -- DOUBLE percentages: a DECIMAL position would make the
+         |  -- interpolation weights decimal-exact where Spark computes
+         |  -- them in double (p90 diverges whenever the bracketing
+         |  -- counts differ) — cross-engine float discipline
          |  SELECT agg.n, agg.max_docs, agg.c, p.p, p.p * (agg.n - 1) AS pos
-         |  FROM agg, UNNEST([0.25, 0.5, 0.75, 0.9]) AS p(p)),
+         |  FROM agg, UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |                    CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p(p)),
          |v AS (
          |  SELECT n, max_docs, p,
          |    CASE WHEN ceil(pos) = floor(pos) THEN c[CAST(pos AS INTEGER)+1]
@@ -350,19 +355,10 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
-    "q_groupingsets" ->
-      """SELECT o_orderpriority, o_orderstatus,
-        |  count(*) AS n_orders,
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
-    "q_exists" ->
-      """SELECT c_custkey FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_custkey = c_custkey
-        |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
-        |ORDER BY c_custkey""".stripMargin,
+    // SAME body the Spark side runs (Queries.groupingSetsSql/existsSql)
+    // — only the table names differ
+    "q_groupingsets" -> Queries.groupingSetsSql("orders"),
+    "q_exists" -> Queries.existsSql("customer", "orders"),
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,
