@@ -97,6 +97,22 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfTextExtractor.extractLines(rawPdf("BT (A) Tj T* ' ET")).toSeq == Seq("A"))
   }
 
+  test("lying /Length values: fallback to scanning, never throw, deterministic") {
+    val content = "BT (survives) Tj ET"
+    for (len <- Seq(-5, 0, 3, 10000, Int.MaxValue)) {
+      val pdf = bytes(
+        s"%PDF-1.4\n1 0 obj << /Length $len >> stream\n$content\nendstream endobj\n%%EOF")
+      val got = PdfTextExtractor.extractLines(pdf).toSeq
+      assert(got == PdfTextExtractor.extractLines(pdf.clone()).toSeq, s"len=$len")
+      if (len <= 0 || len > pdf.length) // implausible: scan fallback recovers
+        assert(got == Seq("survives"), s"len=$len got $got")
+    }
+    // indirect length (N 0 R) cannot be resolved without xref: fallback
+    val ind = bytes(
+      s"%PDF-1.4\n1 0 obj << /Length 7 0 R >> stream\n$content\nendstream endobj\n%%EOF")
+    assert(PdfTextExtractor.extractLines(ind).toSeq == Seq("survives"))
+  }
+
   test("totality on junk and truncated input") {
     assert(PdfTextExtractor.extractLines(null).isEmpty)
     assert(PdfTextExtractor.extractLines(bytes("")).isEmpty)
