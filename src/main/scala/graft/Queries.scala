@@ -266,6 +266,12 @@ object Queries {
   def embedClusterQ(s: SparkSession, d: String): DataFrame =
     VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
 
+  /** Integer PageRank over the planted host citation graph (domain
+    * authority for host-level sample weighting).
+    */
+  def hostRankQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.GraphOps.hostRank(s, TextOps.readDocs(s, d))
+
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
 

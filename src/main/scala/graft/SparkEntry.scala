@@ -92,6 +92,7 @@ object SparkEntry {
     "q_pivot" -> (Queries.qPivot _),
     "q_setops" -> (Queries.qSetOps _),
     "events_sessions" -> (Queries.eventsSessions _),
+    "host_rank" -> (Queries.hostRankQ _),
     "mm_frames" -> (Queries.mmFrames _)
   )
 
@@ -102,9 +103,45 @@ object SparkEntry {
   private val nw = "(length(text) - length(replace(text, ' ', '')) + 1)"
   /** paragraph count used by the page wrapper (8 words per <p>) */
   private val pCnt = s"(($nw + 7) // 8)"
-  /** skewed host id — mirror of PageSource.hostId */
-  private val hid =
-    "CASE WHEN doc_id % 2 = 0 THEN 0 WHEN doc_id % 4 = 3 THEN 1 + (doc_id % 9) ELSE 10 + (doc_id % 990) END"
+  /** skewed host id of an arbitrary doc-id expression — mirror of
+    * PageSource.hostId / GraphOps.hostIdCol
+    */
+  private def hidOf(x: String): String =
+    s"CASE WHEN ($x) % 2 = 0 THEN 0 WHEN ($x) % 4 = 3 THEN 1 + (($x) % 9) ELSE 10 + (($x) % 990) END"
+  private val hid = hidOf("doc_id")
+
+  /** host_rank oracle: the integer PageRank loop of GraphOps.hostRank
+    * UNROLLED — edges from the planted citation graph (target =
+    * doc_id·31+7 mod n), per-edge contribution divided BEFORE the
+    * inflow sum (truncating `//` == Spark DIV on non-negatives), CAST
+    * to BIGINT every round (DuckDB sum widens to HUGEINT).
+    */
+  private def hostRankSql(iters: Int): String = {
+    def hostOf(x: String) = s"'host' || CAST(${hidOf(x)} AS VARCHAR) || '.example'"
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.host,
+         |    CAST(150 + COALESCE(s.inflow, 0) AS BIGINT) AS rank_milli
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS host,
+         |           sum(r.rank_milli * 850 * e.w // (1000 * o.od)) AS inflow
+         |    FROM edges e JOIN outdeg o USING (src)
+         |    JOIN r${k - 1} r ON r.host = e.src
+         |    GROUP BY e.dst) s USING (host))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+       |e0 AS (
+       |  SELECT ${hostOf("doc_id")} AS src,
+       |         ${hostOf("(doc_id * 31 + 7) % (SELECT count(*) FROM documents)")} AS dst
+       |  FROM d),
+       |edges AS (SELECT src, dst, count(*) AS w FROM e0 WHERE src <> dst GROUP BY src, dst),
+       |outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT ${hostOf("doc_id")} AS host FROM d),
+       |r0 AS (SELECT host, CAST(1000 AS BIGINT) AS rank_milli FROM nodes),
+       |$rounds
+       |SELECT host, rank_milli FROM r$iters
+       |ORDER BY rank_milli DESC, host ASC""".stripMargin
+  }
   /** page url — mirror of PageSource.urlOf */
   private val urlSql =
     s"'https://host' || CAST($hid AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)"
@@ -359,6 +396,7 @@ object SparkEntry {
     // — only the table names differ
     "q_groupingsets" -> Queries.groupingSetsSql("orders"),
     "q_exists" -> Queries.existsSql("customer", "orders"),
+    "host_rank" -> hostRankSql(3),
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the host graph — the domain-authority
+  * signal a web-curation pipeline feeds into host-level weighting
+  * (authority-weighted sampling is a standard corpus-quality lever).
+  */
+object GraphOps {
+
+  /** Host id of a doc id — the SAME skewed derivation as
+    * PageSource.hostId / the oracle's hid fragment.
+    */
+  def hostIdCol(docId: Column): Column =
+    when(docId % 2 === 0, lit(0L))
+      .when(docId % 4 === 3, lit(1L) + docId % 9)
+      .otherwise(lit(10L) + docId % 990)
+
+  def hostCol(docId: Column): Column =
+    concat(lit("host"), hostIdCol(docId).cast("string"), lit(".example"))
+
+  /** Deterministic integer PageRank over the host citation graph.
+    *
+    * Edges: doc d's host links to the host of its deterministic
+    * citation target, doc (d·31+7) mod n — a planted link graph over
+    * the real host derivation (the corpusWithNearDups convention:
+    * synthetic-but-pinned structure the oracle re-derives). Self-loops
+    * dropped; parallel links keep their multiplicity as edge weight.
+    *
+    * All arithmetic is EXACT: ranks in milli units, damping
+    * 850/1000 via truncating integer division (== DuckDB `//` on
+    * non-negative values), per-edge contributions divided BEFORE the
+    * inflow sum, fixed iteration count — so the SQL oracle unrolls the
+    * loop bit-identically. Dangling hosts simply leak their damped
+    * mass (the simplest published formulation; redistribution is a
+    * one-line variant).
+    *
+    * Scale shape: the rank state is (host, long) — one row per host,
+    * orders of magnitude smaller than the corpus; each iteration is
+    * one equi-join of that state with the pre-aggregated edge relation
+    * plus one hash aggregate. Nothing document-sized ever enters the
+    * loop — the classic id-only PageRank shape.
+    */
+  def hostRank(spark: SparkSession, docs: DataFrame, iters: Int = 3,
+               dampingPermille: Long = 850L): DataFrame = {
+    val n = docs.count()
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"))
+    val nodes = d.select(hostCol(col("doc_id")).as("host")).distinct()
+    val edges = d.select(
+        hostCol(col("doc_id")).as("src"),
+        hostCol((col("doc_id") * 31L + 7L) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("od"))
+
+    val base = 1000L - dampingPermille
+    var ranks = nodes.withColumn("rank_milli", lit(1000L))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(outdeg, Seq("src"))
+        .join(ranks.withColumnRenamed("host", "src"), Seq("src"))
+        .select(col("dst").as("host"),
+          expr(s"rank_milli * $dampingPermille * w DIV (1000 * od)").as("c"))
+        .groupBy(col("host"))
+        .agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).cast("long").as("rank_milli"))
+      i += 1
+    }
+    ranks
+      .select(col("host"), col("rank_milli"))
+      .orderBy(col("rank_milli").desc, col("host").asc)
+  }
+}

@@ -189,6 +189,22 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"passage strings must not ride a shuffle:\n$plan")
   }
 
+  test("hostRank: ranks bounded below by the base, skew host dominates, partition-invariant") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val rows = graft.ops.GraphOps.hostRank(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // every host keeps at least the undamped base mass
+    assert(rows.forall(_._2 >= 150L), rows.filter(_._2 < 150L).take(3).mkString(","))
+    // host0 holds 50% of docs -> 50% of citations land on it: top rank
+    assert(rows.head._1 == "host0.example" && rows.head._2 > rows(1)._2 * 5,
+      s"head=${rows.head}, second=${rows(1)}")
+    // deterministic and partition-invariant
+    val again = graft.ops.GraphOps.hostRank(spark, docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("tfidfTopTerms: frequent-here-rare-elsewhere wins; deterministic ties") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
