@@ -94,8 +94,8 @@ object CurateJob {
         (length(col("text")) - length(translate(col("text"), TextOps.PunctChars, "")))
           .cast("long"))
       .filter(col("n_tokens") >= minTokens &&
-        col("n_punct") * 5L <= length(col("text")) &&
-        !(col("n_distinct") * dupFactor <= col("n_tokens")))
+        TextOps.keepPunct(col("text"), col("n_punct")) &&
+        TextOps.keepNonRepetitive(col("n_distinct"), col("n_tokens"), dupFactor))
     val nUrlDeduped = urlDeduped.count() // materializes the persist
     val nGated = gated.count() // cheap filter over the cached frame
 
@@ -169,7 +169,16 @@ object CurateJob {
     val (nSampled, nShards) =
       if (!hasData(shardsPath)) (0L, 0L)
       else {
-        val out = if (format == "json") spark.read.json(s"$outDir/shards")
+        // explicit schema for JSONL: inference would decompress every
+        // gzip shard a second time just to learn what `packed` wrote
+        // (bucket is the partition-dir key, appended by discovery)
+        val jsonSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("url_norm", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType)))
+        val out = if (format == "json") spark.read.schema(jsonSchema).json(s"$outDir/shards")
           else spark.read.parquet(s"$outDir/shards")
         val r = out.agg(count(lit(1)),
           countDistinct(col("bucket"), col("shard"))).collect()(0)

@@ -32,6 +32,12 @@ private[graft] object OracleSqlGen {
     */
   val DedupEmbeddingMinSimMicro = 300000L
 
+  /** dedup_embedding hot-bucket cap — mirrored in the SQL below (a
+    * corpus with a >cap bucket would otherwise diverge: Spark drops
+    * the bucket's pairs, an uncapped oracle keeps them).
+    */
+  val DedupEmbeddingMaxBucket = 4096
+
   private val M64 = "18446744073709551616::HUGEINT"
 
   /** Signed BIGINT view of an unsigned HUGEINT (two's-complement wrap). */
@@ -362,7 +368,13 @@ private[graft] object OracleSqlGen {
        |  SELECT vec_id, dd.i,
        |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
        |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
-       |c0 AS (SELECT vec_id AS cid, i, m FROM vm WHERE vec_id < $k),
+       |c0 AS (
+       |  -- cid = POSITION among the init vectors (dense_rank), not the
+       |  -- raw vec_id: Spark's kmeansMilli indexes its centroid array
+       |  -- by sorted position, and the two only coincide when init ids
+       |  -- are contiguous from 0 — a filtered table would diverge
+       |  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, i, m
+       |  FROM vm WHERE vec_id < $k),
        |$iterCtes,
        |af AS (
        |  SELECT v.vec_id, c.cid, sum((v.m - c.m) * (v.m - c.m)) AS d
@@ -451,7 +463,11 @@ private[graft] object OracleSqlGen {
        |  SELECT vec_id, dd.i,
        |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
        |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
-       |pc0 AS (SELECT i // $sub AS s, vec_id AS cid, i, m FROM vm WHERE vec_id < $kCode),
+       |pc0 AS (
+       |  -- cid = sorted POSITION among init vectors (see kmeansAssignCtes)
+       |  SELECT i // $sub AS s,
+       |         CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, i, m
+       |  FROM vm WHERE vec_id < $kCode),
        |$iterCtes,
        |paf AS (
        |  SELECT v.vec_id, c.s, c.cid, sum((v.m - c.m) * (v.m - c.m)) AS d
@@ -517,9 +533,16 @@ private[graft] object OracleSqlGen {
        |banded AS (
        |  SELECT vec_id, bb.band, (bucketbits >> (CAST(bb.band AS INTEGER)*8)) & 255 AS bucket
        |  FROM buckets, UNNEST(range(4)) AS bb(band)),
+       |bcnt AS (SELECT band, bucket, count(*) AS cnt FROM banded GROUP BY band, bucket),
+       |bounded AS (
+       |  -- the Spark side's hot-bucket cap, mirrored: buckets outside
+       |  -- [2, maxBucket] never produce candidates
+       |  SELECT b.vec_id, b.band, b.bucket
+       |  FROM banded b JOIN bcnt USING (band, bucket)
+       |  WHERE cnt >= 2 AND cnt <= $DedupEmbeddingMaxBucket),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |  FROM bounded x JOIN bounded y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |normed AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
        |simd AS (
        |  SELECT p.vec_a, p.vec_b,

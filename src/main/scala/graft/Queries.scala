@@ -280,7 +280,8 @@ object Queries {
 
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     VectorOps.dedupEmbedding(s, VectorOps.readEmbeddings(s, d),
-      minSimMicro = OracleSqlGen.DedupEmbeddingMinSimMicro)
+      minSimMicro = OracleSqlGen.DedupEmbeddingMinSimMicro,
+      maxBucket = OracleSqlGen.DedupEmbeddingMaxBucket)
 
   def embedStats(s: SparkSession, d: String): DataFrame =
     VectorOps.embedStats(VectorOps.readEmbeddings(s, d))

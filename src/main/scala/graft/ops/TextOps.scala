@@ -180,6 +180,16 @@ object TextOps {
   def readDocs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Quality-gate KEEP rules — ONE definition for the batch funnel
+    * (CurateJob), the streaming gate (StreamingCurate) and, by
+    * CLAUDE.md pinning, the oracle mirrors. Integer-exact.
+    */
+  def keepPunct(text: Column, nPunct: Column): Column =
+    nPunct * 5L <= length(text)
+  def keepNonRepetitive(nDistinct: Column, nTokens: Column,
+                        dupFactor: Long = 2L): Column =
+    !(nDistinct * dupFactor <= nTokens)
+
   /** Mutated-corpus builder: every 10th doc gets a near-duplicate
     * (doc_id + 1,000,000; last word dropped) so near-dup operators have
     * deterministic positives. Pure Column exprs — stays in codegen.

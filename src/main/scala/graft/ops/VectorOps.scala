@@ -139,8 +139,10 @@ object VectorOps {
   /** Exact-cosine top-k over candidate (query_id, neighbor_id) id
     * pairs — the shared re-rank tail of the candidate-generating ANN
     * methods (annLsh, annPq). ONE scoring contract: precomputed norms,
-    * micro-floored similarity, (sim desc, neighbor asc) ties — the
-    * constants every DuckDB mirror tracks live here, not in N copies.
+    * micro-floored similarity, (sim desc, neighbor asc) ties.
+    * annBrute/annIvf keep their inline scoring (their candidates carry
+    * vectors already — re-joining through here would add a pass), so a
+    * contract change touches those two sites AND their SQL mirrors.
     */
   private def rerankExact(cand: DataFrame, emb: DataFrame,
                           nQueries: Int, k: Int): DataFrame = {
@@ -293,6 +295,10 @@ object VectorOps {
              k: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     val centroids = kmeansMilli(spark, emb, k, iters)
+    // NOT unpersisted here: the returned plan is lazy and re-reads the
+    // broadcast on every execution; ContextCleaner reclaims it when the
+    // plan is GC'd (kmeansMilli's per-iteration broadcasts, by
+    // contrast, die inside the call and are released eagerly)
     val bc = spark.sparkContext.broadcast(centroids)
 
     val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))

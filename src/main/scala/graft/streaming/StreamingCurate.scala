@@ -51,11 +51,11 @@ object StreamingCurate {
       .withColumn("n_punct",
         (length(col("text")) - length(translate(col("text"), TextOps.PunctChars, "")))
           .cast("long"))
-      // SAME three rules as CurateJob.run's batch gate — the lambda
-      // split's two halves must agree on what passes
+      // SAME three rules as CurateJob.run's batch gate (shared Column
+      // builders) — the lambda split's two halves must agree
       .filter(col("n_tokens") >= minTokens &&
-        col("n_punct") * 5L <= length(col("text")) &&
-        !(col("n_distinct") * dupFactor <= col("n_tokens")))
+        TextOps.keepPunct(col("text"), col("n_punct")) &&
+        TextOps.keepNonRepetitive(col("n_distinct"), col("n_tokens"), dupFactor))
       .select(col("url_norm"), col("warc_ts"), col("text"), col("n_tokens"))
       .writeStream
       .format("parquet")
