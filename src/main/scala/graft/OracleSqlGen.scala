@@ -652,6 +652,29 @@ private[graft] object OracleSqlGen {
        |FROM rates r LEFT JOIN kept k USING (lang) ORDER BY lang""".stripMargin
   }
 
+  /** Quality-classifier inference mirror: per-distinct-word weight via
+    * the FNV→xor-seed→splitmix chain, summed per occurrence, truncated
+    * mean (`//` toward zero == JVM `/`).
+    */
+  val qualityClassify: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.QualityClassifySeed)
+    s"""WITH wx AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.w
+       |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)),
+       |dw AS (SELECT DISTINCT w FROM wx),
+       |fv AS (SELECT w, ${fnvU("w")} AS h FROM dw),
+       |sx AS (SELECT w, ${xor64("fv.h", s"$seedU::HUGEINT")} AS x FROM fv),
+       |${splitmixCtes("qc", "sx", "w")},
+       |wt AS (SELECT w, CAST(hk % 2001 AS BIGINT) - 1000 AS wt FROM qc6),
+       |agg AS (
+       |  SELECT wx.doc_id, count(*) AS n_words, CAST(sum(wt.wt) AS BIGINT) AS s
+       |  FROM wx JOIN wt USING (w) GROUP BY wx.doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(s // n_words AS BIGINT) AS score_milli,
+       |  (s // n_words) >= 0 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic stratified sampling mirror: splitmix64(doc_id xor
     * seed) unsigned mod 1000 under the per-lang permille rate.
     */

@@ -248,6 +248,9 @@ object Queries {
   def qualityScore(s: SparkSession, d: String): DataFrame =
     TextOps.qualityScores(TextOps.readDocs(s, d))
 
+  def qualityClassifyQ(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityClassify(s, TextOps.readDocs(s, d))
+
   def langIdQ(s: SparkSession, d: String): DataFrame =
     TextOps.langIds(s, TextOps.readDocs(s, d))
 

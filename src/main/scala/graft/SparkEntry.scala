@@ -44,6 +44,7 @@ object SparkEntry {
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
+    "quality_classify" -> (Queries.qualityClassifyQ _),
     "lang_id" -> (Queries.langIdQ _),
     "doc_fingerprint" -> (Queries.fingerprintQ _),
     "ann_cosine" -> (Queries.annCosine _),
@@ -397,6 +398,7 @@ object SparkEntry {
     "q_groupingsets" -> Queries.groupingSetsSql("orders"),
     "q_exists" -> Queries.existsSql("customer", "orders"),
     "host_rank" -> hostRankSql(3),
+    "quality_classify" -> OracleSqlGen.qualityClassify,
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,

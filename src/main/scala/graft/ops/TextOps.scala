@@ -180,6 +180,45 @@ object TextOps {
   def readDocs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Seed for the stub quality-classifier weights (public: the DuckDB
+    * oracle embeds it).
+    */
+  val QualityClassifySeed: Long = 0x9e3779b97f4a7c15L
+
+  /** Linear quality-classifier INFERENCE (the fastText shape, hashing
+    * trick): each token's weight is a pure function of its hash —
+    * weight_milli = splitmix64(fnv1a64(w) xor seed) mod 2001 - 1000 —
+    * and the doc score is the truncated mean over token occurrences.
+    * The weights are a seed-fixed STUB (no trained model ships in this
+    * sandbox, same honesty convention as Multimodal.featureStub); the
+    * plumbing is the real serving shape: with the hashing trick there
+    * is no weight table to broadcast at all — a trained model swaps in
+    * a broadcast float array indexed by the same hash, nothing else
+    * changes. Per-row map, zero shuffles; integer-exact on both
+    * engines (JVM `/` and DuckDB `//` both truncate toward zero on
+    * negative means).
+    */
+  def qualityClassify(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(' ').filter(_.nonEmpty)
+        var s = 0L
+        var i = 0
+        while (i < words.length) {
+          val h = splitmix64(fnv1a64(words(i)) ^ QualityClassifySeed)
+          s += java.lang.Long.remainderUnsigned(h, 2001L) - 1000L
+          i += 1
+        }
+        val n = words.length.toLong
+        val score = if (n == 0) 0L else s / n
+        (id, n, score, score >= 0L)
+      }
+      .toDF("doc_id", "n_words", "score_milli", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Quality-gate KEEP rules — ONE definition for the batch funnel
     * (CurateJob), the streaming gate (StreamingCurate) and, by
     * CLAUDE.md pinning, the oracle mirrors. Integer-exact.

@@ -39,6 +39,7 @@ class ExtractPropertySpec extends AnyFunSuite {
       Gen.oneOf("<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>",
         "<br>", "<!-- c -->", "&amp;", "&#65;", "&bogus;", "<table><tr><td>",
         "</td></tr></table>", "< ", "<script>x<y</script>", "  ", "\n", "\t",
+        "<3", "</3 junk>", "</>", "<-", "1 < 2",
         "<b>", "</i>", "<P >", "</SPAN>", "<h1>", "&#x41;", "<x>", "</zz>")
     )
     Gen.listOf(frag).map(_.mkString)

@@ -189,6 +189,24 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"passage strings must not ride a shuffle:\n$plan")
   }
 
+  test("qualityClassify: score is the truncated token-weight mean; deterministic; keep = score>=0") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "  gamma  ")).toDF("doc_id", "text")
+    val got = TextOps.qualityClassify(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    def wt(w: String): Long =
+      java.lang.Long.remainderUnsigned(
+        graft.sources.PageSource.splitmix64(
+          TextOps.fnv1a64(w) ^ TextOps.QualityClassifySeed), 2001L) - 1000L
+    val s1 = 2 * wt("alpha") + wt("beta")
+    assert(got(1L) == ((3L, s1 / 3, s1 / 3 >= 0)), "occurrence-weighted mean")
+    assert(got(2L) == ((0L, 0L, true)), "empty text: zero words, neutral keep")
+    assert(got(3L) == ((1L, wt("gamma"), wt("gamma") >= 0)), "ragged whitespace ignored")
+    val full = TextOps.qualityClassify(spark, TextOps.readDocs(spark, sfDir))
+    assert(full.collect().toSeq == TextOps.qualityClassify(
+      spark, TextOps.readDocs(spark, sfDir).repartition(7)).collect().toSeq)
+  }
+
   test("hostRank: ranks bounded below by the base, skew host dominates, partition-invariant") {
     val docs = TextOps.readDocs(spark, sfDir)
     val rows = graft.ops.GraphOps.hostRank(spark, docs).collect()
