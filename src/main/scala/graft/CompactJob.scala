@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,37 +38,46 @@ object CompactJob {
       rows: Long, filesBefore: Int, filesAfter: Int,
       bytesBefore: Long, bytesAfter: Long, digest: Long)
 
-  private def parquetFiles(dir: java.io.File): Array[java.io.File] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def parquetFiles(fs: FileSystem, dir: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
   def run(
       spark: SparkSession,
       tableDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024
   ): CompactReport = {
-    val dir = new java.io.File(tableDir)
-    // The swap below is two non-atomic renames; a crash between them
-    // leaves the data in .bak (table dir absent). Refuse to run over
-    // such debris — RECOVERY: if <tableDir> is absent and <tableDir>.bak
-    // exists, `mv <tableDir>.bak <tableDir>`; always delete any stale
-    // <tableDir>.compacting (an unverified partial rewrite).
-    require(!new java.io.File(tableDir + ".bak").exists(),
+    // Hadoop FileSystem API throughout (NOT java.io.File): compaction
+    // is a lakehouse maintenance op and the table lives wherever the
+    // lakehouse lives — HDFS/S3 paths must work, and `rename` is atomic
+    // on HDFS (the swap below is then as safe as the FS allows).
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bakPath = new Path(tableDir + ".bak")
+    val tmpPath = new Path(tableDir + ".compacting")
+    // The swap below is two renames (atomic each on HDFS, but not as a
+    // pair); a crash between them leaves the data in .bak (table dir
+    // absent). Refuse to run over such debris — RECOVERY: if <tableDir>
+    // is absent and <tableDir>.bak exists, rename <tableDir>.bak back to
+    // <tableDir>; always delete any stale <tableDir>.compacting (an
+    // unverified partial rewrite).
+    require(!fs.exists(bakPath),
       s"$tableDir.bak exists — a previous compaction crashed mid-swap; " +
         s"recover first (mv $tableDir.bak $tableDir if the table dir is missing)")
-    require(!new java.io.File(tableDir + ".compacting").exists(),
+    require(!fs.exists(tmpPath),
       s"$tableDir.compacting exists — stale partial rewrite; delete it first")
-    require(dir.isDirectory, s"$tableDir is not a directory")
+    require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
+      s"$tableDir is not a directory")
     // A Structured-Streaming file sink keeps its own _spark_metadata
     // log; readers of such a table see ONLY log-listed files, so a
     // directory-level rewrite would make every compacted row invisible
     // (and the swap would destroy the log). Refuse — stop the stream
     // and migrate (read + rewrite to a NEW batch table) instead.
-    require(!new java.io.File(dir, "_spark_metadata").exists(),
+    require(!fs.exists(new Path(dir, "_spark_metadata")),
       s"$tableDir is a streaming-sink table (_spark_metadata present) — " +
         s"compacting it would orphan the sink log; migrate to a batch table first")
-    val before = parquetFiles(dir)
-    val bytesBefore = before.map(_.length).sum
+    val before = parquetFiles(fs, dir)
+    val bytesBefore = before.map(_.getLen).sum
     val nParts = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
 
     // full-row digest: every column (sorted for name-order stability),
@@ -99,14 +109,13 @@ object CompactJob {
       s"compaction would change the table (rows $rows->${rewritten.getLong(1)}, " +
         s"digest $digest->${rewritten.getLong(0)}) — aborted, source untouched")
 
-    val bak = new java.io.File(tableDir + ".bak")
-    require(dir.renameTo(bak), s"swap failed: cannot move $tableDir aside")
-    require(new java.io.File(tmp).renameTo(dir), s"swap failed: cannot move $tmp in")
-    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    require(fs.rename(dir, bakPath), s"swap failed: cannot move $tableDir aside")
+    require(fs.rename(tmpPath, dir), s"swap failed: cannot move $tmp in")
+    fs.delete(bakPath, true)
 
-    val after = parquetFiles(dir)
+    val after = parquetFiles(fs, dir)
     CompactReport(rows, before.length, after.length,
-      bytesBefore, after.map(_.length).sum, digest)
+      bytesBefore, after.map(_.getLen).sum, digest)
   }
 
   def main(args: Array[String]): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextOps
+import graft.ops.{GraphOps, TextOps}
 
 /** Training-corpus curation job: composes the training-data operators
   * into the production pipeline a 100 TB corpus actually runs AFTER
@@ -18,7 +18,10 @@ import graft.ops.TextOps
   *       whose cross-doc duplicated-passage share exceeds
   *       maxDupPermille — the sub-document signal doc-level dedup
   *       cannot see; off by default)
-  *     → PII scrub → deterministic hash sampling
+  *     → PII scrub → deterministic hash sampling (flat permille, or
+  *       [optional] authority-weighted: host_rank → ntile tiers →
+  *       per-tier permille joined on host — the PageRank signal
+  *       actually consumed by the funnel)
   *     → token-budget shard packing → shard-partitioned parquet write
   *
   * Scale shape (the properties that survive 1000 executors):
@@ -48,7 +51,8 @@ object CurateJob {
 
   final case class CurateReport(
       nInput: Long, nUrlDeduped: Long, nGated: Long,
-      nCanonical: Long, nSampled: Long, nShards: Long)
+      nCanonical: Long, nSampled: Long, nShards: Long,
+      nAuthTiers: Long)
 
   def run(
       spark: SparkSession,
@@ -64,7 +68,12 @@ object CurateJob {
       // duplicated-passage share exceeds this permille (the
       // boilerplate-mosaic filter doc-level dedup cannot see).
       // None (default) keeps the funnel byte-identical to r2/r3 runs.
-      maxDupPermille: Option[Long] = None
+      maxDupPermille: Option[Long] = None,
+      // optional authority-weighted sampling: per-tier permille rates,
+      // index 0 = highest-authority hosts (GraphOps.hostTiers over the
+      // host_rank signal). Replaces the flat samplePermille when set;
+      // None (default) keeps the funnel byte-identical to prior runs.
+      authorityPermille: Option[Seq[Long]] = None
   ): CurateReport = {
     graft.functions.GraftExtensions.register(spark)
 
@@ -118,29 +127,57 @@ object CurateJob {
     // exact and near-dup clustering (its word set is unique) — this is
     // the RefinedWeb/Lee-et-al sub-document signal. Hashes only on the
     // wire (TextOps.passageDedup).
+    // persist when any optional stage adds extra actions over the
+    // canonical lineage (passage aggregate / host-rank pre-count) —
+    // without it the whole funnel (gate + dedup + components) would
+    // execute once per action
+    val cacheCanonical = maxDupPermille.isDefined || authorityPermille.isDefined
+    val canonicalC = if (cacheCanonical) canonical.persist() else canonical
     val passGated = maxDupPermille match {
       case Some(th) =>
-        // persist: the passage aggregate AND the join's left side both
-        // read canonical — without this the whole funnel lineage
-        // (gate + dedup + components) executes twice. Drop only docs
-        // PROVEN over threshold (left_anti): a doc with no passages at
-        // all is absent from the report and must survive.
-        val cached = canonical.persist()
-        val drop = TextOps.passageDedup(cached.select(col("doc_id"), col("text")))
+        // Drop only docs PROVEN over threshold (left_anti): a doc with
+        // no passages at all is absent from the report and must survive.
+        val drop = TextOps.passageDedup(canonicalC.select(col("doc_id"), col("text")))
           .filter(col("dup_permille") > th)
           .select(col("doc_id"))
-        cached.join(drop, Seq("doc_id"), "left_anti")
-      case None => canonical
+        canonicalC.join(drop, Seq("doc_id"), "left_anti")
+      case None => canonicalC
     }
 
     // ---- 4. scrub + sample + shard-pack, one more projection + the
     // bucket-partitioned window, then the shard write.
-    val sampled = passGated
+    val scrubbed = passGated
       .withColumn("text",
         regexp_replace(col("text"), TextOps.EmailPattern, "<EMAIL>"))
-      .filter(TextOps.unsignedMod1000(
-        TextOps.splitmixCol(col("doc_id").bitwiseXOR(lit(TextOps.SampleSeed))))
-        < lit(samplePermille))
+    val sampleKey = TextOps.unsignedMod1000(
+      TextOps.splitmixCol(col("doc_id").bitwiseXOR(lit(TextOps.SampleSeed))))
+    val sampled = authorityPermille match {
+      case None => scrubbed.filter(sampleKey < lit(samplePermille))
+      case Some(rates) =>
+        // authority-weighted sampling: host_rank → ntile tiers → per-tier
+        // permille, joined on host (the signal → funnel last mile). Host
+        // derives from the REDUCED doc id (GraphOps.HostIdModulus — raw
+        // xxhash64 ids overflow the planted-graph arithmetic under ANSI)
+        // on BOTH the rank and the doc side, so the join key is
+        // consistent by construction. A real deployment feeds hostRank a
+        // crawl link graph and parses the host from url_norm; the seam
+        // (rank → tier → permille join → deterministic hash sample) is
+        // identical. The tier relation is per-HOST and the rate array
+        // tiny — the join side broadcasts.
+        require(rates.nonEmpty && rates.forall(r => r >= 0L && r <= 1000L),
+          "authorityPermille rates must be in [0, 1000]")
+        val docHost = GraphOps.hostCol(pmod(col("doc_id"), lit(GraphOps.HostIdModulus)))
+        val tiers = GraphOps.hostTiers(spark,
+          scrubbed.select(pmod(col("doc_id"), lit(GraphOps.HostIdModulus)).as("doc_id")),
+          rates.length)
+        // tier is 1-based (ntile); element_at is 1-based too
+        val tierRates = tiers.select(col("host"),
+          element_at(array(rates.map(lit): _*), col("tier").cast("int")).as("tier_permille"))
+        scrubbed.withColumn("host", docHost)
+          .join(broadcast(tierRates), Seq("host"))
+          .filter(sampleKey < col("tier_permille"))
+          .drop("host", "tier_permille")
+    }
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
     val packed = sampled
       .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
@@ -184,11 +221,12 @@ object CurateJob {
           countDistinct(col("bucket"), col("shard"))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
-    val nCanonical = canonical.count()
-    if (maxDupPermille.isDefined) canonical.unpersist()
+    val nCanonical = canonicalC.count()
+    if (cacheCanonical) canonicalC.unpersist()
     urlDeduped.unpersist()
 
-    val report = CurateReport(nInput, nUrlDeduped, nGated, nCanonical, nSampled, nShards)
+    val report = CurateReport(nInput, nUrlDeduped, nGated, nCanonical, nSampled, nShards,
+      authorityPermille.map(_.length.toLong).getOrElse(0L))
     import spark.implicits._
     Seq(report).toDS().write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/curate_metrics")
@@ -216,7 +254,8 @@ object CurateJob {
     println(
       s"""{"n_input":${r.nInput},"n_url_deduped":${r.nUrlDeduped},""" +
       s""""n_gated":${r.nGated},"n_canonical":${r.nCanonical},""" +
-      s""""n_sampled":${r.nSampled},"n_shards":${r.nShards}}""")
+      s""""n_sampled":${r.nSampled},"n_shards":${r.nShards},""" +
+      s""""n_auth_tiers":${r.nAuthTiers}}""")
     spark.stop()
   }
 }

@@ -12,7 +12,11 @@ import graft.sources.WarcSource
   *
   * Scale shape: `binaryFile` source (one task per WARC file — CC files
   * are ~1 GB, the standard Spark-on-WARC unit), record split / gzip /
-  * HTTP unwrap inside a flatMap (damage-tolerant, never throws), then
+  * HTTP unwrap inside a flatMap over a LAZY record iterator
+  * (damage-tolerant, never throws; per-task heap holds the raw file
+  * bytes plus O(one decompressed record) of bodies — the iterator
+  * yields records as the flatMap drains them, it never materializes
+  * the multi-GB decompressed body list), then
   * a parquet write repartitioned on url hash so downstream scans see
   * balanced files regardless of per-WARC skew. Ingestion is
   * deterministic per input file set, so a rerun after a crash is
@@ -34,7 +38,7 @@ object IngestJob {
     val pages = files
       .select(col("content"))
       .as[Array[Byte]]
-      .flatMap(bytes => WarcSource.responses(bytes))
+      .flatMap(bytes => WarcSource.responsesIterator(bytes))
       .map { case (url, epoch, body) =>
         (url, new java.sql.Timestamp(epoch * 1000L), body)
       }

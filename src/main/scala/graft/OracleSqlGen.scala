@@ -669,10 +669,12 @@ private[graft] object OracleSqlGen {
        |agg AS (
        |  SELECT wx.doc_id, count(*) AS n_words, CAST(sum(wt.wt) AS BIGINT) AS s
        |  FROM wx JOIN wt USING (w) GROUP BY wx.doc_id)
-       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       |  CAST(s // n_words AS BIGINT) AS score_milli,
-       |  (s // n_words) >= 0 AS keep
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(agg.s // agg.n_words, 0) AS BIGINT) AS score_milli,
+       |  COALESCE((agg.s // agg.n_words) >= 0, TRUE) AS keep
+       |FROM documents d LEFT JOIN agg ON CAST(d.doc_id AS BIGINT) = agg.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Deterministic stratified sampling mirror: splitmix64(doc_id xor

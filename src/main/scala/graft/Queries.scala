@@ -224,7 +224,11 @@ object Queries {
     * mutations repeat almost all their 8-grams).
     */
   def ngramCensusQ(s: SparkSession, d: String): DataFrame =
-    TextOps.ngramCensus(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+    // persistGrams: the verify/bench corpora fit the cache comfortably —
+    // level 2 reads it instead of re-exploding (the 100 TB run leaves
+    // this off; see the TextOps.ngramCensus scaladoc trade note)
+    TextOps.ngramCensus(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)),
+      persistGrams = true)
 
   /** Per-doc duplicated-passage fraction over the near-dup corpus (the
     * planted mutations share all their full 16-word windows with their
@@ -419,7 +423,7 @@ object Queries {
         graft.sources.WarcSource.buildWarcFile(members.toSeq, gzipPerRecord = g % 2 == 1)
       }
     val warcPages = files
-      .flatMap(bytes => graft.sources.WarcSource.responses(bytes))
+      .flatMap(bytes => graft.sources.WarcSource.responsesIterator(bytes))
       .map { case (url, epoch, body) =>
         (url, new java.sql.Timestamp(epoch * 1000L), body)
       }

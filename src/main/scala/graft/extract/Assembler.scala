@@ -83,16 +83,28 @@ object Assembler {
     val blockIds = new Array[Int](nKept)
     val scores = new Array[Float](nKept)
     val out = new java.lang.StringBuilder(512)
-    val sepBytes = utf8Len(cfg.blockSep)
     var byteLen = 0
+    // Append one fragment, keeping byteLen == utf8Len(out.toString): if
+    // the previous fragment ended with an unpaired HIGH surrogate and
+    // this one begins with a LOW surrogate, the encoder pairs them into
+    // one 4-byte code point (counted 1+1 per-fragment) — adjust +2. The
+    // merged code point is attributed to the fragment carrying the low
+    // surrogate, so a span starting exactly there keeps its recorded
+    // start; only its end (and the total) shift.
+    def appendPiece(s: String): Unit = {
+      if (s.isEmpty) return
+      var add = utf8Len(s)
+      if (out.length > 0 &&
+          Character.isHighSurrogate(out.charAt(out.length - 1)) &&
+          Character.isLowSurrogate(s.charAt(0))) add += 2
+      out.append(s)
+      byteLen += add
+    }
     var k = 0
     i = 0
     while (i < n) {
       if (kept(sp, i, cfg)) {
-        if (k > 0) {
-          out.append(cfg.blockSep)
-          byteLen += sepBytes
-        }
+        if (k > 0) appendPiece(cfg.blockSep)
         val t = sp.blocks(i).text
         starts(k) = byteLen
         // rendering knobs (default "" = byte-identity): list items /
@@ -102,9 +114,8 @@ object Assembler {
           case "blockquote" if cfg.quotePrefix.nonEmpty => cfg.quotePrefix
           case _ => ""
         }
-        if (pre.nonEmpty) { out.append(pre); byteLen += utf8Len(pre) }
-        out.append(t)
-        byteLen += utf8Len(t)
+        if (pre.nonEmpty) appendPiece(pre)
+        appendPiece(t)
         ends(k) = byteLen
         blockIds(k) = sp.blocks(i).blockId
         scores(k) = sp.scores(i)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics over the host graph — the domain-authority
@@ -74,5 +75,29 @@ object GraphOps {
     ranks
       .select(col("host"), col("rank_milli"))
       .orderBy(col("rank_milli").desc, col("host").asc)
+  }
+
+  /** Prime modulus for reducing full-range 64-bit doc ids (xxhash64
+    * output) before the planted-graph arithmetic: `doc_id * 31 + 7`
+    * on a raw hash overflows Long — and THROWS under Spark 4 ANSI
+    * mode — so callers with hash-derived ids feed
+    * `pmod(doc_id, HostIdModulus)` instead. Products then stay far
+    * below 2^63 and all host derivations see non-negative ids.
+    */
+  val HostIdModulus: Long = 1000003L
+
+  /** Authority tier per host: ntile(nTiers) over (rank_milli desc,
+    * host asc) — tier 1 is the highest-authority band. The single
+    * global window runs over the HOST relation only (one row per host,
+    * orders of magnitude smaller than the corpus — the same size
+    * argument as the rank state itself); documents never enter it.
+    */
+  def hostTiers(spark: SparkSession, docs: DataFrame, nTiers: Int,
+                iters: Int = 3): DataFrame = {
+    require(nTiers >= 1, "nTiers >= 1")
+    hostRank(spark, docs, iters)
+      .withColumn("tier", ntile(nTiers).over(
+        Window.orderBy(col("rank_milli").desc, col("host").asc)))
+      .select(col("host"), col("tier").cast("long").as("tier"))
   }
 }

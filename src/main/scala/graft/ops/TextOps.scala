@@ -767,10 +767,22 @@ object TextOps {
     *   broadcast), RAISE it — the top-k winners have counts orders of
     *   magnitude above 2, so a higher floor shrinks the candidate set
     *   without touching the winners.
+    * @param persistGrams small-corpus convenience: cache the exploded
+    *   grams so level 2 reads the cache instead of re-tokenizing (the
+    *   two-level design's second pass — recovers ~2 s at sf0.1; the
+    *   cache is reclaimed by the ContextCleaner once the plan is
+    *   collected and dropped). Leave FALSE at corpus scale: the
+    *   exploded grams are ~n× the corpus text and exceed any aggregate
+    *   memory+disk cache budget at 100 TB — there the second scan IS
+    *   the deliberate trade for 8-byte shuffle keys.
     */
   def ngramCensus(docs: DataFrame, n: Int = 8, k: Int = 20,
-                  minCount: Long = 2L): DataFrame = {
-    val grams = docs.select(explode(ngramArr(n)).as("gram"))
+                  minCount: Long = 2L, persistGrams: Boolean = false): DataFrame = {
+    val grams0 = docs.select(explode(ngramArr(n)).as("gram"))
+    val grams =
+      if (persistGrams)
+        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grams0
     val hot = grams.select(xxhash64(col("gram")).as("ghash"))
       .groupBy(col("ghash"))
       .agg(count(lit(1)).as("c"))

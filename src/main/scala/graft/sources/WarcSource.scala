@@ -60,17 +60,25 @@ object WarcSource {
       val len = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
       Some(new String(b, 0, len, StandardCharsets.UTF_8))
     }
-    /** Read exactly n bytes (short at EOF — the truncated-tail case). */
+    /** Read exactly n bytes (short at EOF — the truncated-tail case).
+      * Allocation is bounded by bytes ACTUALLY read (64 KiB chunks into
+      * a growing buffer), never by the claimed length — a damaged
+      * header announcing a huge Content-Length on a few-KB file must
+      * not force a transient 1 GiB byte[] per record (an OOM
+      * amplification vector with many concurrent tasks).
+      */
     def readN(n: Long): Array[Byte] = {
-      val want = math.min(n, MaxPayload).toInt
-      val out = new Array[Byte](want)
-      var off = 0
-      while (off < want) {
-        val r = buf.read(out, off, want - off)
-        if (r < 0) return java.util.Arrays.copyOf(out, off)
-        off += r
+      val want = math.min(n, MaxPayload)
+      val bos = new ByteArrayOutputStream(math.min(want, 65536L).toInt)
+      val chunk = new Array[Byte](math.min(want, 65536L).toInt max 1)
+      var remaining = want
+      while (remaining > 0) {
+        val r = buf.read(chunk, 0, math.min(remaining, chunk.length.toLong).toInt)
+        if (r < 0) return bos.toByteArray
+        bos.write(chunk, 0, r)
+        remaining -= r
       }
-      out
+      bos.toByteArray
     }
   }
 
@@ -130,65 +138,119 @@ object WarcSource {
     out.toByteArray
   }
 
-  /** (targetUri, captureEpochSec, httpBodyBytes) per response record.
+  /** (targetUri, captureEpochSec, httpBodyBytes) per response record,
+    * parsed LAZILY — records materialize one at a time as the iterator
+    * is consumed, so a flatMap over a multi-GB decompressed WARC file
+    * holds O(one record payload) of bodies, never the whole file's (a
+    * 1 GB .warc.gz ≈ 3–5 GB of bodies; materializing them per task
+    * OOMs any real executor at normal task concurrency).
+    *
     * Gzipped input (magic 1f 8b) is decompressed as a STREAM (memory
     * O(one record), concatenated members handled); non-response
     * records are skipped; a record whose Content-Length is missing,
     * negative, or absurd (> 1 GiB) ends parsing — the next boundary
     * cannot be trusted, and real readers degrade the same way. The
     * cursor only ever moves FORWARD (line reads + exact payload
-    * reads), so no adversarial header can loop the parser.
+    * reads), so no adversarial header can loop the parser. Any
+    * IOException mid-stream (damaged gzip, truncated tail) ends the
+    * iterator — the parsed prefix survives, nothing throws.
     */
-  def responses(warc: Array[Byte]): Seq[(String, Long, Array[Byte])] = {
-    if (warc == null || warc.length < 4) return Seq.empty
-    val out = Seq.newBuilder[(String, Long, Array[Byte])]
-    try {
-      val raw = new ByteArrayInputStream(warc)
-      val in: java.io.InputStream =
-        if ((warc(0) & 0xff) == 0x1f && (warc(1) & 0xff) == 0x8b)
-          new GZIPInputStream(raw, 8192)
-        else raw
-      val lines = new ByteLines(in)
-      var line = lines.readLine()
-      var damaged = false
-      while (!damaged && line.isDefined) {
-        if (line.exists(_.startsWith("WARC/"))) {
-          // header fields up to the blank line
-          var fields = Map.empty[String, String]
-          var l = lines.readLine()
-          while (l.exists(_.nonEmpty)) {
-            val s = l.get
-            val i = s.indexOf(':')
-            if (i > 0) fields += (s.substring(0, i).trim.toLowerCase ->
-              s.substring(i + 1).trim)
-            l = lines.readLine()
-          }
-          fields.get("content-length").flatMap(_.toLongOption)
-            .filter(len => len >= 0 && len <= MaxPayload) match {
-            case None => damaged = true // boundary unknown: stop
-            case Some(len) =>
-              val payload = lines.readN(len)
-              if (fields.get("warc-type").contains("response") && payload.nonEmpty) {
-                val bodyAt = indexOf(payload,
-                  s"$Crlf$Crlf".getBytes(StandardCharsets.US_ASCII))
-                val body =
-                  if (bodyAt < 0) Array.empty[Byte]
-                  else java.util.Arrays.copyOfRange(payload, bodyAt + 4, payload.length)
-                val epoch = fields.get("warc-date")
-                  .flatMap(d => scala.util.Try(Instant.parse(d).getEpochSecond).toOption)
-                  .getOrElse(0L)
-                val uri = fields.getOrElse("warc-target-uri", "")
-                if (uri.nonEmpty && body.nonEmpty) out += ((uri, epoch, body))
-              }
-          }
-        }
-        if (!damaged) line = lines.readLine()
-      }
-    } catch {
-      case _: java.io.IOException => // damaged gzip/stream: keep prefix
-    }
-    out.result()
+  def responsesIterator(warc: Array[Byte]): Iterator[(String, Long, Array[Byte])] = {
+    if (warc == null || warc.length < 4) return Iterator.empty
+    responsesIterator(new ByteArrayInputStream(warc))
   }
+
+  /** Stream form: parse records lazily straight off an InputStream
+    * (gzip sniffed from the 2-byte magic via mark/reset) — the seam a
+    * filesystem-streaming ingest uses to avoid materializing even the
+    * compressed file bytes. Same damage tolerance as the byte[] form.
+    */
+  def responsesIterator(in: java.io.InputStream): Iterator[(String, Long, Array[Byte])] = {
+    val lines =
+      try {
+        val buffered = new java.io.BufferedInputStream(in, 8192)
+        buffered.mark(2)
+        val b0 = buffered.read()
+        val b1 = buffered.read()
+        buffered.reset()
+        val stream: java.io.InputStream =
+          if (b0 == 0x1f && b1 == 0x8b)
+            new GZIPInputStream(buffered, 8192) // header check may throw on damage
+          else buffered
+        new ByteLines(stream)
+      } catch {
+        case _: java.io.IOException => return Iterator.empty
+      }
+    recordIterator(lines)
+  }
+
+  private def recordIterator(lines: ByteLines): Iterator[(String, Long, Array[Byte])] =
+    new Iterator[(String, Long, Array[Byte])] {
+      private var pending: (String, Long, Array[Byte]) = null
+      private var done = false
+      advance()
+      override def hasNext: Boolean = pending != null
+      override def next(): (String, Long, Array[Byte]) = {
+        if (pending == null) throw new NoSuchElementException("WARC iterator exhausted")
+        val r = pending
+        advance()
+        r
+      }
+      /** Scan forward to the next valid response record (or EOF/damage). */
+      private def advance(): Unit = {
+        pending = null
+        if (done) return
+        try {
+          var line = lines.readLine()
+          while (pending == null && !done) {
+            line match {
+              case None => done = true
+              case Some(l0) if l0.startsWith("WARC/") =>
+                // header fields up to the blank line
+                var fields = Map.empty[String, String]
+                var l = lines.readLine()
+                while (l.exists(_.nonEmpty)) {
+                  val s = l.get
+                  val i = s.indexOf(':')
+                  if (i > 0) fields += (s.substring(0, i).trim.toLowerCase ->
+                    s.substring(i + 1).trim)
+                  l = lines.readLine()
+                }
+                fields.get("content-length").flatMap(_.toLongOption)
+                  .filter(len => len >= 0 && len <= MaxPayload) match {
+                  case None => done = true // boundary unknown: stop
+                  case Some(len) =>
+                    val payload = lines.readN(len)
+                    if (fields.get("warc-type").contains("response") && payload.nonEmpty) {
+                      val bodyAt = WarcSource.indexOf(payload,
+                        s"$Crlf$Crlf".getBytes(StandardCharsets.US_ASCII))
+                      val body =
+                        if (bodyAt < 0) Array.empty[Byte]
+                        else java.util.Arrays.copyOfRange(payload, bodyAt + 4, payload.length)
+                      val epoch = fields.get("warc-date")
+                        .flatMap(d => scala.util.Try(Instant.parse(d).getEpochSecond).toOption)
+                        .getOrElse(0L)
+                      val uri = fields.getOrElse("warc-target-uri", "")
+                      if (uri.nonEmpty && body.nonEmpty) pending = (uri, epoch, body)
+                    }
+                    if (pending == null) line = lines.readLine()
+                }
+              case Some(_) => line = lines.readLine()
+            }
+          }
+        } catch {
+          case _: java.io.IOException => done = true; pending = null
+        }
+      }
+    }
+
+  /** Eager form (tests / small files): materializes the full record
+    * list. Production paths (IngestJob, extract_warc) flatMap
+    * [[responsesIterator]] instead — do NOT add new callers here for
+    * anything that sees real crawl files.
+    */
+  def responses(warc: Array[Byte]): Seq[(String, Long, Array[Byte])] =
+    responsesIterator(warc).toSeq
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0

@@ -60,6 +60,30 @@ class CompactJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2 == 800L && resumed == 8L)
   }
 
+  test("CompactJob runs against a `file:` URI path (Hadoop FS, not java.io.File)") {
+    // a real deployment passes an HDFS/S3 URI; the local-FS URI form
+    // exercises the same FileSystem resolution path
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact-uri").toString
+    val tableDir = s"$base/t"
+    (0 until 200).map(i => (s"u$i", s"text body number $i", i.toLong))
+      .toDF("url", "text", "part_id")
+      .repartition(8)
+      .write.parquet(tableDir)
+    val filesBefore = new java.io.File(tableDir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 1)
+    val r = CompactJob.run(spark, s"file:$tableDir", targetFileBytes = 1L << 30)
+    assert(r.rows == 200L && r.filesBefore == filesBefore && r.filesAfter == 1)
+    assert(!new java.io.File(tableDir + ".bak").exists())
+    assert(!new java.io.File(tableDir + ".compacting").exists())
+    // debris guards hold through the URI form too
+    assert(new java.io.File(tableDir + ".bak").mkdir())
+    val e = intercept[IllegalArgumentException] { CompactJob.run(spark, s"file:$tableDir") }
+    assert(e.getMessage.contains(".bak"))
+    assert(new java.io.File(tableDir + ".bak").delete())
+  }
+
   test("CompactJob: zero-row table returns trivially (no NPE); streaming-sink table refused") {
     val sp = spark; import sp.implicits._
     // files exist but every row was gated out upstream -> zero rows

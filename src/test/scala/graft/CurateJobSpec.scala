@@ -115,6 +115,50 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(key(jrows) == key(rows))
   }
 
+  test("authority-weighted sampling: tier rates bind, deterministic, off-path unchanged") {
+    def run(out: String, auth: Option[Seq[Long]]) =
+      CurateJob.run(spark, inputDir, out, samplePermille = 1000L,
+        authorityPermille = auth)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    // all-1000 tiers == flat 1000 (the weighting reduces to the flat rule)
+    val outAll = tmp("auth-all")
+    val rFlat = run(tmp("auth-flat"), None)
+    val rAll = run(outAll, Some(Seq(1000L, 1000L)))
+    assert(rAll.nSampled == rFlat.nSampled && rAll.nSampled == rAll.nCanonical)
+    assert(rAll.nAuthTiers == 2L && rFlat.nAuthTiers == 0L)
+
+    // all-zero tiers ship nothing
+    val rZero = run(tmp("auth-zero"), Some(Seq(0L, 0L)))
+    assert(rZero.nSampled == 0L && rZero.nShards == 0L)
+
+    // top-tier-only: a strict, deterministic subset — rerun identical
+    val outM1 = tmp("auth-mix1")
+    val rMix = run(outM1, Some(Seq(1000L, 0L)))
+    assert(rMix.nSampled > 0L && rMix.nSampled < rMix.nCanonical,
+      s"tiering must split the corpus, got ${rMix.nSampled}/${rMix.nCanonical}")
+    val rMix2 = run(tmp("auth-mix2"), Some(Seq(1000L, 0L)))
+    assert(rMix2 == rMix)
+
+    // under rates {1000, 0} the sample is HOST-atomic: for every host,
+    // either all of its canonical docs ship (tier 1) or none (tier 2).
+    // The all-1000 run's shards ARE the canonical set to compare against.
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def docsByHost(out: String): Map[String, Set[Long]] = spark.read.parquet(s"$out/shards")
+      .select(col("doc_id"), graft.ops.GraphOps.hostCol(
+        pmod(col("doc_id"), lit(graft.ops.GraphOps.HostIdModulus))).as("host"))
+      .collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val allByHost = docsByHost(outAll)
+    val keptByHost = docsByHost(outM1)
+    assert(keptByHost.nonEmpty && keptByHost.size < allByHost.size)
+    allByHost.foreach { case (host, docs) =>
+      val kept = keptByHost.getOrElse(host, Set.empty[Long])
+      assert(kept.isEmpty || kept == docs,
+        s"host $host shipped ${kept.size}/${docs.size} docs — tier rates must be host-atomic")
+    }
+  }
+
   test("optional passage gate drops boilerplate-mosaic docs; default-off funnel unchanged") {
     val sp = spark; import sp.implicits._
     val boiler = (0 until 16).map(k => s"boiler$k").mkString(" ")

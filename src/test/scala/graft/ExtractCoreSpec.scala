@@ -241,6 +241,26 @@ class ExtractCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("textBytes stays exact when a surrogate pair forms across a block boundary (empty sep)") {
+    // fragment 1 ends with an unpaired HIGH surrogate, fragment 2 begins
+    // with a LOW one: under blockSep="" the encoder pairs them into one
+    // 4-byte code point, where per-fragment counting sees 1+1 bytes —
+    // the accumulated byteLen must match the real encoding (+2)
+    val hi = "abc\uD83D"
+    val lo = "\uDE00xyz"
+    def block(id: Int, t: String) = Block(id, "p", 1, id, t, t.length, 0, 0)
+    val sp = ScoredPage("u", Array(block(0, hi), block(1, lo)),
+      Array(2.0f, 2.0f), Array(1.0f, 0.0f))
+    val a = Assembler.assembleColumnar(sp, ExtractorConfig(blockSep = ""))
+    assert(a.text == hi + lo)
+    assert(a.textBytes == a.text.getBytes(StandardCharsets.UTF_8).length)
+    assert(a.textBytes == Assembler.utf8Len(a.text))
+    assert(a.ends.last == a.textBytes)
+    // control: the default "\n" separator keeps the halves unpaired
+    val b = Assembler.assembleColumnar(sp, ExtractorConfig(blockSep = "\n"))
+    assert(b.textBytes == b.text.getBytes(StandardCharsets.UTF_8).length)
+  }
+
   test("region grouping: adjacent same-tag kept blocks form one region") {
     val html = "<div><p>first second third four</p><p>fifth sixth seven eight</p></div>" +
       PageSource.NavHtml + "<div><p>after nav block text</p></div>"

@@ -18,6 +18,38 @@ class WarcSpec extends AnyFunSuite {
       PageSource.wrapHtml(id, s"alpha beta gamma delta doc$i epsilon zeta eta theta"))
   }
 
+  test("record parsing is LAZY: consuming one record reads O(record) bytes, not the file") {
+    // 2000 records ≈ several MB plain WARC; a counting stream under the
+    // parser proves the iterator pulls bytes only as records are drained
+    // (the per-task memory contract IngestJob's flatMap relies on —
+    // O(one record payload), never the decompressed file's body list)
+    val ps = (0 until 2000).map { i =>
+      val id = i.toLong
+      (id, PageSource.urlOf(id), PageSource.EpochBase + id,
+        PageSource.wrapHtml(id, ("w" + i + " ") * 200))
+    }
+    val warc = WarcSource.buildWarcFile(ps, gzipPerRecord = false)
+    assert(warc.length > 1000000, s"fixture too small (${warc.length}) to prove laziness")
+    final class CountingStream(data: Array[Byte]) extends java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(data)
+      var bytesRead: Long = 0L
+      override def read(): Int = { val r = in.read(); if (r >= 0) bytesRead += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) bytesRead += r; r
+      }
+    }
+    val counter = new CountingStream(warc)
+    val it = WarcSource.responsesIterator(counter)
+    val first = it.next()
+    assert(first._1 == PageSource.urlOf(0L))
+    // one record consumed: only the read-ahead buffers' worth of the
+    // stream may have been pulled — a materializing parser reads it all
+    assert(counter.bytesRead < warc.length / 4,
+      s"read ${counter.bytesRead} of ${warc.length} bytes after one record — not lazy")
+    assert(it.size == 1999, "remaining records still parse after partial consumption")
+    assert(counter.bytesRead >= warc.length - 65536, "full drain reads the file")
+  }
+
   test("round-trip: plain multi-record file yields every response body byte-identically") {
     val ps = pages(4)
     val warc = WarcSource.buildWarcFile(ps, gzipPerRecord = false)
