@@ -75,6 +75,33 @@ object Bench {
         }
       }
 
+    // ---- 1b. ANN index build/serve split ----------------------------
+    // The serve queries in `queries` time build+serve together (they
+    // are self-contained); this block separates the offline index
+    // build from the serve-only cost — the number a serving deployment
+    // actually budgets (VERDICT r3 item 2).
+    val annIndexJson =
+      if (pipelineOnly) "null"
+      else try {
+        val emb = graft.ops.VectorOps.readEmbeddings(spark, sfDir)
+        val dir = java.nio.file.Files.createTempDirectory("bench-ann-index").toString
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val lshBuild = time(graft.ops.AnnIndex.buildLsh(spark, emb, dir))
+        val lshServe = time(graft.ops.AnnIndex.serveLsh(spark, emb, dir).count())
+        val pqBuild = time(graft.ops.AnnIndex.buildPq(spark, emb, dir))
+        val pqServe = time(graft.ops.AnnIndex.servePq(spark, emb, dir).count())
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        s"""{"lsh_build_sec":$lshBuild,"lsh_serve_sec":$lshServe,""" +
+          s""""pq_build_sec":$pqBuild,"pq_serve_sec":$pqServe}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ann_index_split FAILED: ${e.getMessage}")
+          errors += "ann_index_split"
+          "null"
+      }
+
     // ---- 2. headline pipeline bench ---------------------------------
     // One-time corpus generation (NOT timed); both parallelism levels
     // read these same files. Partition count >> 32 per BASELINE.md.
@@ -137,7 +164,7 @@ object Bench {
       s""""errors":$errJson,""" +
       s""""pipeline_docs_per_sec":$docsPerSec,"pipeline_rows":$rowsOut,""" +
       s""""pipeline_sec":$pipelineSec,"pipeline_cold_sec":$coldSec,""" +
-      s""""pipeline_digest":$digest,""" +
+      s""""pipeline_digest":$digest,"ann_index_split":$annIndexJson,""" +
       s""""load_before":$loadBefore,"load_after":${loadAvgJson()},""" +
       s""""host_cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""cpus":$cpus,"bench_pages":$corpusRows,"sf":"$sfDir"}""")

@@ -270,6 +270,28 @@ object Queries {
   def annPq(s: SparkSession, d: String): DataFrame =
     VectorOps.annPq(s, VectorOps.readEmbeddings(s, d))
 
+  /** Build/serve split: materialize the LSH index to parquet, then
+    * answer from the STORED index — bit-identical to ann_lsh (same
+    * DuckDB mirror), proving the serving path reads what the offline
+    * build wrote. The temp index dir lives for this query only.
+    */
+  def annLshServe(s: SparkSession, d: String): DataFrame = {
+    val emb = VectorOps.readEmbeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-lsh").toString
+    graft.ops.AnnIndex.buildLsh(s, emb, dir)
+    graft.ops.AnnIndex.serveLsh(s, emb, dir)
+  }
+
+  /** Same split for PQ: codebooks + codes persist, serving rehydrates
+    * the codebook and scans stored codes — bit-identical to ann_pq.
+    */
+  def annPqServe(s: SparkSession, d: String): DataFrame = {
+    val emb = VectorOps.readEmbeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-pq").toString
+    graft.ops.AnnIndex.buildPq(s, emb, dir)
+    graft.ops.AnnIndex.servePq(s, emb, dir)
+  }
+
   def embedClusterQ(s: SparkSession, d: String): DataFrame =
     VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
 

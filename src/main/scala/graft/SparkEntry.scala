@@ -49,8 +49,10 @@ object SparkEntry {
     "doc_fingerprint" -> (Queries.fingerprintQ _),
     "ann_cosine" -> (Queries.annCosine _),
     "ann_lsh" -> (Queries.annLsh _),
+    "ann_lsh_serve" -> (Queries.annLshServe _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_pq" -> (Queries.annPq _),
+    "ann_pq_serve" -> (Queries.annPqServe _),
     "embed_cluster" -> (Queries.embedClusterQ _),
     "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
@@ -581,8 +583,12 @@ object SparkEntry {
     "ngram_jaccard" -> OracleSqlGen.ngramJaccard,
     "ann_cosine" -> OracleSqlGen.annCosine,
     "ann_lsh" -> OracleSqlGen.annLsh,
+    // the serve variants answer from a materialized index and must be
+    // bit-identical to the in-memory operators — SAME mirrors
+    "ann_lsh_serve" -> OracleSqlGen.annLsh,
     "ann_ivf" -> OracleSqlGen.annIvf,
     "ann_pq" -> OracleSqlGen.annPq,
+    "ann_pq_serve" -> OracleSqlGen.annPq,
     "embed_cluster" -> OracleSqlGen.embedCluster,
     "ann_recall" -> OracleSqlGen.annRecall,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding

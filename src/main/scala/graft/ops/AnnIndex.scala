@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN index materialization — the build/serve split a 10^10-vector
+  * corpus actually needs. The in-memory operators (VectorOps.annLsh /
+  * annPq) recompute buckets, codebooks and codes from the raw
+  * embeddings on every invocation; at scale the index build is the
+  * expensive OFFLINE job (one full pass + training), and serving must
+  * join against a STORED index:
+  *
+  *  - LSH: the (vec_id, band, bucket) relation persists as parquet.
+  *    Serving buckets only the query batch, explodes its probe masks,
+  *    and equi-joins the stored relation — the base embeddings are
+  *    touched once, in the exact re-rank of the candidate ids.
+  *  - PQ: two artifacts — the codebook (subspace, cid, centroid) and
+  *    the 6-byte-per-vector code relation (vec_id, s, code). Serving
+  *    collects the codebook to the driver (m·k tiny rows), broadcasts
+  *    per-query ADC tables, and scans only the stored codes; raw
+  *    vectors are read once for the shortlist re-rank.
+  *
+  * Build and serve compose the SAME private kernels as the in-memory
+  * operators (VectorOps.lshBucketize / annLshFrom / pqEncode /
+  * annPqFrom), so a served result is bit-identical to the in-memory
+  * one — the ann_lsh_serve / ann_pq_serve queries are checked against
+  * the very same DuckDB mirrors as ann_lsh / ann_pq.
+  *
+  * Write discipline matches the engine's tables: zstd, dictionary off
+  * (ids and codes are near-unique; see BENCH.md), one overwrite per
+  * build (rebuilds are idempotent at the overwrite level).
+  */
+object AnnIndex {
+
+  private def lshDir(indexDir: String) = s"$indexDir/lsh_buckets"
+  private def pqCodebookDir(indexDir: String) = s"$indexDir/pq_codebook"
+  private def pqCodesDir(indexDir: String) = s"$indexDir/pq_codes"
+
+  private def write(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(dir)
+
+  /** Materialize the multi-table sign-LSH bucket relation. One pass
+    * over the base; the stored rows are (vec_id, band, bucket) — 20
+    * bytes each, nTables rows per vector.
+    */
+  def buildLsh(spark: SparkSession, emb: DataFrame, indexDir: String,
+               nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64): Unit = {
+    val planes = VectorOps.hyperplanes(nTables * planesPerTable, dim)
+    write(VectorOps.lshBucketize(spark, emb, planes, nTables, planesPerTable),
+      lshDir(indexDir))
+  }
+
+  /** Approximate top-k against a PREBUILT LSH index: identical results
+    * to VectorOps.annLsh with the same parameters, but the base is
+    * never re-bucketed — serve cost is the probe join + one re-rank.
+    * The (nTables, planesPerTable, dim, probeHamming) parameters must
+    * match the build (the planes are derived from them).
+    */
+  def serveLsh(spark: SparkSession, emb: DataFrame, indexDir: String,
+               nQueries: Int = 10, k: Int = 5,
+               nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64,
+               probeHamming: Int = 1): DataFrame =
+    VectorOps.annLshFrom(spark, spark.read.parquet(lshDir(indexDir)), emb,
+      nQueries, k, nTables, planesPerTable, dim, probeHamming)
+
+  /** Train PQ codebooks and materialize both index artifacts: the
+    * codebook table (subspace, cid, centroid ARRAY<BIGINT>) and the
+    * per-vector code relation. Training is the one expensive step —
+    * iters passes over the base; encoding is one more.
+    */
+  def buildPq(spark: SparkSession, emb: DataFrame, indexDir: String,
+              m: Int = 8, kCode: Int = 64, iters: Int = 3, dim: Int = 64): Unit = {
+    import spark.implicits._
+    val codebooks = VectorOps.pqTrain(spark, emb, m, kCode, iters, dim)
+    val cbRows = for {
+      s <- codebooks.indices
+      c <- codebooks(s).indices
+    } yield (s, c, codebooks(s)(c).toSeq)
+    write(cbRows.toDF("s", "cid", "centroid"), pqCodebookDir(indexDir))
+    write(VectorOps.pqEncode(spark, emb, codebooks, dim), pqCodesDir(indexDir))
+  }
+
+  /** Rehydrate the driver-side codebook array from the stored table. */
+  private def readCodebooks(spark: SparkSession, indexDir: String): Array[Array[Array[Long]]] = {
+    val rows = spark.read.parquet(pqCodebookDir(indexDir))
+      .select(col("s"), col("cid"), col("centroid"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Array[Long]](m, k)
+    rows.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+    }
+    out.map(_.map(c => { require(c != null, "codebook table has holes"); c }))
+  }
+
+  /** Approximate top-k against a PREBUILT PQ index: identical results
+    * to VectorOps.annPq with the same parameters — codebooks and codes
+    * come from parquet, no training or encoding at serve time.
+    */
+  def servePq(spark: SparkSession, emb: DataFrame, indexDir: String,
+              nQueries: Int = 10, k: Int = 5, shortlist: Int = 100,
+              dim: Int = 64): DataFrame =
+    VectorOps.annPqFrom(spark, spark.read.parquet(pqCodesDir(indexDir)),
+      readCodebooks(spark, indexDir), emb, nQueries, k, shortlist, dim)
+}

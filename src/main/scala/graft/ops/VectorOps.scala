@@ -144,8 +144,8 @@ object VectorOps {
     * vectors already — re-joining through here would add a pass), so a
     * contract change touches those two sites AND their SQL mirrors.
     */
-  private def rerankExact(cand: DataFrame, emb: DataFrame,
-                          nQueries: Int, k: Int): DataFrame = {
+  private[ops] def rerankExact(cand: DataFrame, emb: DataFrame,
+                               nQueries: Int, k: Int): DataFrame = {
     val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     val queries = normed.filter(col("vec_id") < nQueries)
@@ -163,31 +163,43 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64,
-             probeHamming: Int = 1): DataFrame = {
+  /** (vec_id, band, bucket) rows of the multi-table sign-LSH index —
+    * one row per (vector, table). This IS the LSH index relation: the
+    * in-memory annLsh computes it inline; AnnIndex.buildLsh persists
+    * it to parquet and serving reads it back.
+    */
+  private[ops] def lshBucketize(spark: SparkSession, df: DataFrame,
+                                planes: Array[Array[Float]],
+                                nTables: Int, planesPerTable: Int): DataFrame = {
     import spark.implicits._
+    df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val f = bandBuckets(planes, nTables, planesPerTable) _
+        it.flatMap { case (id, v) =>
+          val bs = f(v)
+          bs.indices.map(t => (id, t, bs(t)))
+        }
+      }
+      .toDF("vec_id", "band", "bucket")
+  }
+
+  /** Query an LSH bucket relation (in-memory or read from a stored
+    * index): bucket the query subset, explode the Hamming<=probeHamming
+    * probe masks, equi-join ids-only, exact re-rank.
+    */
+  private[ops] def annLshFrom(spark: SparkSession, bucketed: DataFrame, emb: DataFrame,
+                              nQueries: Int, k: Int, nTables: Int, planesPerTable: Int,
+                              dim: Int, probeHamming: Int): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
     val planes = hyperplanes(nTables * planesPerTable, dim)
-    def bucketize(df: DataFrame): DataFrame =
-      df.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Seq[Float])]
-        .mapPartitions { it =>
-          val f = bandBuckets(planes, nTables, planesPerTable) _
-          it.flatMap { case (id, v) =>
-            val bs = f(v)
-            bs.indices.map(t => (id, t, bs(t)))
-          }
-        }
-        .toDF("vec_id", "band", "bucket")
-
-    val bucketed = bucketize(emb)
     // the query side buckets a PRE-filtered relation (vec_id < nQueries
     // pushes to the scan) — filtering after the opaque typed map would
     // re-run the full 144-plane pass over the whole corpus
     val masks = 0 +: (if (probeHamming == 0) Seq.empty[Int]
                       else (0 until planesPerTable).map(1 << _))
-    val qprobes = bucketize(emb.filter(col("vec_id") < nQueries))
+    val qprobes = lshBucketize(spark, emb.filter(col("vec_id") < nQueries),
+        planes, nTables, planesPerTable)
       .select(col("vec_id").as("query_id"), col("band"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
 
@@ -197,6 +209,14 @@ object VectorOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     rerankExact(cand, emb, nQueries, k)
+  }
+
+  def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64,
+             probeHamming: Int = 1): DataFrame = {
+    val planes = hyperplanes(nTables * planesPerTable, dim)
+    val bucketed = lshBucketize(spark, emb, planes, nTables, planesPerTable)
+    annLshFrom(spark, bucketed, emb, nQueries, k, nTables, planesPerTable, dim, probeHamming)
   }
 
   // -------------------------------------------------------------------
@@ -484,15 +504,18 @@ object VectorOps {
     * BIGINT sums), so the DuckDB oracle recomputes codebooks, codes,
     * shortlists and the final ranking bit-for-bit.
     */
-  def annPq(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-            m: Int = 8, kCode: Int = 64, iters: Int = 3, shortlist: Int = 100,
-            dim: Int = 64): DataFrame = {
+  /** PQ sub-code relation (vec_id, s, code) — the compressed
+    * representation the ADC scan touches. This IS (half of) the PQ
+    * index: AnnIndex.buildPq persists it (with the codebooks) and
+    * serving reads it back instead of re-encoding the base.
+    */
+  private[ops] def pqEncode(spark: SparkSession, emb: DataFrame,
+                            codebooks: Array[Array[Array[Long]]], dim: Int): DataFrame = {
     import spark.implicits._
+    val m = codebooks.length
     val sub = dim / m
-    val codebooks = pqTrain(spark, emb, m, kCode, iters, dim)
     val bc = spark.sparkContext.broadcast(codebooks)
-
-    val codes = emb.select(col("vec_id").cast("long"), col("embedding"))
+    emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val cbs = bc.value
@@ -513,7 +536,18 @@ object VectorOps {
         }
       }
       .toDF("vec_id", "s", "code")
+  }
 
+  /** PQ ADC shortlist + exact re-rank over a code relation (in-memory
+    * or read from a stored index) and driver-held codebooks.
+    */
+  private[ops] def annPqFrom(spark: SparkSession, codes: DataFrame,
+                             codebooks: Array[Array[Array[Long]]], emb: DataFrame,
+                             nQueries: Int, k: Int, shortlist: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = dim / m
+    val bc = spark.sparkContext.broadcast(codebooks)
     // per-query exact distance table to every codebook entry (m·k rows
     // per query — broadcastable by construction)
     val qd = emb.select(col("vec_id").cast("long"), col("embedding"))
@@ -540,6 +574,14 @@ object VectorOps {
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     rerankExact(short, emb, nQueries, k)
+  }
+
+  def annPq(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+            m: Int = 8, kCode: Int = 64, iters: Int = 3, shortlist: Int = 100,
+            dim: Int = 64): DataFrame = {
+    val codebooks = pqTrain(spark, emb, m, kCode, iters, dim)
+    val codes = pqEncode(spark, emb, codebooks, dim)
+    annPqFrom(spark, codes, codebooks, emb, nQueries, k, shortlist, dim)
   }
 
   /** Recall@k of the approximate ANN methods against the exact

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{AnnIndex, TextOps, VectorOps}
 
 /** Round-3 scale hardening: large-star/small-star connected components
   * on adversarial long chains (O(log n) rounds, correct labels), the
@@ -295,6 +295,32 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       brute.get(key).foreach(simB => assert(simB == r.getLong(3),
         s"re-ranked sim for $key diverges from exact"))
     }
+  }
+
+  test("AnnIndex build/serve: served results are bit-identical to the in-memory operators") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ann-index-test").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+
+    AnnIndex.buildLsh(spark, emb, dir)
+    AnnIndex.buildPq(spark, emb, dir)
+    // the artifacts really materialized (parquet on disk, non-trivial)
+    for (sub <- Seq("lsh_buckets", "pq_codebook", "pq_codes"))
+      assert(new java.io.File(s"$dir/$sub").listFiles()
+        .exists(_.getName.endsWith(".parquet")), s"$sub not written")
+
+    assert(rows(AnnIndex.serveLsh(spark, emb, dir)) ==
+      rows(VectorOps.annLsh(spark, emb)), "LSH serve != in-memory")
+    assert(rows(AnnIndex.servePq(spark, emb, dir)) ==
+      rows(VectorOps.annPq(spark, emb)), "PQ serve != in-memory")
+
+    // serving READS the store (not a hidden recompute): emptying the
+    // bucket relation must starve candidate generation to zero rows
+    val sp = spark; import sp.implicits._
+    Seq.empty[(Long, Int, Int)].toDF("vec_id", "band", "bucket")
+      .write.mode("overwrite").parquet(s"$dir/lsh_buckets")
+    assert(AnnIndex.serveLsh(spark, emb, dir).count() == 0L,
+      "serve result must flow from the stored index")
   }
 
   test("annRecall: hit counts match a hand-join of the top-k outputs; deterministic") {
