@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,15 +11,17 @@ import graft.sources.WarcSource
   * table (url, warc_ts, html) — the step in front of ExtractJob that
   * turns what a crawler actually ships into what the pipeline scans.
   *
-  * Scale shape: `binaryFile` source (one task per WARC file — CC files
-  * are ~1 GB, the standard Spark-on-WARC unit), record split / gzip /
-  * HTTP unwrap inside a flatMap over a LAZY record iterator
-  * (damage-tolerant, never throws; per-task heap holds the raw file
-  * bytes plus O(one decompressed record) of bodies — the iterator
-  * yields records as the flatMap drains them, it never materializes
-  * the multi-GB decompressed body list), then
-  * a parquet write repartitioned on url hash so downstream scans see
-  * balanced files regardless of per-WARC skew. Ingestion is
+  * Scale shape: the driver lists file PATHS only (names, no bytes);
+  * each task opens its own FileSystem stream and record split / gzip /
+  * HTTP unwrap run off the LAZY record iterator (damage-tolerant,
+  * never throws; an unreadable file is skipped, not fatal — crawl
+  * dumps lose members). Per-task heap is O(one decompressed record):
+  * the raw file bytes never materialize (no `binaryFile` content
+  * column — a 1 GB .warc.gz would otherwise ride a DataFrame row) and
+  * the iterator yields records as the flatMap drains them. One file
+  * maps to one stream (CC files are ~1 GB, the standard Spark-on-WARC
+  * unit); the parquet write repartitions on url hash so downstream
+  * scans see balanced files regardless of per-WARC skew. Ingestion is
   * deterministic per input file set, so a rerun after a crash is
   * idempotent at the overwrite level; incremental drains can point
   * ExtractJob's resume at the same pages table.
@@ -30,15 +33,44 @@ object IngestJob {
   def run(spark: SparkSession, warcDir: String, pagesDir: String,
           numParts: Int = 32): (Long, Long) = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
-      .load(warcDir)
-      .select(col("path"), col("content"))
-    val nFiles = files.count()
-    val pages = files
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(bytes => WarcSource.responsesIterator(bytes))
+    // driver-side listing, names only — the same unit of work the
+    // binaryFile source would schedule, without shipping content rows
+    val warcPath = new Path(warcDir)
+    val fs = warcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filePaths = fs.listStatus(warcPath)
+      .filter(s => s.isFile && s.getPath.getName.contains(".warc"))
+      .map(_.getPath.toString)
+      .sorted.toSeq
+    val nFiles = filePaths.length.toLong
+    val pages = filePaths.toDS()
+      .repartition(math.max(1, math.min(numParts, filePaths.length)))
+      .flatMap { p =>
+        // fresh Configuration per task: loads the executor's site
+        // config from the classpath (Hadoop Configuration itself is
+        // not serializable)
+        val path = new Path(p)
+        scala.util.Try(
+          path.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(path)
+        ).toOption match {
+          case None =>
+            // listed but unopenable (deleted/permission mid-run): skip
+            // the file, keep the drain going
+            Iterator.empty
+          case Some(in) =>
+            val records = WarcSource.responsesIterator(in)
+            // close the stream when the iterator drains (idempotent) —
+            // without this each exhausted file leaks an FS handle for
+            // the life of the task
+            new Iterator[(String, Long, Array[Byte])] {
+              override def hasNext: Boolean = {
+                val h = records.hasNext
+                if (!h) in.close()
+                h
+              }
+              override def next(): (String, Long, Array[Byte]) = records.next()
+            }
+        }
+      }
       .map { case (url, epoch, body) =>
         (url, new java.sql.Timestamp(epoch * 1000L), body)
       }
