@@ -677,6 +677,64 @@ private[graft] object OracleSqlGen {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Classifier TRAINING mirror (ops.Classifier.qualityTrain):
+    * hashed-unigram presence features (fnv1a64 mod NBuckets), planted
+    * lexicon labels (splitmix64(fnv) mod 17 == 0), one-pass purity
+    * induction on the even-doc_id train half (pd >= minSupport AND
+    * pd·Nneg > nd·Npos·purityFactor — all-integer odds), scoring =
+    * selected-bucket hit count per doc. Every aggregate CAST back to
+    * BIGINT (DuckDB widens SUM to HUGEINT); constants pinned to the
+    * Scala defaults.
+    */
+  val qualityTrain: String = {
+    val nB = graft.ops.Classifier.NBuckets
+    val purityFactor = 5L
+    val minSupport = 2L
+    s"""WITH words AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.w
+       |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |fv AS (SELECT w, ${fnvU("w")} AS h FROM dw),
+       |sx AS (SELECT w, h AS x FROM fv),
+       |${splitmixCtes("qt", "sx", "w")},
+       |wb AS (
+       |  SELECT fv.w, CAST(fv.h % $nB::HUGEINT AS BIGINT) AS bucket,
+       |         (qt6.hk % 17::HUGEINT = 0::HUGEINT) AS in_lex
+       |  FROM fv JOIN qt6 USING (w)),
+       |docb AS (
+       |  SELECT DISTINCT doc_id, bucket FROM words JOIN wb USING (w)),
+       |lab AS (
+       |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |         CASE WHEN COALESCE(lx.has, FALSE)
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, bool_or(in_lex) AS has
+       |    FROM words JOIN wb USING (w) GROUP BY doc_id) lx
+       |  ON CAST(d.doc_id AS BIGINT) = lx.doc_id),
+       |tot AS (
+       |  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM lab WHERE doc_id % 2 = 0),
+       |cls AS (
+       |  SELECT d.bucket,
+       |         CAST(SUM(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pd,
+       |         CAST(SUM(CASE WHEN l.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+       |  FROM docb d JOIN lab l USING (doc_id)
+       |  WHERE d.doc_id % 2 = 0 GROUP BY d.bucket),
+       |sel AS (
+       |  SELECT bucket FROM cls, tot
+       |  WHERE pd >= $minSupport AND pd * nn > nd * np * $purityFactor),
+       |hits AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM docb d JOIN sel USING (bucket) GROUP BY d.doc_id)
+       |SELECT l.doc_id, l.y AS label,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS pred,
+       |  (l.doc_id % 2 = 1) AS holdout
+       |FROM lab l LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic stratified sampling mirror: splitmix64(doc_id xor
     * seed) unsigned mod 1000 under the per-lang permille rate.
     */

@@ -255,6 +255,14 @@ object Queries {
   def qualityClassifyQ(s: SparkSession, d: String): DataFrame =
     TextOps.qualityClassify(s, TextOps.readDocs(s, d))
 
+  /** Batch-perceptron training on the documents corpus: hashed-unigram
+    * features, planted lexicon labels, 3 integer-exact iterations —
+    * the per-doc (label, margin, pred) view under the trained weights,
+    * oracle-replayed by an unrolled SQL training loop.
+    */
+  def qualityTrainQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Classifier.qualityTrain(s, TextOps.readDocs(s, d))
+
   def langIdQ(s: SparkSession, d: String): DataFrame =
     TextOps.langIds(s, TextOps.readDocs(s, d))
 

@@ -45,6 +45,7 @@ object SparkEntry {
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
     "quality_classify" -> (Queries.qualityClassifyQ _),
+    "quality_train" -> (Queries.qualityTrainQ _),
     "lang_id" -> (Queries.langIdQ _),
     "doc_fingerprint" -> (Queries.fingerprintQ _),
     "ann_cosine" -> (Queries.annCosine _),
@@ -401,6 +402,7 @@ object SparkEntry {
     "q_exists" -> Queries.existsSql("customer", "orders"),
     "host_rank" -> hostRankSql(3),
     "quality_classify" -> OracleSqlGen.qualityClassify,
+    "quality_train" -> OracleSqlGen.qualityTrain,
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,

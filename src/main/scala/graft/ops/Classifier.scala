@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps.fnv1a64
+import graft.sources.PageSource.splitmix64
+
+/** TRAINED quality classifier — the supervised-training step the
+  * hashing-trick inference stub (TextOps.qualityClassify) points at,
+  * kept integer-exact so the DuckDB oracle replays training
+  * bit-for-bit (the k-means discipline applied to supervised
+  * learning):
+  *
+  *  - features: hashed unigram PRESENCE — bucket = fnv1a64(word)
+  *    unsigned mod [[NBuckets]] (the fastText hashing trick: no
+  *    vocabulary table, the bucket id is the feature id);
+  *  - labels: a PLANTED lexicon rule (doc positive iff it contains a
+  *    word with splitmix64(fnv1a64(w)) mod 17 == 0), so training has
+  *    a ground truth whose recovery is measurable; a real deployment
+  *    swaps in human labels and nothing else changes;
+  *  - training: one-pass purity induction on the EVEN-doc_id half —
+  *    a bucket joins the model iff its positive doc-frequency clears
+  *    minSupport and its class-purity odds clear purityFactor
+  *    (pd·Nneg > nd·Npos·F, all integers). This is the
+  *    Naive-Bayes-flavored feature induction shallow quality filters
+  *    actually use; unlike a full-batch perceptron it cannot
+  *    oscillate, and the learned model is exactly interpretable (the
+  *    selected buckets);
+  *  - evaluation: the ODD half is held out — the returned view
+  *    carries a `holdout` flag so the caller can measure
+  *    generalization, not memorization (minSupport already blocks
+  *    single-doc memorized buckets from entering the model).
+  *
+  * Scale shape: per-doc distinct-bucket vectors are built in one
+  * row-local map (no shuffle), the class census is one bucket-keyed
+  * aggregate (<= NBuckets+1 groups after map-side combine), the model
+  * collected to the driver is <= NBuckets ints (the broadcast-weights
+  * serving shape), and scoring is one more row-local map. Two corpus
+  * passes, zero doc-keyed shuffles.
+  */
+object Classifier {
+
+  /** Feature-hash buckets (power of two keeps the SQL mirror's mod cheap). */
+  val NBuckets: Int = 4096
+
+  def bucketOf(w: String): Int =
+    java.lang.Long.remainderUnsigned(fnv1a64(w), NBuckets.toLong).toInt
+
+  /** Planted supervision: w is a "lexicon" word iff
+    * splitmix64(fnv1a64(w)) mod 17 == 0.
+    */
+  def inLexicon(w: String): Boolean =
+    java.lang.Long.remainderUnsigned(splitmix64(fnv1a64(w)), 17L) == 0L
+
+  /** Train on the even-doc_id half of `docs` (doc_id, text) and score
+    * every doc under the learned model: (doc_id, label ±1, n_hits =
+    * selected buckets present, pred = n_hits>0, holdout = odd id),
+    * ordered by doc_id. Deterministic — same docs, same result, any
+    * partitioning.
+    */
+  def qualityTrain(spark: SparkSession, docs: DataFrame,
+                   purityFactor: Long = 5L, minSupport: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val db = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(' ').filter(_.nonEmpty)
+        val y = if (words.exists(inLexicon)) 1L else -1L
+        (id, words.map(bucketOf).distinct.sorted, y)
+      }
+      .toDF("doc_id", "buckets", "y")
+      .persist()
+
+    val train = db.filter(col("doc_id") % 2 === 0)
+    val totRow = train.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn")).collect()(0)
+    val (np, nn) = (totRow.getLong(0), totRow.getLong(1))
+    val cls = train
+      .select(explode(col("buckets")).as("bucket"), col("y"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pd"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nd"))
+    // THE MODEL: selected bucket ids — <= NBuckets ints to the driver,
+    // broadcast back for scoring (the trained-weights serving shape)
+    val selected = cls
+      .filter(col("pd") >= minSupport &&
+        col("pd") * lit(nn) > col("nd") * lit(np) * lit(purityFactor))
+      .select(col("bucket")).as[Int].collect().sorted
+    val bc = spark.sparkContext.broadcast(selected)
+
+    val out = db.as[(Long, Seq[Int], Long)]
+      .map { case (id, buckets, y) =>
+        val sel = bc.value
+        val hits = buckets.count(b => java.util.Arrays.binarySearch(sel, b) >= 0).toLong
+        (id, y, hits, hits > 0L, id % 2 == 1L)
+      }
+      .toDF("doc_id", "label", "n_hits", "pred", "holdout")
+      .orderBy("doc_id")
+    db.unpersist()
+    out
+  }
+}

@@ -43,9 +43,14 @@ object GraphOps {
     * plus one hash aggregate. Nothing document-sized ever enters the
     * loop — the classic id-only PageRank shape.
     */
+  /** @param nDocs planted-graph modulus (the doc count). Pass it when
+    *   the caller already knows the count to skip the sizing pre-scan —
+    *   the count exists ONLY to plant the synthetic citation edges; a
+    *   real deployment feeds an edge relation and never counts docs.
+    */
   def hostRank(spark: SparkSession, docs: DataFrame, iters: Int = 3,
-               dampingPermille: Long = 850L): DataFrame = {
-    val n = docs.count()
+               dampingPermille: Long = 850L, nDocs: Option[Long] = None): DataFrame = {
+    val n = nDocs.getOrElse(docs.count())
     val d = docs.select(col("doc_id").cast("long").as("doc_id"))
     val nodes = d.select(hostCol(col("doc_id")).as("host")).distinct()
     val edges = d.select(

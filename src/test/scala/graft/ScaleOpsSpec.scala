@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{AnnIndex, TextOps, VectorOps}
+import graft.ops.{AnnIndex, Classifier, TextOps, VectorOps}
 
 /** Round-3 scale hardening: large-star/small-star connected components
   * on adversarial long chains (O(log n) rounds, correct labels), the
@@ -294,6 +294,51 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val key = (r.getLong(0), r.getLong(1))
       brute.get(key).foreach(simB => assert(simB == r.getLong(3),
         s"re-ranked sim for $key diverges from exact"))
+    }
+  }
+
+  test("qualityTrain: recovers the planted lexicon on held-out docs; guards block memorization") {
+    val sp = spark; import sp.implicits._
+    val docs = TextOps.readDocs(spark, sfDir)
+    val out = Classifier.qualityTrain(spark, docs).collect()
+    assert(out.length == docs.count())
+    // generalization: the model is induced from EVEN ids only, yet the
+    // ODD (holdout) half classifies perfectly on this corpus
+    val holdout = out.filter(_.getAs[Boolean]("holdout"))
+    assert(holdout.nonEmpty)
+    assert(holdout.forall(r =>
+      r.getAs[Boolean]("pred") == (r.getAs[Long]("label") == 1L)),
+      "held-out docs must classify by the learned lexicon buckets")
+    // determinism + partition invariance
+    val again = Classifier.qualityTrain(spark, docs.repartition(7)).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+
+    // memorization guard: a word seen in ONE positive train doc has
+    // support 1 < minSupport and must not enter the model; a word
+    // spread over both classes fails the purity odds. Planted corpus:
+    // lexicon word "agg" (inLexicon-true) drives labels; "memorizeme"
+    // appears once; "common" rides every doc; other fillers are
+    // verified non-lexicon.
+    assert(Classifier.inLexicon("agg"), "vocab assumption: 'agg' is a lexicon word")
+    for (w <- Seq("common", "alpha", "gamma", "dup", "memorizeme"))
+      assert(!Classifier.inLexicon(w), s"filler '$w' must be non-lexicon")
+    val planted = (
+      Seq((0L, "common agg alpha"), (2L, "common agg gamma"), (4L, "common agg dup"),
+          (6L, "common memorizeme agg"),
+          (8L, "common dup alpha"), (10L, "common gamma dup"),
+          (1L, "common alpha dup"), (3L, "common agg alpha"), (5L, "common dup gamma"))
+    ).toDF("doc_id", "text")
+    val p = Classifier.qualityTrain(spark, planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("n_hits"), r.getAs[Boolean]("pred"))).toMap
+    // "agg"-bearing docs are the positives; the learned bucket set is
+    // exactly {bucket("agg")}: the one-off word excluded (support),
+    // the everywhere word excluded (purity) — n_hits == 1 iff agg-doc
+    for ((id, (label, hits, pred)) <- p) {
+      val hasAgg = Seq(0L, 2L, 3L, 4L, 6L).contains(id)
+      assert(label == (if (hasAgg) 1L else -1L), s"doc $id label")
+      assert(hits == (if (hasAgg) 1L else 0L), s"doc $id hits=$hits — model must be exactly the agg bucket")
+      assert(pred == hasAgg, s"doc $id pred")
     }
   }
 
