@@ -235,9 +235,15 @@ object CurateJob {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.CurateJob <extractedPath> <outDir>")
+      System.err.println(
+        "usage: graft.CurateJob <extractedPath> <outDir> [tierPermille,...]\n" +
+        "  optional 3rd arg: comma-separated per-tier sample permille\n" +
+        "  (index 0 = highest-authority hosts) enabling authority-weighted sampling")
       sys.exit(2)
     }
+    val authRates =
+      if (args.length > 2) Some(args(2).split(",").toSeq.map(_.trim.toLong))
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .appName("graft-curate")
@@ -250,7 +256,7 @@ object CurateJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, args(0), args(1))
+    val r = run(spark, args(0), args(1), authorityPermille = authRates)
     println(
       s"""{"n_input":${r.nInput},"n_url_deduped":${r.nUrlDeduped},""" +
       s""""n_gated":${r.nGated},"n_canonical":${r.nCanonical},""" +

@@ -49,6 +49,8 @@ object PlanAudit {
     dump("ann_cosine")(Queries.annCosine(spark, sfDir))
     dump("salted_join")(Queries.saltedJoin(spark, sfDir))
     dump("rep_ratio")(Queries.repRatio(spark, sfDir))
+    dump("ann_lsh_serve")(Queries.annLshServe(spark, sfDir))
+    dump("quality_train")(Queries.qualityTrainQ(spark, sfDir))
     spark.stop()
   }
 }

@@ -106,4 +106,41 @@ object AnnIndex {
               dim: Int = 64): DataFrame =
     VectorOps.annPqFrom(spark, spark.read.parquet(pqCodesDir(indexDir)),
       readCodebooks(spark, indexDir), emb, nQueries, k, shortlist, dim)
+
+  // -------------------------------------------------------------------
+  // incremental append — the daily-drop serving lifecycle
+  // -------------------------------------------------------------------
+
+  private def append(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(dir)
+
+  /** Append newly-arrived vectors to a stored LSH index WITHOUT
+    * touching the existing rows (one pass over the new batch only).
+    * Sign-LSH bucket codes are per-vector independent, so
+    * append-then-serve is EXACTLY equal to a full rebuild over the
+    * union — the test asserts it. Caller contract: `newEmb` vec_ids
+    * are disjoint from the indexed set (the engine's ids are
+    * xxhash64-derived; a revisit should compact/rebuild instead).
+    */
+  def appendLsh(spark: SparkSession, newEmb: DataFrame, indexDir: String,
+                nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64): Unit = {
+    val planes = VectorOps.hyperplanes(nTables * planesPerTable, dim)
+    append(VectorOps.lshBucketize(spark, newEmb, planes, nTables, planesPerTable),
+      lshDir(indexDir))
+  }
+
+  /** Append newly-arrived vectors to a stored PQ index: encode them
+    * with the FROZEN stored codebook (the standard serving trade —
+    * codebooks retrain on a slow cadence, code appends are cheap and
+    * exact under the current codebook; append-then-serve equals
+    * serving union codes under the old codebook by construction).
+    * Same disjoint-ids contract as [[appendLsh]].
+    */
+  def appendPq(spark: SparkSession, newEmb: DataFrame, indexDir: String,
+               dim: Int = 64): Unit =
+    append(VectorOps.pqEncode(spark, newEmb, readCodebooks(spark, indexDir), dim),
+      pqCodesDir(indexDir))
 }

@@ -368,6 +368,46 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve result must flow from the stored index")
   }
 
+  test("AnnIndex incremental append: LSH append == full rebuild; PQ append is batch-associative") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val drop1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val drop2 = emb.filter(col("vec_id") >= 450)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    def tmp() = java.nio.file.Files.createTempDirectory("ann-append").toString
+
+    // LSH: bucket codes are per-vector independent — appending the new
+    // batch then serving equals a full rebuild over the union, exactly
+    val incDir = tmp()
+    AnnIndex.buildLsh(spark, base, incDir)
+    AnnIndex.appendLsh(spark, drop1, incDir)
+    AnnIndex.appendLsh(spark, drop2, incDir)
+    val fullDir = tmp()
+    AnnIndex.buildLsh(spark, emb, fullDir)
+    assert(rows(AnnIndex.serveLsh(spark, emb, incDir)) ==
+      rows(AnnIndex.serveLsh(spark, emb, fullDir)),
+      "LSH append-then-serve must equal full rebuild")
+
+    // PQ: codes append under the FROZEN base codebook — one two-batch
+    // append and two single-batch appends must serve identically (and
+    // differ from nothing: the appended vectors are searchable)
+    val pqA = tmp(); val pqB = tmp()
+    AnnIndex.buildPq(spark, base, pqA)
+    AnnIndex.buildPq(spark, base, pqB)
+    AnnIndex.appendPq(spark, drop1.unionByName(drop2), pqA)
+    AnnIndex.appendPq(spark, drop1, pqB)
+    AnnIndex.appendPq(spark, drop2, pqB)
+    val servedA = rows(AnnIndex.servePq(spark, emb, pqA))
+    assert(servedA == rows(AnnIndex.servePq(spark, emb, pqB)),
+      "PQ appends must be batch-associative")
+    // appended vectors really entered the index: some neighbor id >= 400
+    // OR the base-only serve differs (the drop changed at least one list)
+    val baseOnly = tmp()
+    AnnIndex.buildPq(spark, base, baseOnly)
+    assert(servedA != rows(AnnIndex.servePq(spark, emb, baseOnly)),
+      "appended vectors must be searchable")
+  }
+
   test("annRecall: hit counts match a hand-join of the top-k outputs; deterministic") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

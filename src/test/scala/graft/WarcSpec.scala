@@ -169,6 +169,49 @@ class WarcSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("StreamingIngest: landing-zone drain is incremental and exactly-once across runs") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-ingest-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val warcDir = java.nio.file.Files.createTempDirectory("singest-warc")
+      val pagesDir = java.nio.file.Files.createTempDirectory("singest-pages").toString
+      val ckDir = java.nio.file.Files.createTempDirectory("singest-ck").toString
+      val ps = pages(8)
+      def write(name: String, slice: Seq[(Long, String, Long, Array[Byte])], gz: Boolean): Unit =
+        java.nio.file.Files.write(warcDir.resolve(name),
+          WarcSource.buildWarcFile(slice, gzipPerRecord = gz))
+      write("a.warc", ps.slice(0, 3), gz = false)
+      write("b.warc.gz", ps.slice(3, 5), gz = true)
+
+      graft.streaming.StreamingIngest
+        .start(spark, warcDir.toString, pagesDir, ckDir).awaitTermination()
+      assert(spark.read.parquet(pagesDir).count() == 5L)
+
+      // a new file lands; the next drain picks up ONLY it (checkpointed
+      // file source) — prior pages are not re-appended
+      write("c.warc", ps.slice(5, 8), gz = false)
+      graft.streaming.StreamingIngest
+        .start(spark, warcDir.toString, pagesDir, ckDir).awaitTermination()
+      val got = spark.read.parquet(pagesDir).collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[Array[Byte]]("html"))
+      assert(got.length == 8, s"5 + 3 pages exactly once, got ${got.length}")
+      val byUrl = got.toMap
+      ps.foreach { case (_, url, _, html) =>
+        assert(byUrl(url).sameElements(html), s"html bytes differ for $url")
+      }
+      // a third drain with nothing new appends nothing
+      graft.streaming.StreamingIngest
+        .start(spark, warcDir.toString, pagesDir, ckDir).awaitTermination()
+      assert(spark.read.parquet(pagesDir).count() == 8L)
+    } finally spark.stop()
+  }
+
   test("IngestJob: WARC dir (plain + gzip + damaged) -> pages parquet, idempotent rerun") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
