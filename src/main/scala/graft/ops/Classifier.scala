@@ -53,16 +53,12 @@ object Classifier {
   def inLexicon(w: String): Boolean =
     java.lang.Long.remainderUnsigned(splitmix64(fnv1a64(w)), 17L) == 0L
 
-  /** Train on the even-doc_id half of `docs` (doc_id, text) and score
-    * every doc under the learned model: (doc_id, label ±1, n_hits =
-    * selected buckets present, pred = n_hits>0, holdout = odd id),
-    * ordered by doc_id. Deterministic — same docs, same result, any
-    * partitioning.
+  /** Per-doc (sorted distinct buckets, planted label) — one row-local
+    * map, no shuffle.
     */
-  def qualityTrain(spark: SparkSession, docs: DataFrame,
-                   purityFactor: Long = 5L, minSupport: Long = 2L): DataFrame = {
+  private def features(spark: SparkSession, docs: DataFrame) = {
     import spark.implicits._
-    val db = docs.select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split(' ').filter(_.nonEmpty)
@@ -70,27 +66,40 @@ object Classifier {
         (id, words.map(bucketOf).distinct.sorted, y)
       }
       .toDF("doc_id", "buckets", "y")
-      .persist()
+  }
 
-    val train = db.filter(col("doc_id") % 2 === 0)
+  /** Induce the model (selected bucket ids, sorted) from the even-half
+    * of `docs` — <= NBuckets ints to the driver, the broadcast-weights
+    * serving shape.
+    */
+  def trainModel(spark: SparkSession, docs: DataFrame,
+                 purityFactor: Long = 5L, minSupport: Long = 2L): Array[Int] = {
+    import spark.implicits._
+    val train = features(spark, docs).filter(col("doc_id") % 2 === 0).persist()
     val totRow = train.agg(
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
       sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn")).collect()(0)
     val (np, nn) = (totRow.getLong(0), totRow.getLong(1))
-    val cls = train
+    val selected = train
       .select(explode(col("buckets")).as("bucket"), col("y"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pd"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nd"))
-    // THE MODEL: selected bucket ids — <= NBuckets ints to the driver,
-    // broadcast back for scoring (the trained-weights serving shape)
-    val selected = cls
       .filter(col("pd") >= minSupport &&
         col("pd") * lit(nn) > col("nd") * lit(np) * lit(purityFactor))
       .select(col("bucket")).as[Int].collect().sorted
-    val bc = spark.sparkContext.broadcast(selected)
+    train.unpersist()
+    selected
+  }
 
-    val out = db.as[(Long, Seq[Int], Long)]
+  /** Score every doc under a model: (doc_id, label ±1, n_hits =
+    * selected buckets present, pred = n_hits>0, holdout = odd id),
+    * ordered by doc_id.
+    */
+  def scoreWith(spark: SparkSession, docs: DataFrame, model: Array[Int]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    features(spark, docs).as[(Long, Seq[Int], Long)]
       .map { case (id, buckets, y) =>
         val sel = bc.value
         val hits = buckets.count(b => java.util.Arrays.binarySearch(sel, b) >= 0).toLong
@@ -98,7 +107,28 @@ object Classifier {
       }
       .toDF("doc_id", "label", "n_hits", "pred", "holdout")
       .orderBy("doc_id")
-    db.unpersist()
-    out
+  }
+
+  /** Train on the even-doc_id half of `docs` (doc_id, text) and score
+    * every doc under the learned model. Deterministic — same docs,
+    * same result, any partitioning.
+    */
+  def qualityTrain(spark: SparkSession, docs: DataFrame,
+                   purityFactor: Long = 5L, minSupport: Long = 2L): DataFrame =
+    scoreWith(spark, docs, trainModel(spark, docs, purityFactor, minSupport))
+
+  /** Persist a trained model (train/serve split, same lifecycle as
+    * ops.AnnIndex): one tiny parquet of selected bucket ids. A serving
+    * job [[loadModel]]s it and runs [[scoreWith]] — no training pass.
+    */
+  def saveModel(spark: SparkSession, model: Array[Int], modelDir: String): Unit = {
+    import spark.implicits._
+    model.toSeq.toDF("bucket").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(modelDir)
+  }
+
+  def loadModel(spark: SparkSession, modelDir: String): Array[Int] = {
+    import spark.implicits._
+    spark.read.parquet(modelDir).select(col("bucket")).as[Int].collect().sorted
   }
 }

@@ -313,6 +313,24 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Classifier.qualityTrain(spark, docs.repartition(7)).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
 
+    // train/serve split: a persisted model scores identically — and the
+    // serving path runs NO training aggregates
+    val modelDir = java.nio.file.Files.createTempDirectory("clf-model").toString
+    val model = Classifier.trainModel(spark, docs)
+    assert(model.nonEmpty)
+    Classifier.saveModel(spark, model, modelDir)
+    val served = Classifier.scoreWith(spark, docs,
+      Classifier.loadModel(spark, modelDir)).collect()
+    assert(served.map(_.toString).toSeq == out.map(_.toString).toSeq,
+      "stored-model serving must equal train-time scoring")
+
+    // degenerate inputs: empty text still emits a row (label -1, 0 hits)
+    val weird = Seq((2L, ""), (4L, "   "), (6L, "agg agg"), (8L, "alpha")).toDF("doc_id", "text")
+    val wr = Classifier.scoreWith(spark, weird, model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("label"), r.getAs[Long]("n_hits"))).toMap
+    assert(wr(2L) == (-1L, 0L) && wr(4L) == (-1L, 0L), "empty docs emit negative zero-hit rows")
+    assert(wr(6L)._1 == 1L)
+
     // memorization guard: a word seen in ONE positive train doc has
     // support 1 < minSupport and must not enter the model; a word
     // spread over both classes fails the purity odds. Planted corpus:
