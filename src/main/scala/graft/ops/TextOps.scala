@@ -194,7 +194,10 @@ object TextOps {
     * plumbing is the real serving shape: with the hashing trick there
     * is no weight table to broadcast at all — a trained model swaps in
     * a broadcast float array indexed by the same hash, nothing else
-    * changes. Per-row map, zero shuffles; integer-exact on both
+    * changes. The TRAINING side of this shape exists too: see
+    * [[graft.ops.Classifier]] (supervised purity induction over the
+    * same hashed-bucket features, train/holdout split, persisted
+    * model, oracle-replayed — the quality_train query). Per-row map, zero shuffles; integer-exact on both
     * engines (JVM `/` and DuckDB `//` both truncate toward zero on
     * negative means).
     */
