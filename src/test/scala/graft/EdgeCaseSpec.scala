@@ -77,6 +77,42 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "pq"))
   }
 
+  test("new r4 surfaces degrade loudly or sanely: exhausted WARC iterator, index edge states") {
+    val sp = spark; import sp.implicits._
+    // exhausted record iterator throws NoSuchElementException, not null
+    val it = graft.sources.WarcSource.responsesIterator(Array.empty[Byte])
+    assert(!it.hasNext)
+    intercept[NoSuchElementException] { it.next() }
+
+    // serving against a never-built index dir fails LOUDLY (missing
+    // path), never silently empty
+    val emb = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (i + 1) * 0.01f * ((j % 5) - 2)), i)
+    }.toDF("vec_id", "embedding", "label")
+    val ghost = java.nio.file.Files.createTempDirectory("edge-ghost").toString + "/never"
+    intercept[Exception] {
+      graft.ops.AnnIndex.serveLsh(spark, emb, ghost).count()
+    }
+    intercept[Exception] {
+      graft.ops.AnnIndex.servePq(spark, emb, ghost).count()
+    }
+
+    // a codebook table with a missing (s, cid) cell is detected at load
+    val holey = java.nio.file.Files.createTempDirectory("edge-holey").toString
+    Seq((0, 0, Seq(1L, 2L)), (0, 2, Seq(3L, 4L))) // cid 1 missing
+      .toDF("s", "cid", "centroid").write.parquet(s"$holey/pq_codebook")
+    Seq((0L, 0, 0)).toDF("vec_id", "s", "code").write.parquet(s"$holey/pq_codes")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.servePq(spark, emb, holey).count()
+    }
+    assert(e.getMessage.contains("holes"))
+
+    // classifier: an empty model scores everything negative, no throw
+    val docs = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+    val scored = graft.ops.Classifier.scoreWith(spark, docs, Array.empty[Int]).collect()
+    assert(scored.length == 2 && scored.forall(!_.getAs[Boolean]("pred")))
+  }
+
   test("single-doc corpus: passage/tfidf/census degenerate sanely") {
     val sp = spark; import sp.implicits._
     val d = Seq((1L, "only one document here now", "en")).toDF("doc_id", "text", "lang")

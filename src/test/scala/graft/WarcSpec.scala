@@ -212,6 +212,53 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("streaming chain: WARC landing -> ingest -> extract -> curate, incremental end-to-end") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-chain-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val warcDir = tmp("chain-warc"); val pagesDir = tmp("chain-pages")
+      val extractedDir = tmp("chain-ex"); val curatedDir = tmp("chain-cur")
+      val ck1 = tmp("chain-ck1"); val ck2 = tmp("chain-ck2"); val ck3 = tmp("chain-ck3")
+      val ps = pages(6)
+      def drainAll(): Unit = {
+        graft.streaming.StreamingIngest
+          .start(spark, warcDir, pagesDir, ck1).awaitTermination()
+        graft.streaming.StreamingExtract
+          .start(spark, pagesDir, extractedDir, ck2).awaitTermination()
+        graft.streaming.StreamingCurate
+          .start(spark, extractedDir, curatedDir, ck3).awaitTermination()
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(warcDir, "a.warc.gz"),
+        WarcSource.buildWarcFile(ps.slice(0, 4), gzipPerRecord = true))
+      drainAll()
+      val first = spark.read.parquet(curatedDir).collect()
+      assert(first.length == 4, s"4 clean docs through the full chain, got ${first.length}")
+
+      // a new WARC lands: each leg's checkpoint drains ONLY the delta
+      java.nio.file.Files.write(java.nio.file.Paths.get(warcDir, "b.warc"),
+        WarcSource.buildWarcFile(ps.slice(4, 6), gzipPerRecord = false))
+      drainAll()
+      val second = spark.read.parquet(curatedDir).collect()
+      assert(second.length == 6, s"exactly the 2 new docs appended, got ${second.length}")
+      val byUrl = second.map(r => r.getAs[String]("url_norm") -> r.getAs[String]("text")).toMap
+      assert(byUrl.keySet == ps.map(_._2).toSet)
+      // byte-identity survives the whole streamed chain: the curated
+      // text equals the batch GoldenExtractor output for the same html
+      ps.foreach { case (_, url, _, html) =>
+        val want = graft.extract.GoldenExtractor
+          .extract(html, graft.extract.ExtractorConfig.default)._1
+        assert(byUrl(url) == want, s"chain text differs for $url")
+      }
+    } finally spark.stop()
+  }
+
   test("IngestJob: WARC dir (plain + gzip + damaged) -> pages parquet, idempotent rerun") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
