@@ -723,7 +723,8 @@ private[graft] object OracleSqlGen {
        |  WHERE d.doc_id % 2 = 0 GROUP BY d.bucket),
        |sel AS (
        |  SELECT bucket FROM cls, tot
-       |  WHERE pd >= $minSupport AND pd * nn > nd * np * $purityFactor),
+       |  WHERE pd >= $minSupport
+       |    AND CAST(pd AS HUGEINT) * nn > CAST(nd AS HUGEINT) * np * $purityFactor),
        |hits AS (
        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
        |  FROM docb d JOIN sel USING (bucket) GROUP BY d.doc_id)

@@ -80,14 +80,24 @@ object Classifier {
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
       sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn")).collect()(0)
     val (np, nn) = (totRow.getLong(0), totRow.getLong(1))
-    val selected = train
+    // census collected to the driver (<= NBuckets rows) and the purity
+    // odds compared in BigInt: pd·nn and nd·np·F are products of DOC
+    // COUNTS, which overflow Long (and THROW under ANSI) on a
+    // 10^10-doc corpus if left as SQL arithmetic. The DuckDB mirror
+    // casts the same products to HUGEINT for the same reason.
+    val census = train
       .select(explode(col("buckets")).as("bucket"), col("y"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pd"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nd"))
-      .filter(col("pd") >= minSupport &&
-        col("pd") * lit(nn) > col("nd") * lit(np) * lit(purityFactor))
-      .select(col("bucket")).as[Int].collect().sorted
+      .collect()
+    val selected = census.iterator
+      .filter { r =>
+        val (pd, nd) = (r.getLong(1), r.getLong(2))
+        pd >= minSupport &&
+          BigInt(pd) * BigInt(nn) > BigInt(nd) * BigInt(np) * BigInt(purityFactor)
+      }
+      .map(_.getInt(0)).toArray.sorted
     train.unpersist()
     selected
   }
