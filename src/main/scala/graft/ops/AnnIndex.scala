@@ -42,29 +42,43 @@ object AnnIndex {
       .option("parquet.enable.dictionary", "false")
       .parquet(dir)
 
+  private def lshMetaDir(indexDir: String) = s"$indexDir/lsh_meta"
+
   /** Materialize the multi-table sign-LSH bucket relation. One pass
     * over the base; the stored rows are (vec_id, band, bucket) — 20
-    * bytes each, nTables rows per vector.
+    * bytes each, nTables rows per vector. The plane geometry
+    * (nTables, planesPerTable, dim) is persisted alongside — serving
+    * reads IT, so a build/serve parameter drift cannot silently
+    * produce wrong buckets on the query side.
     */
   def buildLsh(spark: SparkSession, emb: DataFrame, indexDir: String,
                nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64): Unit = {
+    import spark.implicits._
     val planes = VectorOps.hyperplanes(nTables * planesPerTable, dim)
     write(VectorOps.lshBucketize(spark, emb, planes, nTables, planesPerTable),
       lshDir(indexDir))
+    write(Seq((nTables, planesPerTable, dim))
+      .toDF("n_tables", "planes_per_table", "dim").coalesce(1),
+      lshMetaDir(indexDir))
   }
 
   /** Approximate top-k against a PREBUILT LSH index: identical results
-    * to VectorOps.annLsh with the same parameters, but the base is
-    * never re-bucketed — serve cost is the probe join + one re-rank.
-    * The (nTables, planesPerTable, dim, probeHamming) parameters must
-    * match the build (the planes are derived from them).
+    * to VectorOps.annLsh with the index's build parameters, but the
+    * base is never re-bucketed — serve cost is the probe join + one
+    * re-rank. Plane geometry comes from the STORED index metadata;
+    * only the serve-time knobs (nQueries, k, probeHamming) are
+    * caller-chosen.
     */
   def serveLsh(spark: SparkSession, emb: DataFrame, indexDir: String,
                nQueries: Int = 10, k: Int = 5,
-               nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64,
-               probeHamming: Int = 1): DataFrame =
+               probeHamming: Int = 1): DataFrame = {
+    val meta = spark.read.parquet(lshMetaDir(indexDir))
+      .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
+    require(meta.length == 1, s"malformed lsh_meta at $indexDir")
     VectorOps.annLshFrom(spark, spark.read.parquet(lshDir(indexDir)), emb,
-      nQueries, k, nTables, planesPerTable, dim, probeHamming)
+      nQueries, k, meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2),
+      probeHamming)
+  }
 
   /** Train PQ codebooks and materialize both index artifacts: the
     * codebook table (subspace, cid, centroid ARRAY<BIGINT>) and the
@@ -97,15 +111,24 @@ object AnnIndex {
     out.map(_.map(c => { require(c != null, "codebook table has holes"); c }))
   }
 
+  /** Vector dimension implied by a codebook: m subspaces × sub
+    * components each — serving derives it from the artifact instead of
+    * trusting a caller parameter.
+    */
+  private def dimOf(codebooks: Array[Array[Array[Long]]]): Int =
+    codebooks.length * codebooks(0)(0).length
+
   /** Approximate top-k against a PREBUILT PQ index: identical results
-    * to VectorOps.annPq with the same parameters — codebooks and codes
-    * come from parquet, no training or encoding at serve time.
+    * to VectorOps.annPq with the index's build parameters — codebooks
+    * and codes come from parquet, no training or encoding at serve
+    * time; the subspace geometry is implied by the stored codebook.
     */
   def servePq(spark: SparkSession, emb: DataFrame, indexDir: String,
-              nQueries: Int = 10, k: Int = 5, shortlist: Int = 100,
-              dim: Int = 64): DataFrame =
+              nQueries: Int = 10, k: Int = 5, shortlist: Int = 100): DataFrame = {
+    val codebooks = readCodebooks(spark, indexDir)
     VectorOps.annPqFrom(spark, spark.read.parquet(pqCodesDir(indexDir)),
-      readCodebooks(spark, indexDir), emb, nQueries, k, shortlist, dim)
+      codebooks, emb, nQueries, k, shortlist, dimOf(codebooks))
+  }
 
   // -------------------------------------------------------------------
   // incremental append — the daily-drop serving lifecycle
@@ -118,16 +141,20 @@ object AnnIndex {
       .parquet(dir)
 
   /** Append newly-arrived vectors to a stored LSH index WITHOUT
-    * touching the existing rows (one pass over the new batch only).
-    * Sign-LSH bucket codes are per-vector independent, so
-    * append-then-serve is EXACTLY equal to a full rebuild over the
-    * union — the test asserts it. Caller contract: `newEmb` vec_ids
-    * are disjoint from the indexed set (the engine's ids are
-    * xxhash64-derived; a revisit should compact/rebuild instead).
+    * touching the existing rows (one pass over the new batch only,
+    * plane geometry from the stored metadata). Sign-LSH bucket codes
+    * are per-vector independent, so append-then-serve is EXACTLY
+    * equal to a full rebuild over the union — the test asserts it.
+    * Caller contract: `newEmb` vec_ids are disjoint from the indexed
+    * set (the engine's ids are xxhash64-derived; a revisit should
+    * compact/rebuild instead).
     */
-  def appendLsh(spark: SparkSession, newEmb: DataFrame, indexDir: String,
-                nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64): Unit = {
-    val planes = VectorOps.hyperplanes(nTables * planesPerTable, dim)
+  def appendLsh(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit = {
+    val meta = spark.read.parquet(lshMetaDir(indexDir))
+      .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
+    require(meta.length == 1, s"malformed lsh_meta at $indexDir")
+    val (nTables, planesPerTable) = (meta(0).getInt(0), meta(0).getInt(1))
+    val planes = VectorOps.hyperplanes(nTables * planesPerTable, meta(0).getInt(2))
     append(VectorOps.lshBucketize(spark, newEmb, planes, nTables, planesPerTable),
       lshDir(indexDir))
   }
@@ -139,8 +166,9 @@ object AnnIndex {
     * serving union codes under the old codebook by construction).
     * Same disjoint-ids contract as [[appendLsh]].
     */
-  def appendPq(spark: SparkSession, newEmb: DataFrame, indexDir: String,
-               dim: Int = 64): Unit =
-    append(VectorOps.pqEncode(spark, newEmb, readCodebooks(spark, indexDir), dim),
+  def appendPq(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit = {
+    val codebooks = readCodebooks(spark, indexDir)
+    append(VectorOps.pqEncode(spark, newEmb, codebooks, dimOf(codebooks)),
       pqCodesDir(indexDir))
+  }
 }

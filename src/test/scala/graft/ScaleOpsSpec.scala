@@ -377,6 +377,14 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(AnnIndex.servePq(spark, emb, dir)) ==
       rows(VectorOps.annPq(spark, emb)), "PQ serve != in-memory")
 
+    // geometry travels WITH the index: a non-default build serves
+    // correctly with no parameters repeated at serve time
+    val dir2 = java.nio.file.Files.createTempDirectory("ann-index-geo").toString
+    AnnIndex.buildLsh(spark, emb, dir2, nTables = 4, planesPerTable = 7)
+    assert(rows(AnnIndex.serveLsh(spark, emb, dir2)) ==
+      rows(VectorOps.annLsh(spark, emb, nTables = 4, planesPerTable = 7)),
+      "serve must read plane geometry from the stored metadata")
+
     // serving READS the store (not a hidden recompute): emptying the
     // bucket relation must starve candidate generation to zero rows
     val sp = spark; import sp.implicits._
