@@ -132,5 +132,13 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = CurateJob.run(spark, inDir, outDir)
     assert(r.nInput == 20 && r.nGated == 0 && r.nCanonical == 0)
     assert(r.nSampled == 0 && r.nShards == 0)
+    // the authority-weighted path must also survive an empty funnel:
+    // hostRank's planted `% n` has n=0 here, but no surviving row ever
+    // evaluates it — pin that this stays true (an eager evaluation
+    // would throw a division-by-zero under ANSI)
+    val outDir2 = java.nio.file.Files.createTempDirectory("edge-out2").toString
+    val r2 = CurateJob.run(spark, inDir, outDir2,
+      authorityPermille = Some(Seq(1000L, 500L)))
+    assert(r2.nSampled == 0 && r2.nShards == 0 && r2.nAuthTiers == 2)
   }
 }
