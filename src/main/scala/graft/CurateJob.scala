@@ -170,11 +170,15 @@ object CurateJob {
         val tiers = GraphOps.hostTiers(spark,
           scrubbed.select(pmod(col("doc_id"), lit(GraphOps.HostIdModulus)).as("doc_id")),
           rates.length)
-        // tier is 1-based (ntile); element_at is 1-based too
+        // tier is 1-based (ntile); element_at is 1-based too. No forced
+        // broadcast: the rate relation is one row PER HOST — usually
+        // tiny, but at 10^7+ hosts a forced broadcast would ship
+        // hundreds of MB to every executor; AQE picks BHJ when it
+        // actually fits and SMJ otherwise.
         val tierRates = tiers.select(col("host"),
           element_at(array(rates.map(lit): _*), col("tier").cast("int")).as("tier_permille"))
         scrubbed.withColumn("host", docHost)
-          .join(broadcast(tierRates), Seq("host"))
+          .join(tierRates, Seq("host"))
           .filter(sampleKey < col("tier_permille"))
           .drop("host", "tier_permille")
     }

@@ -281,7 +281,10 @@ object Queries {
   /** Build/serve split: materialize the LSH index to parquet, then
     * answer from the STORED index — bit-identical to ann_lsh (same
     * DuckDB mirror), proving the serving path reads what the offline
-    * build wrote. The temp index dir lives for this query only.
+    * build wrote. The temp index dir lives for this query only and is
+    * DRIVER-LOCAL (fine for the local-mode harness); a real cluster
+    * builds to shared storage via graft.AnnIndexJob and serves from
+    * that path.
     */
   def annLshServe(s: SparkSession, d: String): DataFrame = {
     val emb = VectorOps.readEmbeddings(s, d)
