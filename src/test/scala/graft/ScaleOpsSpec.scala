@@ -360,6 +360,50 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qualityTrain equals a sequential reference on random corpora (differential property)") {
+    // The distributed path (typed maps + bucket-keyed census + driver
+    // BigInt odds) must agree with a direct sequential transcription of
+    // the algorithm for ANY corpus — seeds chosen deterministically.
+    val sp = spark; import sp.implicits._
+    val alphabet = Vector("agg", "crawl", "alpha", "gamma", "dup", "common",
+      "spark", "data", "row", "memorizeme", "zeta", "theta")
+    for (seed <- 1L to 8L) {
+      var s = seed
+      def nextInt(bound: Int): Int = {
+        s = graft.sources.PageSource.splitmix64(s)
+        java.lang.Long.remainderUnsigned(s, bound.toLong).toInt
+      }
+      val docs = (0 until (20 + nextInt(30))).map { i =>
+        val n = 1 + nextInt(9)
+        (i.toLong, Seq.fill(n)(alphabet(nextInt(alphabet.length))).mkString(" "))
+      }
+      // ---- sequential reference (direct spec transcription) ----
+      val feats = docs.map { case (id, text) =>
+        val words = text.split(' ').filter(_.nonEmpty)
+        (id, words.map(Classifier.bucketOf).distinct.sorted.toSeq,
+          if (words.exists(Classifier.inLexicon)) 1L else -1L)
+      }
+      val train = feats.filter(_._1 % 2 == 0)
+      val np = train.count(_._3 == 1L).toLong
+      val nn = train.count(_._3 == -1L).toLong
+      val census = train.flatMap { case (_, bs, y) => bs.map(_ -> y) }
+        .groupBy(_._1).view.mapValues { ys =>
+          (ys.count(_._2 == 1L).toLong, ys.count(_._2 == -1L).toLong)
+        }.toMap
+      val sel = census.collect { case (b, (pd, nd))
+        if pd >= 2L && BigInt(pd) * nn > BigInt(nd) * np * 5L => b }.toSet
+      val want = feats.map { case (id, bs, y) =>
+        val hits = bs.count(sel.contains).toLong
+        (id, y, hits, hits > 0L, id % 2 == 1L)
+      }.sortBy(_._1)
+      // ---- distributed path ----
+      val got = Classifier.qualityTrain(spark, docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getBoolean(4))).toSeq
+      assert(got == want, s"divergence at seed=$seed")
+    }
+  }
+
   test("AnnIndex build/serve: served results are bit-identical to the in-memory operators") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ann-index-test").toString
