@@ -588,6 +588,17 @@ private[graft] object OracleSqlGen {
        |  doc_id = cluster_id AS keep
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Component-size histogram over the dup_cluster relation — the
+    * full clustering mirror wrapped as a derived table (DuckDB allows
+    * WITH RECURSIVE inside a subquery), so the histogram inherits the
+    * clustering's exactness for free.
+    */
+  val dupStats: String =
+    s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM (SELECT DISTINCT cluster_id, cluster_size FROM ($dupCluster) t) c
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** Heavy-hitter 8-gram census over the near-dup corpus (ties broken
     * count-desc/gram-asc on both engines).
     */

@@ -30,6 +30,7 @@ object SparkEntry {
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dup_cluster" -> (Queries.dupCluster _),
+    "dup_stats" -> (Queries.dupStats _),
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
     "strat_sample" -> (Queries.stratSample _),
@@ -576,6 +577,7 @@ object SparkEntry {
     "ngram_census" -> OracleSqlGen.ngramCensus,
     "passage_dedup" -> OracleSqlGen.passageDedup,
     "dup_cluster" -> OracleSqlGen.dupCluster,
+    "dup_stats" -> OracleSqlGen.dupStats,
     "strat_sample" -> OracleSqlGen.stratSample,
     "mix_balance" -> OracleSqlGen.mixBalance,
     "lang_id" -> OracleSqlGen.langId,
