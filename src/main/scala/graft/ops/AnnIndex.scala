@@ -131,6 +131,34 @@ object AnnIndex {
   }
 
   // -------------------------------------------------------------------
+  // arbitrary-query serving — the real request shape
+  // -------------------------------------------------------------------
+
+  /** Serve an ARBITRARY query relation (query_id, q_emb) against a
+    * stored LSH index — the production request shape (the nQueries
+    * forms exist for the oracle harness's vec_id-prefix convention).
+    * query_ids need not exist in the base; a matching base vec_id is
+    * excluded as the trivial self-hit.
+    */
+  def serveLshQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+                      indexDir: String, k: Int = 5, probeHamming: Int = 1): DataFrame = {
+    val meta = spark.read.parquet(lshMetaDir(indexDir))
+      .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
+    require(meta.length == 1, s"malformed lsh_meta at $indexDir")
+    VectorOps.annLshFromQ(spark, spark.read.parquet(lshDir(indexDir)), emb,
+      queries, k, meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2),
+      probeHamming)
+  }
+
+  /** Same for a stored PQ index. */
+  def servePqQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+                     indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
+    val codebooks = readCodebooks(spark, indexDir)
+    VectorOps.annPqFromQ(spark, spark.read.parquet(pqCodesDir(indexDir)),
+      codebooks, emb, queries, k, shortlist, dimOf(codebooks))
+  }
+
+  // -------------------------------------------------------------------
   // incremental append — the daily-drop serving lifecycle
   // -------------------------------------------------------------------
 

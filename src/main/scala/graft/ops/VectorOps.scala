@@ -145,16 +145,32 @@ object VectorOps {
     * contract change touches those two sites AND their SQL mirrors.
     */
   private[ops] def rerankExact(cand: DataFrame, emb: DataFrame,
-                               nQueries: Int, k: Int): DataFrame = {
+                               nQueries: Int, k: Int): DataFrame =
+    rerankExactQ(cand, emb, queriesByIdPrefix(emb, nQueries), k)
+
+  /** The testdata query-set convention (vec_id < nQueries) as an
+    * explicit (query_id, q_emb) relation.
+    */
+  private[ops] def queriesByIdPrefix(emb: DataFrame, nQueries: Int): DataFrame =
+    emb.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_emb")).filter(col("query_id") < nQueries)
+
+  /** Re-rank against an ARBITRARY query relation (query_id, q_emb) —
+    * the general serving form; query_ids need not exist in the base
+    * (a matching base vec_id is excluded as the trivial self-hit).
+    */
+  private[ops] def rerankExactQ(cand: DataFrame, emb: DataFrame,
+                                queries: DataFrame, k: Int): DataFrame = {
     val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
-    val queries = normed.filter(col("vec_id") < nQueries)
-      .toDF("query_id", "q_emb", "q_norm")
+    val q = queries
+      .select(col("query_id").cast("long").as("query_id"), col("q_emb"))
+      .withColumn("q_norm", l2norm(col("q_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     cand
       .join(normed.toDF("neighbor_id", "embedding", "norm"), Seq("neighbor_id"))
-      .join(broadcast(queries), Seq("query_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -185,20 +201,28 @@ object VectorOps {
   }
 
   /** Query an LSH bucket relation (in-memory or read from a stored
-    * index): bucket the query subset, explode the Hamming<=probeHamming
-    * probe masks, equi-join ids-only, exact re-rank.
+    * index) with the testdata query convention (vec_id < nQueries).
     */
   private[ops] def annLshFrom(spark: SparkSession, bucketed: DataFrame, emb: DataFrame,
                               nQueries: Int, k: Int, nTables: Int, planesPerTable: Int,
-                              dim: Int, probeHamming: Int): DataFrame = {
+                              dim: Int, probeHamming: Int): DataFrame =
+    annLshFromQ(spark, bucketed, emb, queriesByIdPrefix(emb, nQueries), k,
+      nTables, planesPerTable, dim, probeHamming)
+
+  /** General serving form: answer an ARBITRARY (query_id, q_emb)
+    * relation against an LSH bucket relation — bucket ONLY the query
+    * batch, explode the Hamming<=probeHamming probe masks, equi-join
+    * ids-only, exact re-rank.
+    */
+  private[ops] def annLshFromQ(spark: SparkSession, bucketed: DataFrame, emb: DataFrame,
+                               queries: DataFrame, k: Int, nTables: Int,
+                               planesPerTable: Int, dim: Int, probeHamming: Int): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
     val planes = hyperplanes(nTables * planesPerTable, dim)
-    // the query side buckets a PRE-filtered relation (vec_id < nQueries
-    // pushes to the scan) — filtering after the opaque typed map would
-    // re-run the full 144-plane pass over the whole corpus
     val masks = 0 +: (if (probeHamming == 0) Seq.empty[Int]
                       else (0 until planesPerTable).map(1 << _))
-    val qprobes = lshBucketize(spark, emb.filter(col("vec_id") < nQueries),
+    val qprobes = lshBucketize(spark,
+        queries.select(col("query_id").as("vec_id"), col("q_emb").as("embedding")),
         planes, nTables, planesPerTable)
       .select(col("vec_id").as("query_id"), col("band"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
@@ -208,7 +232,7 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    rerankExact(cand, emb, nQueries, k)
+    rerankExactQ(cand, emb, queries, k)
   }
 
   def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
@@ -539,19 +563,30 @@ object VectorOps {
   }
 
   /** PQ ADC shortlist + exact re-rank over a code relation (in-memory
-    * or read from a stored index) and driver-held codebooks.
+    * or read from a stored index) and driver-held codebooks, with the
+    * testdata query convention (vec_id < nQueries).
     */
   private[ops] def annPqFrom(spark: SparkSession, codes: DataFrame,
                              codebooks: Array[Array[Array[Long]]], emb: DataFrame,
-                             nQueries: Int, k: Int, shortlist: Int, dim: Int): DataFrame = {
+                             nQueries: Int, k: Int, shortlist: Int, dim: Int): DataFrame =
+    annPqFromQ(spark, codes, codebooks, emb, queriesByIdPrefix(emb, nQueries),
+      k, shortlist, dim)
+
+  /** General serving form: ADC shortlist + re-rank for an ARBITRARY
+    * (query_id, q_emb) relation.
+    */
+  private[ops] def annPqFromQ(spark: SparkSession, codes: DataFrame,
+                              codebooks: Array[Array[Array[Long]]], emb: DataFrame,
+                              queries: DataFrame, k: Int, shortlist: Int,
+                              dim: Int): DataFrame = {
     import spark.implicits._
     val m = codebooks.length
     val sub = dim / m
     val bc = spark.sparkContext.broadcast(codebooks)
     // per-query exact distance table to every codebook entry (m·k rows
     // per query — broadcastable by construction)
-    val qd = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id") < nQueries)
+    val qd = queries
+      .select(col("query_id").cast("long"), col("q_emb"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
         val cbs = bc.value
@@ -573,7 +608,7 @@ object VectorOps {
     val short = adc.withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    rerankExact(short, emb, nQueries, k)
+    rerankExactQ(short, emb, queries, k)
   }
 
   def annPq(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,

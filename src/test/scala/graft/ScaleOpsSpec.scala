@@ -438,6 +438,46 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve result must flow from the stored index")
   }
 
+  test("corpus lifecycle: extract -> embed -> index -> serve ARBITRARY query vectors") {
+    val sp = spark; import sp.implicits._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val pagesDir = tmp("life-pages")
+    graft.sources.PageSource.genPages(spark, 300, 8).toDF()
+      .write.mode("overwrite").parquet(pagesDir)
+    val jobOut = tmp("life-job")
+    ExtractJob.run(spark, pagesDir, jobOut, 8, "life1")
+    val embDir = tmp("life-emb")
+    val n = EmbedJob.run(spark, s"$jobOut/pages_extracted", embDir, 4)
+    assert(n > 0 && n <= 300)
+    val emb = spark.read.parquet(embDir)
+    val idxDir = tmp("life-idx")
+    AnnIndex.buildLsh(spark, emb, idxDir)
+    AnnIndex.buildPq(spark, emb, idxDir)
+
+    // queries = three CORPUS vectors under fresh negative ids (the
+    // arbitrary-query serving form: ids unknown to the base) — each
+    // must recover its planted vector at (near-)unit cosine
+    val probe = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id"), col("embedding")).collect()
+    val queries = probe.zipWithIndex.map { case (r, i) =>
+      (-(i + 1).toLong, r.getSeq[Float](1))
+    }.toSeq.toDF("query_id", "q_emb")
+    val servedL = AnnIndex.serveLshQueries(spark, emb, queries, idxDir, k = 3).collect()
+    val servedP = AnnIndex.servePqQueries(spark, emb, queries, idxDir, k = 3).collect()
+    for ((served, nm) <- Seq((servedL, "lsh"), (servedP, "pq"))) {
+      probe.zipWithIndex.foreach { case (r, i) =>
+        val qid = -(i + 1).toLong
+        val hits = served.filter(_.getLong(0) == qid)
+        assert(hits.nonEmpty, s"$nm: no hits for query $qid")
+        val top = hits.minBy(_.getLong(2))
+        assert(top.getLong(3) >= 999999L,
+          s"$nm top hit must be (an exact duplicate of) the planted vector, sim=${top.getLong(3)}")
+        assert(hits.exists(h => h.getLong(1) == r.getLong(0) && h.getLong(3) >= 999999L),
+          s"$nm: planted vec ${r.getLong(0)} missing from unit-cosine hits")
+      }
+    }
+  }
+
   test("AnnIndex incremental append: LSH append == full rebuild; PQ append is batch-associative") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val base = emb.filter(col("vec_id") < 400)
