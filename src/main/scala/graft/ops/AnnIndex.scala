@@ -140,14 +140,21 @@ object AnnIndex {
     * query_ids need not exist in the base; a matching base vec_id is
     * excluded as the trivial self-hit.
     */
+  /** Null-embedding query rows are DROPPED up front (a malformed
+    * request row must not NPE a task mid-batch; the id simply gets no
+    * result rows — the caller's absent-key signal).
+    */
+  private def cleanQueries(queries: DataFrame): DataFrame =
+    queries.filter(col("q_emb").isNotNull)
+
   def serveLshQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                       indexDir: String, k: Int = 5, probeHamming: Int = 1): DataFrame = {
     val meta = spark.read.parquet(lshMetaDir(indexDir))
       .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
     require(meta.length == 1, s"malformed lsh_meta at $indexDir")
     VectorOps.annLshFromQ(spark, spark.read.parquet(lshDir(indexDir)), emb,
-      queries, k, meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2),
-      probeHamming)
+      cleanQueries(queries), k, meta(0).getInt(0), meta(0).getInt(1),
+      meta(0).getInt(2), probeHamming)
   }
 
   /** Same for a stored PQ index. */
@@ -155,7 +162,7 @@ object AnnIndex {
                      indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val codebooks = readCodebooks(spark, indexDir)
     VectorOps.annPqFromQ(spark, spark.read.parquet(pqCodesDir(indexDir)),
-      codebooks, emb, queries, k, shortlist, dimOf(codebooks))
+      codebooks, emb, cleanQueries(queries), k, shortlist, dimOf(codebooks))
   }
 
   // -------------------------------------------------------------------

@@ -476,6 +476,13 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$nm: planted vec ${r.getLong(0)} missing from unit-cosine hits")
       }
     }
+
+    // a malformed request row (null embedding) is dropped, not an NPE;
+    // the valid row in the same batch still answers
+    val mixed = Seq((-9L, null.asInstanceOf[Seq[Float]]),
+      (-1L, probe(0).getSeq[Float](1))).toDF("query_id", "q_emb")
+    val servedMixed = AnnIndex.serveLshQueries(spark, emb, mixed, idxDir, k = 3).collect()
+    assert(servedMixed.nonEmpty && servedMixed.forall(_.getLong(0) == -1L))
   }
 
   test("AnnIndex incremental append: LSH append == full rebuild; PQ append is batch-associative") {
