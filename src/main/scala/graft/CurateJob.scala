@@ -73,7 +73,14 @@ object CurateJob {
       // index 0 = highest-authority hosts (GraphOps.hostTiers over the
       // host_rank signal). Replaces the flat samplePermille when set;
       // None (default) keeps the funnel byte-identical to prior runs.
-      authorityPermille: Option[Seq[Long]] = None
+      authorityPermille: Option[Seq[Long]] = None,
+      // optional REAL crawl link graph (src, dst) keyed on parsed
+      // hosts: when set (with authorityPermille), the doc-side host is
+      // parsed from url_norm (TextOps.hostOf) and ranks come from
+      // GraphOps.hostRankEdges over these edges — the production
+      // shape. When None, the planted-arithmetic generator stands in
+      // (tests/oracle; doc ids are hashes, so its "hosts" are residues).
+      authorityEdges: Option[DataFrame] = None
   ): CurateReport = {
     graft.functions.GraftExtensions.register(spark)
 
@@ -155,21 +162,34 @@ object CurateJob {
       case None => scrubbed.filter(sampleKey < lit(samplePermille))
       case Some(rates) =>
         // authority-weighted sampling: host_rank → ntile tiers → per-tier
-        // permille, joined on host (the signal → funnel last mile). Host
-        // derives from the REDUCED doc id (GraphOps.HostIdModulus — raw
-        // xxhash64 ids overflow the planted-graph arithmetic under ANSI)
-        // on BOTH the rank and the doc side, so the join key is
-        // consistent by construction. A real deployment feeds hostRank a
-        // crawl link graph and parses the host from url_norm; the seam
-        // (rank → tier → permille join → deterministic hash sample) is
-        // identical. The tier relation is per-HOST and the rate array
-        // tiny — the join side broadcasts.
+        // permille, joined on host (the signal → funnel last mile).
         require(rates.nonEmpty && rates.forall(r => r >= 0L && r <= 1000L),
           "authorityPermille rates must be in [0, 1000]")
-        val docHost = GraphOps.hostCol(pmod(col("doc_id"), lit(GraphOps.HostIdModulus)))
-        val tiers = GraphOps.hostTiers(spark,
-          scrubbed.select(pmod(col("doc_id"), lit(GraphOps.HostIdModulus)).as("doc_id")),
-          rates.length)
+        val (docHost, tiers) = authorityEdges match {
+          case Some(edges) =>
+            // REAL-corpus path: the doc-side host is PARSED from
+            // url_norm and ranks come from the supplied crawl link
+            // graph keyed the same way — no id arithmetic anywhere.
+            // Corpus hosts nobody links to join the rank universe so
+            // they still land in a tier (base rank).
+            val host = TextOps.hostOf("url_norm")
+            val universe = scrubbed.select(host.as("host"))
+              .unionByName(edges.select(col("src").as("host")))
+              .unionByName(edges.select(col("dst").as("host")))
+            (host, GraphOps.tiersOf(
+              GraphOps.hostRankEdges(spark, edges, nodes = Some(universe)),
+              rates.length))
+          case None =>
+            // planted-arithmetic generator (tests/oracle): host derives
+            // from the REDUCED doc id (GraphOps.HostIdModulus — raw
+            // xxhash64 ids overflow the planted-graph arithmetic under
+            // ANSI) on BOTH the rank and the doc side, so the join key
+            // is consistent by construction.
+            (GraphOps.hostCol(pmod(col("doc_id"), lit(GraphOps.HostIdModulus))),
+              GraphOps.hostTiers(spark,
+                scrubbed.select(pmod(col("doc_id"), lit(GraphOps.HostIdModulus)).as("doc_id")),
+                rates.length))
+        }
         // tier is 1-based (ntile); element_at is 1-based too. No forced
         // broadcast: the rate relation is one row PER HOST — usually
         // tiny, but at 10^7+ hosts a forced broadcast would ship

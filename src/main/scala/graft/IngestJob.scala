@@ -1,8 +1,11 @@
 package graft
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 import graft.sources.WarcSource
 
@@ -26,12 +29,55 @@ import graft.sources.WarcSource
   * idempotent at the overwrite level; incremental drains can point
   * ExtractJob's resume at the same pages table.
   *
+  * Failure visibility: tasks carry the DRIVER's Hadoop configuration
+  * (broadcast via SerializableConfiguration — a fresh per-task
+  * `new Configuration()` would silently drop `spark.hadoop.*` settings
+  * such as object-store credentials, turning a misconfigured remote FS
+  * into an EMPTY pages table with no error). Each skipped file is
+  * logged from the task and counted in an accumulator; the job report
+  * carries `warc_files_skipped` so a partial ingest is loud, not
+  * silent.
+  *
   * CLI: spark-submit --class graft.IngestJob app.jar <warcDir> <pagesDir>
   */
 object IngestJob {
 
+  final case class IngestReport(nFiles: Long, nPages: Long, nSkipped: Long)
+
+  /** Open `p` and drain its WARC response records; an unopenable file
+    * yields an empty iterator (counted + logged when `skipped` is
+    * given). The FS stream closes on task completion ALWAYS
+    * (TaskContext listener) and eagerly when the iterator drains —
+    * a downstream exception or early-terminating `limit` must not
+    * leak the handle for the life of the executor.
+    */
+  def recordsForPath(conf: Configuration, p: String,
+                     skipped: Option[LongAccumulator] = None): Iterator[(String, Long, Array[Byte])] = {
+    val path = new Path(p)
+    scala.util.Try(path.getFileSystem(conf).open(path)).toOption match {
+      case None =>
+        // listed but unopenable (deleted/permission mid-run): skip the
+        // file, keep the drain going — but visibly
+        skipped.foreach(_.add(1L))
+        System.err.println(s"graft.IngestJob: skipping unopenable WARC $p")
+        Iterator.empty
+      case Some(in) =>
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val records = WarcSource.responsesIterator(in)
+        new Iterator[(String, Long, Array[Byte])] {
+          override def hasNext: Boolean = {
+            val h = records.hasNext
+            if (!h) in.close() // idempotent; frees the handle pre-teardown
+            h
+          }
+          override def next(): (String, Long, Array[Byte]) = records.next()
+        }
+    }
+  }
+
   def run(spark: SparkSession, warcDir: String, pagesDir: String,
-          numParts: Int = 32): (Long, Long) = {
+          numParts: Int = 32): IngestReport = {
     import spark.implicits._
     // driver-side listing, names only — the same unit of work the
     // binaryFile source would schedule, without shipping content rows
@@ -42,35 +88,13 @@ object IngestJob {
       .map(_.getPath.toString)
       .sorted.toSeq
     val nFiles = filePaths.length.toLong
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val skipped = spark.sparkContext.longAccumulator("graft.ingest.skipped_files")
     val pages = filePaths.toDS()
       .repartition(math.max(1, math.min(numParts, filePaths.length)))
-      .flatMap { p =>
-        // fresh Configuration per task: loads the executor's site
-        // config from the classpath (Hadoop Configuration itself is
-        // not serializable)
-        val path = new Path(p)
-        scala.util.Try(
-          path.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(path)
-        ).toOption match {
-          case None =>
-            // listed but unopenable (deleted/permission mid-run): skip
-            // the file, keep the drain going
-            Iterator.empty
-          case Some(in) =>
-            val records = WarcSource.responsesIterator(in)
-            // close the stream when the iterator drains (idempotent) —
-            // without this each exhausted file leaks an FS handle for
-            // the life of the task
-            new Iterator[(String, Long, Array[Byte])] {
-              override def hasNext: Boolean = {
-                val h = records.hasNext
-                if (!h) in.close()
-                h
-              }
-              override def next(): (String, Long, Array[Byte]) = records.next()
-            }
-        }
-      }
+      .flatMap(p => recordsForPath(confBc.value.value, p, Some(skipped)))
       .map { case (url, epoch, body) =>
         (url, new java.sql.Timestamp(epoch * 1000L), body)
       }
@@ -82,7 +106,7 @@ object IngestJob {
       .option("parquet.enable.dictionary", "false")
       .parquet(pagesDir)
     val nPages = spark.read.parquet(pagesDir).count()
-    (nFiles, nPages)
+    IngestReport(nFiles, nPages, skipped.value)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,8 +123,8 @@ object IngestJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (nFiles, nPages) = run(spark, args(0), args(1))
-    println(s"""{"warc_files":$nFiles,"pages":$nPages}""")
+    val r = run(spark, args(0), args(1))
+    println(s"""{"warc_files":${r.nFiles},"pages":${r.nPages},"warc_files_skipped":${r.nSkipped}}""")
     spark.stop()
   }
 }

@@ -747,6 +747,28 @@ private[graft] object OracleSqlGen {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Holdout evaluation mirror (ops.Classifier.qualityEval): the full
+    * [[qualityTrain]] mirror as a derived table, filtered to the odd
+    * (holdout) half, aggregated to confusion counts + integer-exact
+    * permille metrics. count(*) FILTER keeps every output BIGINT (the
+    * type audit bans HUGEINT); `//` is DuckDB's truncating division ==
+    * Spark DIV on non-negative counts.
+    */
+  val qualityEval: String =
+    s"""WITH qt AS ($qualityTrain),
+       |conf AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+       |    CAST(count(*) FILTER (WHERE label = 1 AND pred) AS BIGINT) AS tp,
+       |    CAST(count(*) FILTER (WHERE label = -1 AND pred) AS BIGINT) AS fp,
+       |    CAST(count(*) FILTER (WHERE label = 1 AND NOT pred) AS BIGINT) AS fn,
+       |    CAST(count(*) FILTER (WHERE label = -1 AND NOT pred) AS BIGINT) AS tn
+       |  FROM qt WHERE holdout)
+       |SELECT n_holdout, tp, fp, fn, tn,
+       |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS BIGINT) AS precision_permille,
+       |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 // (tp + fn) END AS BIGINT) AS recall_permille,
+       |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (tp + tn) * 1000 // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_permille
+       |FROM conf""".stripMargin
+
   /** Deterministic stratified sampling mirror: splitmix64(doc_id xor
     * seed) unsigned mod 1000 under the per-lang permille rate.
     */

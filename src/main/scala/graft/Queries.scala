@@ -215,6 +215,18 @@ object Queries {
     TextOps.urlNormalize(messy)
   }
 
+  /** Host parsed from the normalized url — the kernel the curation
+    * funnel's real-corpus authority path keys on (TextOps.hostOfSql is
+    * shared VERBATIM with the DuckDB oracle). Runs over the same
+    * messy-url synth as url_normalize, so every mutation class
+    * (fragment, case, port, params) must round-trip to the same host.
+    */
+  def hostParseQ(s: SparkSession, d: String): DataFrame =
+    urlNormalizeQ(s, d)
+      .select(col("doc_id"), col("url_norm"),
+        TextOps.hostOf("url_norm").as("host"))
+      .orderBy("doc_id")
+
   def piiScrubQ(s: SparkSession, d: String): DataFrame =
     TextOps.piiScrub(TextOps.readDocs(s, d))
 
@@ -267,13 +279,27 @@ object Queries {
   def qualityClassifyQ(s: SparkSession, d: String): DataFrame =
     TextOps.qualityClassify(s, TextOps.readDocs(s, d))
 
-  /** Batch-perceptron training on the documents corpus: hashed-unigram
-    * features, planted lexicon labels, 3 integer-exact iterations —
-    * the per-doc (label, margin, pred) view under the trained weights,
-    * oracle-replayed by an unrolled SQL training loop.
+  /** Supervised quality-classifier training on the documents corpus:
+    * hashed-unigram presence features, planted lexicon labels, ONE-PASS
+    * purity induction on the even-doc_id half (a bucket joins the model
+    * iff its positive doc-frequency clears minSupport and its
+    * class-purity odds clear purityFactor — integer-exact, BigInt
+    * products); the odd half is held out. Returns the per-doc
+    * (label, n_hits, pred, holdout) view under the induced model,
+    * oracle-replayed by SQL that re-runs the same census + selection.
+    * (A batch perceptron was tried and MEASURED to oscillate on this
+    * class balance — see CLAUDE.md; do not revive it.)
     */
   def qualityTrainQ(s: SparkSession, d: String): DataFrame =
     graft.ops.Classifier.qualityTrain(s, TextOps.readDocs(s, d))
+
+  /** Holdout precision/recall/accuracy of the trained quality
+    * classifier — one integer-exact row over the odd-doc_id half (the
+    * generalization number a filtering team reads before deploying the
+    * model; the oracle re-runs training AND evaluation in SQL).
+    */
+  def qualityEvalQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Classifier.qualityEval(s, TextOps.readDocs(s, d))
 
   def langIdQ(s: SparkSession, d: String): DataFrame =
     TextOps.langIds(s, TextOps.readDocs(s, d))
@@ -302,7 +328,7 @@ object Queries {
     val emb = VectorOps.readEmbeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-lsh").toString
     graft.ops.AnnIndex.buildLsh(s, emb, dir)
-    graft.ops.AnnIndex.serveLsh(s, emb, dir)
+    materializeAndDelete(s, graft.ops.AnnIndex.serveLsh(s, emb, dir), dir)
   }
 
   /** Same split for PQ: codebooks + codes persist, serving rehydrates
@@ -312,7 +338,23 @@ object Queries {
     val emb = VectorOps.readEmbeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-pq").toString
     graft.ops.AnnIndex.buildPq(s, emb, dir)
-    graft.ops.AnnIndex.servePq(s, emb, dir)
+    materializeAndDelete(s, graft.ops.AnnIndex.servePq(s, emb, dir), dir)
+  }
+
+  /** Collect a tiny serve result (nQueries×k rows by construction) so
+    * the per-query temp index dir can be deleted immediately — every
+    * Verify/oracle run was otherwise leaving LSH-bucket + PQ-code
+    * parquet debris in the system temp dir. Row order is preserved.
+    */
+  private def materializeAndDelete(s: SparkSession, df: DataFrame, dir: String): DataFrame = {
+    val rows = df.collect()
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   def embedClusterQ(s: SparkSession, d: String): DataFrame =

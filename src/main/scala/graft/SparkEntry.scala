@@ -35,6 +35,7 @@ object SparkEntry {
     "shard_pack" -> (Queries.shardPack _),
     "strat_sample" -> (Queries.stratSample _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
+    "host_parse" -> (Queries.hostParseQ _),
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
     "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
@@ -47,6 +48,7 @@ object SparkEntry {
     "quality_score" -> (Queries.qualityScore _),
     "quality_classify" -> (Queries.qualityClassifyQ _),
     "quality_train" -> (Queries.qualityTrainQ _),
+    "quality_eval" -> (Queries.qualityEvalQ _),
     "lang_id" -> (Queries.langIdQ _),
     "doc_fingerprint" -> (Queries.fingerprintQ _),
     "ann_cosine" -> (Queries.annCosine _),
@@ -151,6 +153,32 @@ object SparkEntry {
   private val urlSql =
     s"'https://host' || CAST($hid AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)"
   private val hostSql = s"'host' || CAST($hid AS VARCHAR) || '.example'"
+
+  /** url_normalize mirror body (no trailing ORDER BY): the messy
+    * synth + step-for-step normalizer — reused by the url_normalize
+    * and host_parse oracles.
+    */
+  private val urlNormalizeSql =
+    s"""WITH m AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN $urlSql || '#section-2'
+       |      WHEN 1 THEN upper('https://host' || CAST($hid AS VARCHAR) || '.example') || '/p/' || CAST(doc_id AS VARCHAR)
+       |      WHEN 2 THEN 'https://host' || CAST($hid AS VARCHAR) || '.example:443/p/' || CAST(doc_id AS VARCHAR)
+       |      ELSE $urlSql || '?b=2&a=1' END AS url_messy
+       |  FROM documents),
+       |n1 AS (SELECT doc_id, url_messy, split_part(url_messy, '#', 1) AS norm1 FROM m),
+       |n2 AS (SELECT *, split_part(norm1, '?', 1) AS base,
+       |       CASE WHEN instr(norm1, '?') > 0 THEN substring(norm1, CAST(instr(norm1, '?') + 1 AS INTEGER)) ELSE '' END AS query
+       |       FROM n1),
+       |n3 AS (SELECT *, CAST(instr(substring(base, 9), '/') AS INTEGER) AS slash FROM n2),
+       |n4 AS (SELECT *, lower(substring(base, 1, 8 + slash - 1)) AS auth,
+       |       substring(base, 8 + slash) AS path FROM n3),
+       |n5 AS (SELECT *, CASE WHEN auth LIKE '%:443' THEN substring(auth, 1, length(auth) - 4) ELSE auth END AS auth2 FROM n4)
+       |SELECT doc_id, url_messy,
+       |  auth2 || path || CASE WHEN query = '' THEN ''
+       |    ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS url_norm
+       |FROM n5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -404,6 +432,7 @@ object SparkEntry {
     "host_rank" -> hostRankSql(3),
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
+    "quality_eval" -> OracleSqlGen.qualityEval,
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,
@@ -492,27 +521,15 @@ object SparkEntry {
     // URL canonicalization: the messy synth (fragment / uppercase
     // authority / :443 / unsorted params keyed on doc_id%4) and the
     // normalizer are both mirrored step-for-step
-    "url_normalize" ->
-      s"""WITH m AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |    CASE CAST(doc_id % 4 AS INTEGER)
-         |      WHEN 0 THEN $urlSql || '#section-2'
-         |      WHEN 1 THEN upper('https://host' || CAST($hid AS VARCHAR) || '.example') || '/p/' || CAST(doc_id AS VARCHAR)
-         |      WHEN 2 THEN 'https://host' || CAST($hid AS VARCHAR) || '.example:443/p/' || CAST(doc_id AS VARCHAR)
-         |      ELSE $urlSql || '?b=2&a=1' END AS url_messy
-         |  FROM documents),
-         |n1 AS (SELECT doc_id, url_messy, split_part(url_messy, '#', 1) AS norm1 FROM m),
-         |n2 AS (SELECT *, split_part(norm1, '?', 1) AS base,
-         |       CASE WHEN instr(norm1, '?') > 0 THEN substring(norm1, CAST(instr(norm1, '?') + 1 AS INTEGER)) ELSE '' END AS query
-         |       FROM n1),
-         |n3 AS (SELECT *, CAST(instr(substring(base, 9), '/') AS INTEGER) AS slash FROM n2),
-         |n4 AS (SELECT *, lower(substring(base, 1, 8 + slash - 1)) AS auth,
-         |       substring(base, 8 + slash) AS path FROM n3),
-         |n5 AS (SELECT *, CASE WHEN auth LIKE '%:443' THEN substring(auth, 1, length(auth) - 4) ELSE auth END AS auth2 FROM n4)
-         |SELECT doc_id, url_messy,
-         |  auth2 || path || CASE WHEN query = '' THEN ''
-         |    ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS url_norm
-         |FROM n5 ORDER BY doc_id""".stripMargin,
+    "url_normalize" -> s"$urlNormalizeSql ORDER BY doc_id",
+    // host parsing over the SAME normalized urls: the host expression
+    // string is SHARED verbatim with the Spark side
+    // (TextOps.hostOfSql), so the oracle checks the exact kernel the
+    // curation funnel's real-corpus authority path keys on
+    "host_parse" ->
+      s"""SELECT doc_id, url_norm,
+         |  ${graft.ops.TextOps.hostOfSql("url_norm")} AS host
+         |FROM ($urlNormalizeSql) u ORDER BY doc_id""".stripMargin,
     // email redaction: pattern uses only char classes + quantifiers so
     // Java regex (Spark) and RE2 (DuckDB) match identically
     "pii_scrub" ->

@@ -140,29 +140,46 @@ object AnnIndex {
     * query_ids need not exist in the base; a matching base vec_id is
     * excluded as the trivial self-hit.
     */
+  /** Probe-side relations (LSH bucket probes / PQ ADC tables) are
+    * broadcast only when the request batch is provably bounded — a
+    * caller passing a 10^8-row query relation would otherwise ship a
+    * multi-GB broadcast to every executor (or fail outright at the
+    * broadcast ceiling). The size probe is a bounded `limit(N+1)`
+    * count, so an unbounded relation costs one cheap action and falls
+    * back to a shuffle join; results are identical either way.
+    */
+  private[ops] val BroadcastQueryLimit = 65536L
+
   /** Null-embedding query rows are DROPPED up front (a malformed
     * request row must not NPE a task mid-batch; the id simply gets no
-    * result rows — the caller's absent-key signal).
+    * result rows — the caller's absent-key signal). Returns the clean
+    * relation plus whether it is small enough to broadcast probes for.
     */
-  private def cleanQueries(queries: DataFrame): DataFrame =
-    queries.filter(col("q_emb").isNotNull)
+  private def cleanQueries(queries: DataFrame): (DataFrame, Boolean) = {
+    val q = queries.filter(col("q_emb").isNotNull)
+    val small = q.limit(BroadcastQueryLimit.toInt + 1).count() <= BroadcastQueryLimit
+    (q, small)
+  }
 
   def serveLshQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                       indexDir: String, k: Int = 5, probeHamming: Int = 1): DataFrame = {
     val meta = spark.read.parquet(lshMetaDir(indexDir))
       .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
     require(meta.length == 1, s"malformed lsh_meta at $indexDir")
+    val (q, small) = cleanQueries(queries)
     VectorOps.annLshFromQ(spark, spark.read.parquet(lshDir(indexDir)), emb,
-      cleanQueries(queries), k, meta(0).getInt(0), meta(0).getInt(1),
-      meta(0).getInt(2), probeHamming)
+      q, k, meta(0).getInt(0), meta(0).getInt(1),
+      meta(0).getInt(2), probeHamming, broadcastProbes = small)
   }
 
   /** Same for a stored PQ index. */
   def servePqQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                      indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val codebooks = readCodebooks(spark, indexDir)
+    val (q, small) = cleanQueries(queries)
     VectorOps.annPqFromQ(spark, spark.read.parquet(pqCodesDir(indexDir)),
-      codebooks, emb, cleanQueries(queries), k, shortlist, dimOf(codebooks))
+      codebooks, emb, q, k, shortlist, dimOf(codebooks),
+      broadcastProbes = small)
   }
 
   // -------------------------------------------------------------------

@@ -127,6 +127,32 @@ object Classifier {
                    purityFactor: Long = 5L, minSupport: Long = 2L): DataFrame =
     scoreWith(spark, docs, trainModel(spark, docs, purityFactor, minSupport))
 
+  /** Holdout evaluation of the induced model — the ONE row a filtering
+    * team actually reads: confusion counts and integer-exact
+    * precision/recall/accuracy permille over the ODD-doc_id half
+    * (never seen by training). Denominator-zero cases report 0 (an
+    * empty-model run must yield a row, not a division error).
+    */
+  def qualityEval(spark: SparkSession, docs: DataFrame,
+                  purityFactor: Long = 5L, minSupport: Long = 2L): DataFrame =
+    qualityTrain(spark, docs, purityFactor, minSupport)
+      .filter(col("holdout"))
+      .agg(
+        count(lit(1)).cast("long").as("n_holdout"),
+        sum(when(col("label") === 1L && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === -1L && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1L && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label") === -1L && !col("pred"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n_holdout"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 DIV (tp + fp) END")
+          .cast("long").as("precision_permille"),
+        expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 DIV (tp + fn) END")
+          .cast("long").as("recall_permille"),
+        expr("CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (tp + tn) * 1000 DIV (tp + fp + fn + tn) END")
+          .cast("long").as("accuracy_permille"))
+
   /** Persist a trained model (train/serve split, same lifecycle as
     * ops.AnnIndex): one tiny parquet of selected bucket ids. A serving
     * job [[loadModel]]s it and runs [[scoreWith]] — no training pass.

@@ -59,8 +59,46 @@ object GraphOps {
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
-    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("od"))
+    rankLoop(nodes, edges, iters, dampingPermille)
+  }
 
+  /** PageRank over an ARBITRARY host link relation `(src, dst)` — the
+    * real-deployment form: a crawl link graph keyed on PARSED hosts
+    * (TextOps.hostOf over url_norm) feeds it, while the
+    * planted-arithmetic [[hostRank]] stays the test/oracle generator.
+    * Parallel links keep multiplicity as edge weight; self-loops drop.
+    * Same integer-exact kernel, same (host, long)-rows-only scale
+    * shape — the edge relation is host-keyed, orders of magnitude
+    * smaller than the corpus.
+    *
+    * @param nodes optional rank universe (column `host`): hosts
+    *   present in `nodes` but in no edge still receive the base rank
+    *   (a corpus host nobody links to must still land in a tier).
+    *   Defaults to the edge endpoints.
+    */
+  def hostRankEdges(spark: SparkSession, linkEdges: DataFrame, iters: Int = 3,
+                    dampingPermille: Long = 850L,
+                    nodes: Option[DataFrame] = None): DataFrame = {
+    val e = linkEdges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val universe = nodes
+      .map(_.select(col("host").cast("string").as("host")))
+      .getOrElse(e.select(col("src").as("host"))
+        .unionByName(e.select(col("dst").as("host"))))
+      .distinct()
+    rankLoop(universe, e, iters, dampingPermille)
+  }
+
+  /** The shared iteration kernel: `nodes` (host), `edges`
+    * (src, dst, w) pre-aggregated. See [[hostRank]] for the exactness
+    * and scale-shape contract.
+    */
+  private def rankLoop(nodes: DataFrame, edges: DataFrame, iters: Int,
+                       dampingPermille: Long): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("od"))
     val base = 1000L - dampingPermille
     var ranks = nodes.withColumn("rank_milli", lit(1000L))
     var i = 0
@@ -98,9 +136,15 @@ object GraphOps {
     * argument as the rank state itself); documents never enter it.
     */
   def hostTiers(spark: SparkSession, docs: DataFrame, nTiers: Int,
-                iters: Int = 3): DataFrame = {
+                iters: Int = 3): DataFrame =
+    tiersOf(hostRank(spark, docs, iters), nTiers)
+
+  /** ntile tiers over an already-computed rank relation — the form the
+    * real-link-graph path ([[hostRankEdges]]) composes with.
+    */
+  def tiersOf(ranks: DataFrame, nTiers: Int): DataFrame = {
     require(nTiers >= 1, "nTiers >= 1")
-    hostRank(spark, docs, iters)
+    ranks
       .withColumn("tier", ntile(nTiers).over(
         Window.orderBy(col("rank_milli").desc, col("host").asc)))
       .select(col("host"), col("tier").cast("long").as("tier"))

@@ -975,6 +975,27 @@ object TextOps {
       .select(col("doc_id"), col("url_messy"), col("url_norm"))
       .orderBy("doc_id")
 
+  /** Host of a normalized url as ONE SQL expression string, shared
+    * VERBATIM between the Spark side (`expr`) and the DuckDB oracle —
+    * only `instr` / `substring` / `CASE`, which behave identically in
+    * both engines. Parse: authority = between `://` and the next `/`;
+    * strip userinfo (after the first `@`) and port (before the first
+    * `:`). The authority is already lowercased by [[withUrlNorm]].
+    * This is the derivation that makes the curation funnel's
+    * host-level levers (host_rank tiers, per-host sampling) work on a
+    * REAL corpus — doc ids are hashes, so any id-arithmetic "host" is
+    * test scaffolding only.
+    */
+  def hostOfSql(u: String): String = {
+    val rest = s"substring($u, instr($u, '://') + 3)"
+    val auth = s"(CASE WHEN instr($rest, '/') > 0 THEN substring($rest, 1, instr($rest, '/') - 1) ELSE $rest END)"
+    val noUser = s"(CASE WHEN instr($auth, '@') > 0 THEN substring($auth, instr($auth, '@') + 1) ELSE $auth END)"
+    s"(CASE WHEN instr($noUser, ':') > 0 THEN substring($noUser, 1, instr($noUser, ':') - 1) ELSE $noUser END)"
+  }
+
+  /** [[hostOfSql]] as a Column over the named url column. */
+  def hostOf(urlNormCol: String): Column = expr(hostOfSql(urlNormCol))
+
   // -------------------------------------------------------------------
   // PII scrubbing (email redaction)
   // -------------------------------------------------------------------

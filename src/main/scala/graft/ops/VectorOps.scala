@@ -216,7 +216,8 @@ object VectorOps {
     */
   private[ops] def annLshFromQ(spark: SparkSession, bucketed: DataFrame, emb: DataFrame,
                                queries: DataFrame, k: Int, nTables: Int,
-                               planesPerTable: Int, dim: Int, probeHamming: Int): DataFrame = {
+                               planesPerTable: Int, dim: Int, probeHamming: Int,
+                               broadcastProbes: Boolean = true): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
     val planes = hyperplanes(nTables * planesPerTable, dim)
     val masks = 0 +: (if (probeHamming == 0) Seq.empty[Int]
@@ -227,8 +228,10 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("band"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
 
+    // broadcast only for bounded request batches (AnnIndex enforces
+    // the threshold); an unbounded query relation shuffle-joins instead
     val cand = bucketed
-      .join(broadcast(qprobes), Seq("band", "bucket"))
+      .join(if (broadcastProbes) broadcast(qprobes) else qprobes, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
@@ -578,7 +581,7 @@ object VectorOps {
   private[ops] def annPqFromQ(spark: SparkSession, codes: DataFrame,
                               codebooks: Array[Array[Array[Long]]], emb: DataFrame,
                               queries: DataFrame, k: Int, shortlist: Int,
-                              dim: Int): DataFrame = {
+                              dim: Int, broadcastProbes: Boolean = true): DataFrame = {
     import spark.implicits._
     val m = codebooks.length
     val sub = dim / m
@@ -598,8 +601,10 @@ object VectorOps {
       }
       .toDF("query_id", "s", "code", "d")
 
+    // ADC tables broadcast only for bounded request batches (AnnIndex
+    // enforces the threshold); otherwise a shuffle join
     val adc = codes
-      .join(broadcast(qd), Seq("s", "code"))
+      .join(if (broadcastProbes) broadcast(qd) else qd, Seq("s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d")).as("adc_dist"))

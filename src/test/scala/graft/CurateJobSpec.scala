@@ -159,6 +159,51 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("authority funnel on a REAL corpus: parsed hosts from messy urls + supplied link graph") {
+    val sp = spark; import sp.implicits._
+    // three real hosts, messy urls (case, :443, fragments — the parse
+    // must undo all of them); unique per-doc vocab passes the gate
+    val hosts = Seq("a.example", "b.example", "c.example")
+    def messyUrl(h: String, i: Int): String = i % 3 match {
+      case 0 => s"HTTPS://${h.toUpperCase(java.util.Locale.ROOT)}/p/$i#frag"
+      case 1 => s"https://$h:443/p/$i"
+      case _ => s"https://$h/p/$i"
+    }
+    val docs = for { h <- hosts; i <- 0 until 6 } yield
+      (messyUrl(h, i), (0 until 12).map(k => s"${h.take(1)}d${i}w$k").mkString(" "))
+    val in = java.nio.file.Files.createTempDirectory("realhost-in").toString
+    docs.toDF("url", "text").write.mode("overwrite").parquet(in)
+    // link graph keyed on PARSED hosts: b and c both cite a, a cites b
+    // → after 3 integer iterations a ranks first (1740 > 1107 > 150)
+    val edges = Seq(("b.example", "a.example"), ("c.example", "a.example"),
+      ("a.example", "b.example")).toDF("src", "dst")
+
+    // 3 tiers, top tier only → exactly the a.example docs ship
+    val outTop = java.nio.file.Files.createTempDirectory("realhost-top").toString
+    val rTop = CurateJob.run(spark, in, outTop, samplePermille = 1000L,
+      authorityPermille = Some(Seq(1000L, 0L, 0L)), authorityEdges = Some(edges))
+    assert(rTop.nCanonical == 18L)
+    assert(rTop.nSampled == 6L, s"only the top-authority host ships, got ${rTop.nSampled}")
+    val keptUrls = spark.read.parquet(s"$outTop/shards")
+      .select("url_norm").collect().map(_.getString(0))
+    assert(keptUrls.forall(_.startsWith("https://a.example")), keptUrls.mkString(","))
+
+    // all-1000 tiers with the same graph: no doc lost to the host join
+    // (corpus hosts enter the rank universe even if unlinked)
+    val outAll = java.nio.file.Files.createTempDirectory("realhost-all").toString
+    val rAll = CurateJob.run(spark, in, outAll, samplePermille = 1000L,
+      authorityPermille = Some(Seq(1000L, 1000L, 1000L)), authorityEdges = Some(edges))
+    assert(rAll.nSampled == 18L, s"all tiers at 1000 ship everything, got ${rAll.nSampled}")
+
+    // a host in NO edge still lands in a tier: drop c from the graph,
+    // keep every tier at 1000 — c's docs must still ship (base rank)
+    val edges2 = Seq(("b.example", "a.example"), ("a.example", "b.example")).toDF("src", "dst")
+    val outUn = java.nio.file.Files.createTempDirectory("realhost-unlinked").toString
+    val rUn = CurateJob.run(spark, in, outUn, samplePermille = 1000L,
+      authorityPermille = Some(Seq(1000L, 1000L, 1000L)), authorityEdges = Some(edges2))
+    assert(rUn.nSampled == 18L, s"unlinked host must not vanish, got ${rUn.nSampled}")
+  }
+
   test("optional passage gate drops boilerplate-mosaic docs; default-off funnel unchanged") {
     val sp = spark; import sp.implicits._
     val boiler = (0 until 16).map(k => s"boiler$k").mkString(" ")

@@ -280,17 +280,19 @@ class WarcSpec extends AnyFunSuite {
       write("c.warc", java.util.Arrays.copyOf(full, full.length / 2)) // damaged
       write("notes.txt", "not a warc".getBytes) // glob-filtered out
 
-      val (nFiles, nPages) = IngestJob.run(spark, warcDir.toString, pagesDir, numParts = 3)
+      val r = IngestJob.run(spark, warcDir.toString, pagesDir, numParts = 3)
+      val (nFiles, nPages) = (r.nFiles, r.nPages)
       assert(nFiles == 3, "pathGlobFilter keeps only *.warc*")
       assert(nPages >= 7 && nPages <= 8, s"4 + 3 + (damaged partial) pages, got $nPages")
+      assert(r.nSkipped == 0, "all listed files were openable")
       val got = spark.read.parquet(pagesDir)
         .collect().map(r => r.getAs[String]("url") ->
           r.getAs[Array[Byte]]("html")).toMap
       ps.take(7).foreach { case (_, url, _, html) =>
         assert(got(url).sameElements(html), s"html bytes differ for $url")
       }
-      val (nFiles2, nPages2) = IngestJob.run(spark, warcDir.toString, pagesDir, numParts = 3)
-      assert(nFiles2 == nFiles && nPages2 == nPages, "rerun is idempotent")
+      val r2 = IngestJob.run(spark, warcDir.toString, pagesDir, numParts = 3)
+      assert(r2.nFiles == nFiles && r2.nPages == nPages, "rerun is idempotent")
     } finally spark.stop()
   }
 }
