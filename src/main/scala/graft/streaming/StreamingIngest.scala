@@ -4,8 +4,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.WarcSource
-
 /** Streaming WARC landing-zone drain (SURVEY.md §2.10): crawlers drop
   * `.warc/.warc.gz` files into a directory continuously; each
   * scheduled `AvailableNow` drain picks up EXACTLY the files that
@@ -13,13 +11,17 @@ import graft.sources.WarcSource
   * splits them and appends pages — the streaming complement of the
   * batch [[graft.IngestJob]] backfill.
   *
-  * Memory shape: the streaming binaryFile source ships file CONTENT
-  * rows (unlike the batch job's path-listing + per-task FS streams),
-  * so per-batch memory is bounded by `maxFilesPerTrigger` file bodies;
-  * the record explode itself stays lazy (WarcSource.responsesIterator
-  * — O(one decompressed record) beyond the raw file bytes). For
-  * CC-sized 1 GB members, size maxFilesPerTrigger to the executor
-  * count; the batch IngestJob remains the bulk-backfill tool.
+  * Memory shape — the same path-listing discipline as the batch job:
+  * the file source contributes ONLY `path` rows to the micro-batch
+  * (the binaryFile format prunes the content column out of the scan —
+  * the file bytes never ride a DataFrame row, so a multi-GB WARC
+  * member costs nothing here and the 2 GB BinaryType ceiling does not
+  * apply); each task opens its own FS stream via
+  * [[graft.IngestJob.recordsForPath]] and drains the LAZY record
+  * iterator — per-task heap is O(one decompressed record). Tasks use
+  * the driver's broadcast Hadoop configuration, close streams on task
+  * completion, and skip unopenable files (a landing zone can lose a
+  * file between listing and open).
   */
 object StreamingIngest {
 
@@ -32,7 +34,9 @@ object StreamingIngest {
   ): StreamingQuery = {
     import spark.implicits._
     // the binaryFile source's FIXED schema — streaming file sources
-    // require it explicitly (no inference pass over the landing dir)
+    // require it explicitly (no inference pass over the landing dir).
+    // Only `path` is ever selected; the format prunes `content` from
+    // the scan, so declaring it costs nothing.
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
@@ -44,8 +48,11 @@ object StreamingIngest {
       .option("pathGlobFilter", "*.warc*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(warcDir)
-    files.select(col("content")).as[Array[Byte]]
-      .flatMap(bytes => WarcSource.responsesIterator(bytes))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    files.select(col("path")).as[String]
+      .flatMap(p => graft.IngestJob.recordsForPath(confBc.value.value, p))
       .map { case (url, epoch, body) =>
         (url, new java.sql.Timestamp(epoch * 1000L), body)
       }

@@ -189,9 +189,19 @@ class WarcSpec extends AnyFunSuite {
       write("a.warc", ps.slice(0, 3), gz = false)
       write("b.warc.gz", ps.slice(3, 5), gz = true)
 
-      graft.streaming.StreamingIngest
-        .start(spark, warcDir.toString, pagesDir, ckDir).awaitTermination()
+      val q1 = graft.streaming.StreamingIngest
+        .start(spark, warcDir.toString, pagesDir, ckDir)
+      q1.awaitTermination()
       assert(spark.read.parquet(pagesDir).count() == 5L)
+      // scale shape: the micro-batch scan reads PATHS only — the file
+      // content column is pruned out of the binaryFile scan (bytes are
+      // opened per task off the path, so multi-GB members never ride a
+      // row and the 2 GB BinaryType ceiling does not apply)
+      val lastPlan = q1
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!lastPlan.contains("content"),
+        s"micro-batch scan must prune the file content column:\n$lastPlan")
 
       // a new file lands; the next drain picks up ONLY it (checkpointed
       // file source) — prior pages are not re-appended
