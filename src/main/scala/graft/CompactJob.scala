@@ -42,10 +42,16 @@ object CompactJob {
     (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
+  /** @param clusterKey column hashed for the rewrite clustering —
+    *   `url` for the output table; index tables (ops.AnnIndex) pass
+    *   `vec_id`. Any uniformly-hashed column keeps the rewrite
+    *   balanced without a sampling pass.
+    */
   def run(
       spark: SparkSession,
       tableDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterKey: String = "url"
   ): CompactReport = {
     // Hadoop FileSystem API throughout (NOT java.io.File): compaction
     // is a lakehouse maintenance op and the table lives wherever the
@@ -98,7 +104,7 @@ object CompactJob {
     val (digest, rows) = (srcStats.getLong(0), srcStats.getLong(1))
 
     val tmp = tableDir + ".compacting"
-    src.repartition(nParts, xxhash64(col("url")))
+    src.repartition(nParts, xxhash64(col(clusterKey)))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.enable.dictionary", "false")

@@ -94,7 +94,62 @@ object AnnIndex {
       c <- codebooks(s).indices
     } yield (s, c, codebooks(s)(c).toSeq)
     write(cbRows.toDF("s", "cid", "centroid"), pqCodebookDir(indexDir))
-    write(VectorOps.pqEncode(spark, emb, codebooks, dim), pqCodesDir(indexDir))
+    // from_append=false: these codes were part of the codebook's
+    // training set — the staleness metric counts the complement
+    write(VectorOps.pqEncode(spark, emb, codebooks, dim)
+      .withColumn("from_append", lit(false)), pqCodesDir(indexDir))
+  }
+
+  /** Retrain the PQ codebook on the CURRENT corpus and re-encode —
+    * the maintenance job behind [[pqStaleness]]: appends encode under
+    * a codebook frozen at its last training, so quantization error
+    * drifts as the appended share grows. Geometry (m, kCode) comes
+    * from the stored codebook; the caller supplies the full current
+    * embedding relation (the index stores codes, not raw vectors).
+    * After a rebuild the index is bit-identical to a fresh
+    * [[buildPq]] over the same relation, and staleness reads 0.
+    */
+  def rebuildPq(spark: SparkSession, emb: DataFrame, indexDir: String,
+                iters: Int = 3): Unit = {
+    val codebooks = readCodebooks(spark, indexDir)
+    buildPq(spark, emb, indexDir,
+      m = codebooks.length, kCode = codebooks(0).length, iters = iters,
+      dim = dimOf(codebooks))
+  }
+
+  /** Fraction (permille) of stored PQ code rows encoded AFTER the
+    * current codebook's training — the retrain-cadence signal: 0 right
+    * after build/rebuild, grows with every [[appendPq]] drop. Indexes
+    * built before the flag existed read as fully trained (0).
+    */
+  def pqStaleness(spark: SparkSession, indexDir: String): Long = {
+    val codes = spark.read.parquet(pqCodesDir(indexDir))
+    if (!codes.columns.contains("from_append")) return 0L
+    val r = codes.agg(
+      sum(when(col("from_append"), 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("n")).collect()(0)
+    if (r.getLong(1) == 0L) 0L else r.getLong(0) * 1000L / r.getLong(1)
+  }
+
+  /** Compact the index's append-accumulated small files (thousands of
+    * [[appendLsh]]/[[appendPq]] drops leave the bucket/code relations
+    * file-open-bound, exactly like the output table CompactJob exists
+    * for). Reuses CompactJob's digest-verified atomic swap, clustered
+    * on vec_id; served results are bit-identical before and after (the
+    * spec asserts it). Returns (table, report) for each relation
+    * present.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.CompactJob.CompactReport)] = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    Seq("lsh_buckets" -> lshDir(indexDir), "pq_codes" -> pqCodesDir(indexDir))
+      .filter { case (_, d) =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(fsConf).exists(p)
+      }
+      .map { case (name, d) =>
+        name -> graft.CompactJob.run(spark, d, targetFileBytes, clusterKey = "vec_id")
+      }
   }
 
   /** Rehydrate the driver-side codebook array from the stored table. */
@@ -220,7 +275,16 @@ object AnnIndex {
     */
   def appendPq(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit = {
     val codebooks = readCodebooks(spark, indexDir)
-    append(VectorOps.pqEncode(spark, newEmb, codebooks, dimOf(codebooks)),
+    val encoded = VectorOps.pqEncode(spark, newEmb, codebooks, dimOf(codebooks))
+    // match the stored schema: indexes built before the staleness flag
+    // existed have no from_append column — appending a wider row would
+    // leave the relation schema-split (plain parquet reads pick one
+    // file's schema)
+    val stored = spark.read.parquet(pqCodesDir(indexDir))
+    append(
+      if (stored.columns.contains("from_append"))
+        encoded.withColumn("from_append", lit(true))
+      else encoded,
       pqCodesDir(indexDir))
   }
 }

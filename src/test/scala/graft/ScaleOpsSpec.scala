@@ -525,6 +525,53 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "appended vectors must be searchable")
   }
 
+  test("AnnIndex maintenance: compact after appends serves bit-identically; PQ staleness + rebuild") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    def nFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val dir = java.nio.file.Files.createTempDirectory("ann-maint").toString
+
+    // build + 4 append drops → small-file accumulation in both relations
+    AnnIndex.buildLsh(spark, base, dir)
+    AnnIndex.buildPq(spark, base, dir)
+    assert(AnnIndex.pqStaleness(spark, dir) == 0L, "fresh build is fully trained")
+    (0 until 4).foreach { i =>
+      val drop = emb.filter(col("vec_id") >= 400 + i * 25 && col("vec_id") < 425 + i * 25)
+      AnnIndex.appendLsh(spark, drop, dir)
+      AnnIndex.appendPq(spark, drop, dir)
+    }
+    // staleness = appended/total = 100/500 → 200 permille
+    assert(AnnIndex.pqStaleness(spark, dir) == 200L,
+      s"got ${AnnIndex.pqStaleness(spark, dir)}")
+
+    // compact both relations: fewer files, served results bit-identical
+    val beforeL = rows(AnnIndex.serveLsh(spark, emb, dir))
+    val beforeP = rows(AnnIndex.servePq(spark, emb, dir))
+    val (fL0, fP0) = (nFiles(s"$dir/lsh_buckets"), nFiles(s"$dir/pq_codes"))
+    val reports = AnnIndex.compact(spark, dir)
+    assert(reports.map(_._1) == Seq("lsh_buckets", "pq_codes"))
+    assert(nFiles(s"$dir/lsh_buckets") < fL0 && nFiles(s"$dir/pq_codes") < fP0,
+      "compaction must reduce file counts")
+    assert(rows(AnnIndex.serveLsh(spark, emb, dir)) == beforeL,
+      "LSH serve changed across compaction")
+    assert(rows(AnnIndex.servePq(spark, emb, dir)) == beforeP,
+      "PQ serve changed across compaction")
+    assert(AnnIndex.pqStaleness(spark, dir) == 200L,
+      "compaction must not reset staleness")
+
+    // retrain: staleness returns to 0 and the index equals a fresh
+    // build over the full relation, bit-for-bit
+    AnnIndex.rebuildPq(spark, emb, dir)
+    assert(AnnIndex.pqStaleness(spark, dir) == 0L)
+    val freshDir = java.nio.file.Files.createTempDirectory("ann-fresh").toString
+    AnnIndex.buildPq(spark, emb, freshDir)
+    assert(rows(AnnIndex.servePq(spark, emb, dir)) ==
+      rows(AnnIndex.servePq(spark, emb, freshDir)),
+      "rebuild must equal a fresh build over the same relation")
+  }
+
   test("annRecall: hit counts match a hand-join of the top-k outputs; deterministic") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
