@@ -3,18 +3,34 @@
 
 Usage: python3 scripts/oracle_check.py [verify_out_dir] [sf_dir]
 (after `sbt -batch "runMain graft.Verify <sf_dir> <verify_out_dir>"`)
+
+Queries run CONCURRENTLY across worker threads, one DuckDB connection
+per worker (duckdb releases the GIL during execution; per-connection
+thread budgets keep total CPU at ~the core count). The SQL is executed
+byte-identically to what the driver runs — parallelism is the runtime
+guard, never a semantic change. ORACLE_WORKERS overrides the pool size.
 """
-import duckdb, json, glob, os, sys, decimal
+import duckdb, json, glob, os, sys, decimal, threading
+from concurrent.futures import ThreadPoolExecutor
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
 
-con = duckdb.connect()
-for f in glob.glob(f'{sf_dir}/*.parquet'):
-    name = os.path.basename(f).replace('.parquet', '')
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
-ok, bad = [], []
+
+N_WORKERS = int(os.environ.get('ORACLE_WORKERS', '8'))
+THREADS_PER_CON = max(1, (os.cpu_count() or 8) // N_WORKERS)
+tls = threading.local()
+
+def get_con():
+    if not hasattr(tls, 'con'):
+        con = duckdb.connect()
+        con.execute(f"PRAGMA threads={THREADS_PER_CON}")
+        for f in glob.glob(f'{sf_dir}/*.parquet'):
+            name = os.path.basename(f).replace('.parquet', '')
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+        tls.con = con
+    return tls.con
 
 def norm(v):
     if isinstance(v, decimal.Decimal): return float(v)
@@ -32,31 +48,38 @@ if not oracle:
     print("MISMATCH ('<all>', 'empty_oracle', 'oracle_sql.json has no entries')")
     sys.exit(1)
 
-for name, sql in sorted(oracle.items()):
+def check(item):
+    name, sql = item
+    con = get_con()
     try:
         sdf = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
     except Exception as e:
         # Verify deletes the output dir when a query throws — a missing
         # dir means THAT query failed, not that the harness broke
-        bad.append((name, 'missing_output', str(e)[:200])); continue
+        return (name, 'missing_output', str(e)[:200])
     try:
         offenders = [(r[0], r[1]) for r in
                      con.execute(f"DESCRIBE {sql}").fetchall()
                      if any(str(r[1]).upper().startswith(b) for b in BANNED_TYPES)]
         if offenders:
-            bad.append((name, 'oracle_type', f'banned output types {offenders} - CAST to BIGINT/DOUBLE')); continue
+            return (name, 'oracle_type', f'banned output types {offenders} - CAST to BIGINT/DOUBLE')
         odf = con.execute(sql).fetchdf()
     except Exception as e:
-        bad.append((name, 'oracle_sql_error', str(e)[:300])); continue
+        return (name, 'oracle_sql_error', str(e)[:300])
     scols, ocols = sorted(sdf.columns), sorted(odf.columns)
     if scols != ocols:
-        bad.append((name, 'schema', f'{scols} vs {ocols}')); continue
+        return (name, 'schema', f'{scols} vs {ocols}')
     srows = sorted([tuple(norm(v) for v in r) for r in sdf[scols].itertuples(index=False)], key=repr)
     orows = sorted([tuple(norm(v) for v in r) for r in odf[scols].itertuples(index=False)], key=repr)
     if srows != orows:
         diff = [(a, b) for a, b in zip(srows, orows) if a != b][:2]
-        bad.append((name, 'values', f'{len(srows)} vs {len(orows)} rows; first diffs {str(diff)[:300]}')); continue
-    ok.append(name)
+        return (name, 'values', f'{len(srows)} vs {len(orows)} rows; first diffs {str(diff)[:300]}')
+    return None
+
+with ThreadPoolExecutor(max_workers=N_WORKERS) as pool:
+    results = list(pool.map(check, sorted(oracle.items())))
+ok = [n for (n, _), r in zip(sorted(oracle.items()), results) if r is None]
+bad = sorted([r for r in results if r is not None])
 
 print(f"MATCH {len(ok)}/{len(oracle)}")
 for b in bad: print("MISMATCH", b)
