@@ -260,9 +260,11 @@ object CurateJob {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.CurateJob <extractedPath> <outDir> [tierPermille,...]\n" +
+        "usage: graft.CurateJob <extractedPath> <outDir> [tierPermille,...] [linkGraphPath]\n" +
         "  optional 3rd arg: comma-separated per-tier sample permille\n" +
-        "  (index 0 = highest-authority hosts) enabling authority-weighted sampling")
+        "  (index 0 = highest-authority hosts) enabling authority-weighted sampling\n" +
+        "  optional 4th arg: parquet of (src, dst) host link edges — tiers then\n" +
+        "  key on hosts PARSED from url_norm ranked over this real link graph")
       sys.exit(2)
     }
     val authRates =
@@ -280,7 +282,9 @@ object CurateJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, args(0), args(1), authorityPermille = authRates)
+    val edges = if (args.length > 3) Some(spark.read.parquet(args(3))) else None
+    val r = run(spark, args(0), args(1), authorityPermille = authRates,
+      authorityEdges = edges)
     println(
       s"""{"n_input":${r.nInput},"n_url_deduped":${r.nUrlDeduped},""" +
       s""""n_gated":${r.nGated},"n_canonical":${r.nCanonical},""" +
