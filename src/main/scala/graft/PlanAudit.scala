@@ -51,6 +51,34 @@ object PlanAudit {
     dump("rep_ratio")(Queries.repRatio(spark, sfDir))
     dump("ann_lsh_serve")(Queries.annLshServe(spark, sfDir))
     dump("quality_train")(Queries.qualityTrainQ(spark, sfDir))
+    // the real-host authority last mile exactly as CurateJob composes
+    // it: parsed doc hosts joined to link-graph tiers, then the
+    // deterministic hash sample under the per-tier rate
+    dump("authority_tier_join") {
+      import spark.implicits._
+      graft.functions.GraftExtensions.register(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat(lit("https://h"), pmod(col("doc_id"), lit(97L)).cast("string"),
+            lit(".example/p/"), col("doc_id").cast("string")).as("url_norm"))
+      val edges = (0L until 96L).map(i => (s"h$i.example", s"h${i + 1}.example"))
+        .toDF("src", "dst")
+      val host = graft.ops.TextOps.hostOf("url_norm")
+      val universe = docs.select(host.as("host"))
+        .unionByName(edges.select(col("src").as("host")))
+        .unionByName(edges.select(col("dst").as("host")))
+      val tiers = graft.ops.GraphOps.tiersOf(
+        graft.ops.GraphOps.hostRankEdges(spark, edges, nodes = Some(universe)), 3)
+      val rates = Seq(1000L, 500L, 100L)
+      val tierRates = tiers.select(col("host"),
+        element_at(array(rates.map(lit): _*), col("tier").cast("int")).as("tier_permille"))
+      val sampleKey = graft.ops.TextOps.unsignedMod1000(
+        graft.ops.TextOps.splitmixCol(col("doc_id").bitwiseXOR(lit(graft.ops.TextOps.SampleSeed))))
+      docs.withColumn("host", host)
+        .join(tierRates, Seq("host"))
+        .filter(sampleKey < col("tier_permille"))
+        .drop("host", "tier_permille")
+    }
     spark.stop()
   }
 }

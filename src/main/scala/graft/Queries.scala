@@ -172,13 +172,12 @@ object Queries {
     * how much of the corpus is duplicated and at what multiplicity
     * (n_docs = size × clusters recovers the per-band doc mass). The
     * number a curation team reads before deciding dedup thresholds.
+    * Self-contained here because the oracle harness is stateless; at
+    * 100 TB the histogram derives from the PERSISTED clustering table
+    * via [[TextOps.dupStatsFrom]] (same aggregate, no re-clustering).
     */
   def dupStats(s: SparkSession, d: String): DataFrame =
-    dupCluster(s, d).select(col("cluster_id"), col("cluster_size")).distinct()
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).cast("long").as("n_clusters"))
-      .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
-      .orderBy(col("cluster_size"))
+    TextOps.dupStatsFrom(dupCluster(s, d))
 
   def repRatio(s: SparkSession, d: String): DataFrame =
     TextOps.repetitionStats(TextOps.readDocs(s, d))

@@ -490,6 +490,23 @@ object TextOps {
       .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"))
   }
 
+  /** Cluster-size histogram from an already-computed clustering
+    * relation carrying (doc_id, cluster_id) — the 100 TB shape for the
+    * dup_stats audit: the clustering is the expensive job and is
+    * PERSISTED once; the histogram is two tiny id-only aggregates over
+    * that table, not a re-clustering (the self-contained dup_stats
+    * query recomputes only because the oracle harness is stateless).
+    * Sizes are derived from the doc rows, so the input needs no
+    * cluster_size column.
+    */
+  def dupStatsFrom(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
+      .orderBy(col("cluster_size"))
+
   /** Connected components over an undirected edge list via iterative
     * min-label propagation (the "hash-to-min" scheme): each node starts
     * labelled with its own id; every round each node takes the min of

@@ -157,4 +157,19 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = VectorOps.dedupEmbedding(spark, emb, minSimMicro = 300000L).collect().toSeq
     assert(a == b)
   }
+
+  test("dupStatsFrom over a PERSISTED clustering equals the self-contained histogram") {
+    // the 100 TB shape: cluster once, persist, derive the audit from
+    // the stored table — must agree with the stateless query exactly
+    val clusters = Queries.dupCluster(spark, sfDir)
+    val tableDir = java.nio.file.Files.createTempDirectory("dupstats-table").toString
+    clusters.write.mode("overwrite").parquet(tableDir)
+    val fromTable = TextOps.dupStatsFrom(spark.read.parquet(tableDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val selfContained = Queries.dupStats(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromTable == selfContained)
+    assert(fromTable.nonEmpty && fromTable.map(_._3).sum ==
+      clusters.count(), "histogram doc mass must cover the corpus")
+  }
 }
