@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{GraphOps, TextOps}
+import graft.ops.{GraphOps, TextOps, VectorOps}
 
 /** Training-corpus curation job: composes the training-data operators
   * into the production pipeline a 100 TB corpus actually runs AFTER
@@ -12,7 +12,9 @@ import graft.ops.{GraphOps, TextOps}
   *
   *   extracted pages → url canonicalization + url dedup
   *     → quality + repetition gate (single projection, codegen)
-  *     → near-dup clustering (exact sha + MinHash-LSH edges →
+  *     → near-dup clustering (exact sha + MinHash-LSH edges, plus an
+  *       optional SEMANTIC embedding-LSH edge source for
+  *       paraphrase-grade duplicates that share no word set →
   *       connected components; keep one canonical doc per cluster)
   *     → [optional] passage-level gate (drop boilerplate-mosaic docs
   *       whose cross-doc duplicated-passage share exceeds
@@ -80,7 +82,18 @@ object CurateJob {
       // GraphOps.hostRankEdges over these edges — the production
       // shape. When None, the planted-arithmetic generator stands in
       // (tests/oracle; doc ids are hashes, so its "hosts" are residues).
-      authorityEdges: Option[DataFrame] = None
+      authorityEdges: Option[DataFrame] = None,
+      // optional SEMANTIC dedup leg (SemDeDup-style): an embeddings
+      // relation (vec_id, embedding) keyed by vec_id =
+      // xxhash64(url_norm) — EmbedJob.run(normalizeUrls = true)
+      // produces exactly this. Near-identical-embedding pairs above
+      // semanticMinSimMicro join the clustering edge feed, so
+      // paraphrase/translation-grade duplicates that share no word
+      // set (invisible to exact sha AND MinHash shingles) still
+      // collapse to one canonical doc. Off by default: the funnel is
+      // byte-identical to prior rounds when None.
+      embeddings: Option[DataFrame] = None,
+      semanticMinSimMicro: Long = 950000L
   ): CurateReport = {
     graft.functions.GraftExtensions.register(spark)
 
@@ -115,11 +128,27 @@ object CurateJob {
     val nUrlDeduped = urlDeduped.count() // materializes the persist
     val nGated = gated.count() // cheap filter over the cached frame
 
-    // ---- 3. near-dup clustering: exact (sha) + MinHash-LSH edges →
-    // connected components; survivors are the component minima.
+    // ---- 3. near-dup clustering: exact (sha) + MinHash-LSH (+
+    // optional embedding-LSH) edges → connected components; survivors
+    // are the component minima.
     val texts = gated.select(col("doc_id"), col("text"))
-    val edges = TextOps.exactDupEdges(texts)
+    val textEdges = TextOps.exactDupEdges(texts)
       .unionByName(TextOps.dedupMinhashEdges(spark, texts).select(col("doc_a"), col("doc_b")))
+    val edges = embeddings match {
+      case None => textEdges
+      case Some(emb) =>
+        // restrict to GATED docs first (left_semi on ids) so a
+        // semantic edge cannot bridge two survivors through a doc the
+        // quality gate already dropped; dedupEmbedding keeps its own
+        // invariants (hot-bucket caps, ids-only candidate distinct,
+        // no full-relation broadcast)
+        val embGated = emb
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .join(gated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        textEdges.unionByName(
+          VectorOps.dedupEmbedding(spark, embGated, minSimMicro = semanticMinSimMicro)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    }
     // star alternation, not min-label: a production corpus can contain
     // adversarial near-dup CHAINS (a~b~c~...) whose diameter exceeds
     // any fixed round budget — large-star/small-star converges in

@@ -24,11 +24,29 @@ object EmbedJob {
 
   val Dim = 64
 
+  /** @param normalizeUrls key vectors by xxhash64(url_norm) instead of
+    *   xxhash64(url) — the id convention CurateJob's doc_id uses, so
+    *   the output feeds straight into the funnel's optional semantic
+    *   dedup leg (`CurateJob.run(embeddings = …)`). Off by default
+    *   (the raw-url keying matches AnnIndexJob-era outputs).
+    */
   def run(spark: SparkSession, extractedPath: String, embDir: String,
-          numParts: Int = 32): Long = {
+          numParts: Int = 32, normalizeUrls: Boolean = false): Long = {
     import spark.implicits._
-    spark.read.parquet(extractedPath)
-      .select(xxhash64(col("url")).as("vec_id"), col("text"))
+    val src = spark.read.parquet(extractedPath)
+    val keyed =
+      if (normalizeUrls) {
+        // one vector per url_norm, deterministic keep (lexicographic
+        // min text sha — the same revisit rule as CurateJob's url
+        // dedup, so ids AND the chosen text line up with the funnel)
+        import org.apache.spark.sql.expressions.Window
+        graft.ops.TextOps.withUrlNorm(src.withColumnRenamed("url", "url_messy"))
+          .select(xxhash64(col("url_norm")).as("vec_id"), col("text"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(sha2(col("text"), 256))))
+          .filter(col("rn") === 1).drop("rn")
+      } else src.select(xxhash64(col("url")).as("vec_id"), col("text"))
+    keyed
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

@@ -204,6 +204,62 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rUn.nSampled == 18L, s"unlinked host must not vanish, got ${rUn.nSampled}")
   }
 
+  test("EmbedJob(normalizeUrls): vectors keyed by xxhash64(url_norm), one per url, funnel-joinable") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val embDir = java.nio.file.Files.createTempDirectory("embnorm").toString
+    val n = EmbedJob.run(spark, inputDir, embDir, 4, normalizeUrls = true)
+    assert(n == 60, s"40 base + 10 near + 10 exact distinct url_norms, got $n")
+    val emb = spark.read.parquet(embDir)
+    assert(emb.select("vec_id").distinct().count() == 60, "one vector per url_norm")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = graft.ops.TextOps.withUrlNorm(
+        spark.read.parquet(inputDir).withColumnRenamed("url", "url_messy"))
+      .select(xxhash64(col("url_norm")).as("id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == expect, "ids must equal the funnel's doc_id convention")
+  }
+
+  test("optional semantic dedup leg: no-shared-word paraphrase pairs collapse to one doc") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // 4 "paraphrase" pairs: the two texts of a pair share NO words —
+    // invisible to exact sha AND MinHash shingles — but carry
+    // identical embeddings (what a real encoder would give a
+    // translation/paraphrase); 64-dim, pair p peaks at component p
+    val docs = (0 until 8).map(i => (s"https://sem.example/p/$i",
+      (0 until 12).map(k => s"s${i}w$k").mkString(" ")))
+    val in = java.nio.file.Files.createTempDirectory("sem-in").toString
+    docs.toDF("url", "text").write.mode("overwrite").parquet(in)
+    // urls carry no mutations, so url == url_norm and the id
+    // convention xxhash64(url_norm) is satisfied by hashing url
+    val emb = docs.zipWithIndex.map { case ((url, _), i) =>
+      val v = Array.fill(64)(0.001f); v(i / 2) = 1.0f; (url, v.toSeq)
+    }.toDF("url", "embedding")
+      .select(xxhash64(col("url")).as("vec_id"), col("embedding"))
+
+    val outOff = java.nio.file.Files.createTempDirectory("sem-off").toString
+    val rOff = CurateJob.run(spark, in, outOff, samplePermille = 1000L)
+    assert(rOff.nCanonical == 8, "text-only dedup cannot see the pairs")
+
+    val outOn = java.nio.file.Files.createTempDirectory("sem-on").toString
+    val rOn = CurateJob.run(spark, in, outOn, samplePermille = 1000L,
+      embeddings = Some(emb))
+    assert(rOn.nCanonical == 4, s"each pair must collapse, got ${rOn.nCanonical}")
+    // survivor = component min doc_id; both members never co-ship
+    val kept = spark.read.parquet(s"$outOn/shards")
+      .select("url_norm").collect().map(_.getString(0)).toSet
+    (0 until 4).foreach { p =>
+      val both = kept.contains(s"https://sem.example/p/${2 * p}") &&
+        kept.contains(s"https://sem.example/p/${2 * p + 1}")
+      assert(!both, s"pair $p shipped both members")
+    }
+    // determinism of the semantic path
+    val outOn2 = java.nio.file.Files.createTempDirectory("sem-on2").toString
+    val rOn2 = CurateJob.run(spark, in, outOn2, samplePermille = 1000L,
+      embeddings = Some(emb))
+    assert(rOn2 == rOn)
+  }
+
   test("optional passage gate drops boilerplate-mosaic docs; default-off funnel unchanged") {
     val sp = spark; import sp.implicits._
     val boiler = (0 until 16).map(k => s"boiler$k").mkString(" ")
