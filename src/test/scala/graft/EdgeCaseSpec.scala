@@ -141,4 +141,30 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       authorityPermille = Some(Seq(1000L, 500L)))
     assert(r2.nSampled == 0 && r2.nShards == 0 && r2.nAuthTiers == 2)
   }
+
+  test("hostOf edge cases: ports, userinfo, no path, deep paths, port-like path chars") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // (url_norm, expected host) — the messy forms are upstream's
+    // problem (hostOf runs AFTER withUrlNorm, which lowercases the
+    // authority and strips :443); these cover what survives it.
+    // Out of scope, documented: IPv6 bracket literals (a crawl-host
+    // corner the ':'-strip would mis-split).
+    val cases = Seq(
+      ("https://a.example/p/1", "a.example"),
+      ("https://a.example:8080/p/1", "a.example"), // non-default port survives norm
+      ("https://user@a.example/p", "a.example"), // userinfo
+      ("https://user:pw@a.example:8080/x", "a.example"), // userinfo pw + port
+      ("http://b.example", "b.example"), // no path at all
+      ("https://c.example/a/b/c?q=1", "c.example"), // deep path + query
+      ("https://d.example/p:8080/x", "d.example"), // ':' in PATH must not truncate
+      ("https://e.example/p/@handle", "e.example") // '@' in PATH must not shift
+    )
+    val got = cases.map(_._1).toDF("url_norm")
+      .select(col("url_norm"), TextOps.hostOf("url_norm").as("host"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"hostOf($u) = ${got(u)}, want $want")
+    }
+  }
 }
