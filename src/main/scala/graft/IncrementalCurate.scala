@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Incremental curation — the daily-drop form of [[CurateJob]]: a
+  * 100 TB corpus is not re-curated from scratch per crawl drop; each
+  * drop is deduplicated against a persisted STATE and only genuinely
+  * new documents are admitted. Semantics are first-writer-wins: an
+  * already-admitted canonical doc stays canonical forever; a new doc
+  * that duplicates it (exactly, near, or transitively through other
+  * new docs) is rejected. (Batch CurateJob keeps the component MIN id
+  * instead — the two agree on WHICH content survives, not always on
+  * which member represents it.)
+  *
+  * State layout under `stateDir` (all parquet, append-per-drop):
+  *  - `urls/`      (url_norm)                 — every processed url;
+  *    the idempotence key: re-ingesting a drop admits nothing
+  *  - `canonical/` (doc_id, url_norm, text)   — the curated corpus
+  *  - `shas/`      (text_sha, doc_id)         — exact-dup lookup
+  *  - `bands/`     (doc_id, band, bucket)     — MinHash band slices
+  *    of canonical docs (the same raw-slice convention as
+  *    TextOps.dedupMinhashEdges, so lookups are candidate-equivalent
+  *    to the batch operator)
+  *
+  * Per-drop cost is O(drop) on the doc side: every state interaction
+  * is a key join (url_norm / text_sha / (band, bucket)) against
+  * relations that carry ids+hashes only — canonical TEXT is read
+  * exclusively for the Jaccard verify of the (small) candidate pair
+  * set. Hot state buckets are capped like the batch operator
+  * (a window count per (band, bucket) — at true 100 TB scale the
+  * count is better maintained incrementally in the state itself; the
+  * cap rule is the same either way). New-vs-new duplicates inside a
+  * drop cluster exactly as in CurateJob (exact + MinHash edges →
+  * star components), and a component is admitted only if NO member
+  * links to state — transitivity across the drop/state boundary is
+  * preserved (new1 ~ new2 ~ old rejects BOTH new docs).
+  *
+  * Crash note: the four state appends are not atomic as a group. They
+  * are ordered so a mid-sequence crash can only DUPLICATE (canonical
+  * lands first; if the lookup keys are lost, re-ingesting the drop may
+  * re-admit — recoverable by a batch dedup pass), never lose admitted
+  * content. A production deployment wraps the appends in a commit log
+  * exactly like pipeline.TableIO's `_commits` protocol.
+  *
+  * CLI: spark-submit --class graft.IncrementalCurate app.jar <dropPath> <stateDir>
+  */
+object IncrementalCurate {
+
+  final case class DropReport(
+      nDrop: Long, nNewUrls: Long, nGated: Long,
+      nStateLinked: Long, nAdmitted: Long, nCanonicalTotal: Long)
+
+  private def urlsDir(s: String) = s"$s/urls"
+  private def canonicalDir(s: String) = s"$s/canonical"
+  private def shasDir(s: String) = s"$s/shas"
+  private def bandsDir(s: String) = s"$s/bands"
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def append(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(dir)
+
+  /** MinHash band-slice relation (doc_id, band, bucket ARRAY<BIGINT>)
+    * — the raw-slice convention of TextOps.dedupMinhashEdges, computed
+    * in one typed map (no shuffle).
+    */
+  private def bandRelation(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sig = TextOps.minhashSignature(text)
+        (0 until TextOps.Bands).iterator.map { b =>
+          (id, b, sig.slice(b * TextOps.RowsPerBand, (b + 1) * TextOps.RowsPerBand).toSeq)
+        }
+      })
+      .toDF("doc_id", "band", "bucket")
+  }
+
+  def ingestDrop(
+      spark: SparkSession,
+      dropPath: String,
+      stateDir: String,
+      minTokens: Long = 5L,
+      dupFactor: Long = 2L,
+      minJaccardMilli: Long = 700L,
+      maxBucket: Int = 4096
+  ): DropReport = {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val hasState = exists(spark, canonicalDir(stateDir))
+
+    val drop = spark.read.parquet(dropPath).select(col("url"), col("text"))
+    val nDrop = drop.count()
+
+    // within-drop url dedup (CurateJob's deterministic revisit rule)
+    val normed = TextOps.withUrlNorm(drop.withColumnRenamed("url", "url_messy"))
+      .select(xxhash64(col("url_norm")).as("doc_id"), col("url_norm"), col("text"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
+      .filter(col("rn") === 1).drop("rn")
+    // idempotence gate: urls the state has already processed are done
+    val newDocs = (if (hasState)
+        normed.join(spark.read.parquet(urlsDir(stateDir)), Seq("url_norm"), "left_anti")
+      else normed).persist()
+    val nNewUrls = newDocs.count()
+
+    // quality + repetition gate — the same integer-exact rules
+    val words = split(col("text"), " ")
+    val gated = newDocs
+      .withColumn("n_tokens", size(words).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(words)).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(translate(col("text"), TextOps.PunctChars, "")))
+          .cast("long"))
+      .filter(col("n_tokens") >= minTokens &&
+        TextOps.keepPunct(col("text"), col("n_punct")) &&
+        TextOps.keepNonRepetitive(col("n_distinct"), col("n_tokens"), dupFactor))
+      .select(col("doc_id"), col("url_norm"), col("text"))
+      .persist()
+    val nGated = gated.count()
+
+    // ---- edges to STATE: exact (sha join) + near (band-bucket join,
+    // Jaccard-verified on the candidate pairs only)
+    val oldEdges: DataFrame = if (!hasState)
+      Seq.empty[(Long, Long)].toDF("doc_id", "old_id")
+    else {
+      val exactOld = gated
+        .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+        .join(spark.read.parquet(shasDir(stateDir))
+          .select(col("text_sha"), col("doc_id").as("old_id")), Seq("text_sha"))
+        .select(col("doc_id"), col("old_id"))
+      val stateBands = spark.read.parquet(bandsDir(stateDir))
+        .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
+      // hot-bucket cap, same rule as the batch operator
+      val wb = Window.partitionBy(col("band"), col("bucket"))
+      val boundedState = stateBands
+        .withColumn("cnt", count(lit(1)).over(wb))
+        .filter(col("cnt") <= maxBucket).drop("cnt")
+      val nearCand = bandRelation(spark, gated)
+        .join(boundedState, Seq("band", "bucket"))
+        .select(col("doc_id"), col("old_id")).distinct()
+      val oldTexts = spark.read.parquet(canonicalDir(stateDir))
+        .select(col("doc_id").as("old_id"), col("text").as("text_old"))
+      val verified = nearCand
+        .join(gated.select(col("doc_id"), col("text").as("text_new")), Seq("doc_id"))
+        .join(oldTexts, Seq("old_id"))
+        .select(col("doc_id"), col("old_id"), col("text_new"), col("text_old"))
+        .as[(Long, Long, String, String)]
+        .mapPartitions(_.flatMap { case (d, o, tn, to) =>
+          if (math.floor(TextOps.exactJaccard(tn, to) * 1000.0).toLong >= minJaccardMilli)
+            Iterator.single((d, o))
+          else Iterator.empty
+        })
+        .toDF("doc_id", "old_id")
+      exactOld.unionByName(verified)
+    }
+
+    // ---- within-drop edges + components spanning the state boundary:
+    // old ids enter the node set so a component is tainted if ANY
+    // member (transitively) touches state
+    val withinEdges = TextOps.exactDupEdges(gated)
+      .unionByName(TextOps.dedupMinhashEdges(spark, gated,
+        minJaccardMilli, maxBucket).select(col("doc_a"), col("doc_b")))
+    val allEdges = withinEdges
+      .unionByName(oldEdges.select(col("doc_id").as("doc_a"), col("old_id").as("doc_b")))
+    val nodes = gated.select(col("doc_id"))
+      .unionByName(oldEdges.select(col("old_id").as("doc_id"))).distinct()
+    val labels = TextOps.connectedComponentsStar(nodes, allEdges)
+    val tainted = labels
+      .join(oldEdges.select(col("old_id").as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("label")).distinct()
+    val admitted = gated
+      .join(labels.join(tainted, Seq("label"), "left_anti")
+        .filter(col("doc_id") === col("label")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .persist()
+    val nAdmitted = admitted.count()
+    val nStateLinked = nGated - labels
+      .join(tainted, Seq("label"), "left_anti")
+      .join(gated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .count()
+
+    // ---- state appends: admitted docs + their lookup keys; ALL newly
+    // processed urls (even gated/rejected ones are "done")
+    append(admitted.select(col("doc_id"), col("url_norm"), col("text")),
+      canonicalDir(stateDir))
+    append(admitted.select(sha2(col("text"), 256).as("text_sha"), col("doc_id")),
+      shasDir(stateDir))
+    append(bandRelation(spark, admitted), bandsDir(stateDir))
+    append(newDocs.select(col("url_norm")), urlsDir(stateDir))
+
+    val nTotal = spark.read.parquet(canonicalDir(stateDir)).count()
+    admitted.unpersist(); gated.unpersist(); newDocs.unpersist()
+    DropReport(nDrop, nNewUrls, nGated, nStateLinked, nAdmitted, nTotal)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.IncrementalCurate <dropPath> <stateDir>")
+      sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .appName("graft-incremental-curate")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = ingestDrop(spark, args(0), args(1))
+    println(
+      s"""{"n_drop":${r.nDrop},"n_new_urls":${r.nNewUrls},"n_gated":${r.nGated},""" +
+      s""""n_state_linked":${r.nStateLinked},"n_admitted":${r.nAdmitted},""" +
+      s""""n_canonical_total":${r.nCanonicalTotal}}""")
+    spark.stop()
+  }
+}
