@@ -31,10 +31,13 @@ import graft.ops.TextOps
   * is a key join (url_norm / text_sha / (band, bucket)) against
   * relations that carry ids+hashes only — canonical TEXT is read
   * exclusively for the Jaccard verify of the (small) candidate pair
-  * set. Hot state buckets are capped like the batch operator
-  * (a window count per (band, bucket) — at true 100 TB scale the
-  * count is better maintained incrementally in the state itself; the
-  * cap rule is the same either way). New-vs-new duplicates inside a
+  * set. Hot state buckets are capped like the batch operator, with
+  * the count window running over state bands RESTRICTED to the
+  * drop's probed buckets — identical counts (the cap key equals the
+  * join key, so probed buckets keep all their state rows) at
+  * O(matched) sort cost instead of an O(state) shuffle-sort per
+  * drop; a probed mega-bucket still pays its own scan, but never the
+  * quadratic pair fan-out. New-vs-new duplicates inside a
   * drop cluster exactly as in CurateJob (exact + MinHash edges →
   * star components), and a component is admitted only if NO member
   * links to state — transitivity across the drop/state boundary is
@@ -46,6 +49,19 @@ import graft.ops.TextOps
   * re-admit — recoverable by a batch dedup pass), never lose admitted
   * content. A production deployment wraps the appends in a commit log
   * exactly like pipeline.TableIO's `_commits` protocol.
+  *
+  * Staging note (correctness, not style): `admitted`'s lineage READS
+  * every state dir (urls anti-join, sha join, band probe, canonical
+  * texts for the Jaccard verify), and each state append fires Spark's
+  * recacheByPath invalidation on the dirs it writes — so a persisted
+  * `admitted` is recomputed mid-append-sequence against PARTIALLY
+  * updated state, where each doc exact-matches its own just-appended
+  * sha and the whole drop self-taints to empty (the bands append
+  * silently wrote 0 rows for every drop after the first — caught by
+  * IncrementalBench's multi-drop planted-dup accounting). The fix is
+  * to materialize `admitted` to a scratch parquet once and derive all
+  * state appends from the staged read-back, whose plan reads no state
+  * path.
   *
   * CLI: spark-submit --class graft.IncrementalCurate app.jar <dropPath> <stateDir>
   */
@@ -133,6 +149,8 @@ object IncrementalCurate {
 
     // ---- edges to STATE: exact (sha join) + near (band-bucket join,
     // Jaccard-verified on the candidate pairs only)
+    val dropBandsOpt: Option[DataFrame] =
+      if (hasState) Some(bandRelation(spark, gated).persist()) else None
     val oldEdges: DataFrame = if (!hasState)
       Seq.empty[(Long, Long)].toDF("doc_id", "old_id")
     else {
@@ -143,12 +161,24 @@ object IncrementalCurate {
         .select(col("doc_id"), col("old_id"))
       val stateBands = spark.read.parquet(bandsDir(stateDir))
         .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
+      // Restrict state bands to the drop's probed buckets FIRST: the
+      // cap key equals the join key, so every state row of a probed
+      // bucket survives the restriction and per-bucket counts are
+      // identical to counts over the full state — but the window sort
+      // now runs over O(matched) rows, not O(state). (The restricted
+      // window's (band, bucket) partitioning is then reused by the
+      // candidate equi-join — one state-side exchange, no full-state
+      // sort.)
+      val dropBands = dropBandsOpt.get
+      val probedState = stateBands.join(
+        dropBands.select(col("band"), col("bucket")).distinct(),
+        Seq("band", "bucket"), "left_semi")
       // hot-bucket cap, same rule as the batch operator
       val wb = Window.partitionBy(col("band"), col("bucket"))
-      val boundedState = stateBands
+      val boundedState = probedState
         .withColumn("cnt", count(lit(1)).over(wb))
         .filter(col("cnt") <= maxBucket).drop("cnt")
-      val nearCand = bandRelation(spark, gated)
+      val nearCand = dropBands
         .join(boundedState, Seq("band", "bucket"))
         .select(col("doc_id"), col("old_id")).distinct()
       val oldTexts = spark.read.parquet(canonicalDir(stateDir))
@@ -193,16 +223,28 @@ object IncrementalCurate {
       .count()
 
     // ---- state appends: admitted docs + their lookup keys; ALL newly
-    // processed urls (even gated/rejected ones are "done")
-    append(admitted.select(col("doc_id"), col("url_norm"), col("text")),
-      canonicalDir(stateDir))
-    append(admitted.select(sha2(col("text"), 256).as("text_sha"), col("doc_id")),
+    // processed urls (even gated/rejected ones are "done"). Stage the
+    // admitted set FIRST (see the staging note in the scaladoc: the
+    // appends invalidate the cached plan, which otherwise recomputes
+    // against half-updated state and self-taints to empty).
+    val staging = s"$stateDir/_staging"
+    admitted.select(col("doc_id"), col("url_norm"), col("text"))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(staging)
+    val staged = spark.read.parquet(staging)
+    append(staged, canonicalDir(stateDir))
+    append(staged.select(sha2(col("text"), 256).as("text_sha"), col("doc_id")),
       shasDir(stateDir))
-    append(bandRelation(spark, admitted), bandsDir(stateDir))
+    append(bandRelation(spark, staged), bandsDir(stateDir))
     append(newDocs.select(col("url_norm")), urlsDir(stateDir))
+    new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(staging), true)
 
     val nTotal = spark.read.parquet(canonicalDir(stateDir)).count()
     admitted.unpersist(); gated.unpersist(); newDocs.unpersist()
+    dropBandsOpt.foreach(_.unpersist())
     DropReport(nDrop, nNewUrls, nGated, nStateLinked, nAdmitted, nTotal)
   }
 

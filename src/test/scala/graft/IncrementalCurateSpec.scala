@@ -102,4 +102,72 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("url_norm").collect().map(_.getString(0)).toSet
     assert(urls2 == urls)
   }
+
+  test("drop k+2 dedups against content ADMITTED in drop k+1 (state appends are lineage-safe)") {
+    // Regression: the state appends used to invalidate the cached
+    // `admitted` plan (its lineage reads every state dir), and the
+    // recomputation mid-append-sequence self-tainted the drop to
+    // empty — the bands (and in other orderings, shas) append wrote
+    // ZERO rows for every drop after the first, so later drops could
+    // not near-dup (or exact-dup) against drop >= 1 admissions. The
+    // staged-write fix makes all four appends read only the staging
+    // parquet. This test chains THREE drops: drop 2's planted dups
+    // target docs admitted in drop 1, exercising exactly the state
+    // rows the bug dropped.
+    val state = tmp("inc-chain-state")
+    val d0 = (0 until 4).map(i => (s"https://chain.example/p0/$i", textOf(s"g0$i")))
+    val d0Dir = tmp("inc-chain-d0"); write(d0, d0Dir)
+    assert(IncrementalCurate.ingestDrop(spark, d0Dir, state).nAdmitted == 4)
+
+    val d1 = (0 until 4).map(i => (s"https://chain.example/p1/$i", textOf(s"g1$i")))
+    val d1Dir = tmp("inc-chain-d1"); write(d1, d1Dir)
+    assert(IncrementalCurate.ingestDrop(spark, d1Dir, state).nAdmitted == 4)
+    // every admitted doc must have its band rows in state: 8 docs
+    val bandRows = spark.read.parquet(s"$state/bands")
+      .select("doc_id").distinct().count()
+    assert(bandRows == 8, s"state bands must cover ALL admitted docs, got $bandRows")
+
+    // drop 2 dups target DROP 1 content (admitted into existing state)
+    val d2 = Seq(
+      ("https://chain.example/p2/exact", textOf("g12")), // exact copy of drop-1 doc
+      ("https://chain.example/p2/near", // near-dup of drop-1 doc
+        textOf("g13").split(' ').dropRight(1).mkString(" ")),
+      ("https://chain.example/p1/0#f", textOf("fresh0")), // url revisit of drop-1 url
+      ("https://chain.example/p2/new", textOf("fresh1")))
+    val d2Dir = tmp("inc-chain-d2"); write(d2, d2Dir)
+    val r2 = IncrementalCurate.ingestDrop(spark, d2Dir, state)
+    assert(r2.nNewUrls == 3, "drop-1 url revisit filtered")
+    assert(r2.nStateLinked == 2, s"exact+near against DROP-1 state, got ${r2.nStateLinked}")
+    assert(r2.nAdmitted == 1, s"only the fresh doc admits, got ${r2.nAdmitted}")
+    assert(r2.nCanonicalTotal == 9)
+    // staging debris cleaned up
+    assert(!new java.io.File(s"$state/_staging").exists())
+  }
+
+  test("hot-bucket cap applies to the probed state bands") {
+    // The cap window runs over state bands restricted to the drop's
+    // probed buckets; with maxBucket = 0 EVERY probed bucket is
+    // over-cap, so near-dup state lookups are disabled (the near-dup
+    // admits) while the sha leg still rejects exact copies. With the
+    // default cap the same near-dup rejects — proving the restriction
+    // did not change which buckets the cap sees.
+    val state = tmp("inc-cap-state")
+    val d1 = Seq(("https://cap.example/p/0", textOf("c0")),
+      ("https://cap.example/p/1", textOf("c1")))
+    val d1Dir = tmp("inc-cap-d1"); write(d1, d1Dir)
+    assert(IncrementalCurate.ingestDrop(spark, d1Dir, state).nAdmitted == 2)
+
+    val near = textOf("c0").split(' ').dropRight(1).mkString(" ")
+    val d2 = Seq(("https://cap.example/q/near", near),
+      ("https://cap.example/q/exact", textOf("c1")))
+    val d2Dir = tmp("inc-cap-d2"); write(d2, d2Dir)
+    val rCap = IncrementalCurate.ingestDrop(spark, d2Dir, state, maxBucket = 0)
+    assert(rCap.nAdmitted == 1, "cap=0 disables near state lookup; exact sha still rejects")
+
+    // same drop against a replayed state with the default cap: rejects
+    val state2 = tmp("inc-cap-state2")
+    IncrementalCurate.ingestDrop(spark, d1Dir, state2)
+    val rDef = IncrementalCurate.ingestDrop(spark, d2Dir, state2)
+    assert(rDef.nAdmitted == 0, "default cap keeps the near-dup rejection")
+  }
 }
