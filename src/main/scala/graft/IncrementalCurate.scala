@@ -248,9 +248,34 @@ object IncrementalCurate {
     DropReport(nDrop, nNewUrls, nGated, nStateLinked, nAdmitted, nTotal)
   }
 
+  /** Compact the per-drop small files the state dirs accumulate: each
+    * ingest appends a handful of files to all four state tables, and
+    * after a year of daily drops every state probe is file-open-bound
+    * exactly like the output table [[CompactJob]] exists for. Reuses
+    * CompactJob's digest-verified atomic swap per table, clustered on
+    * each table's own probe key (so compacted files group the rows a
+    * lookup touches together). Ingest results are unchanged — the
+    * tables are verified row- and digest-identical — and the spec
+    * replays planted duplicates across a compaction to prove it.
+    * Single-writer discipline: don't compact while a drop is
+    * ingesting.
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, CompactJob.CompactReport)] =
+    Seq(
+      ("urls", "url_norm", urlsDir(stateDir)),
+      ("canonical", "doc_id", canonicalDir(stateDir)),
+      ("shas", "text_sha", shasDir(stateDir)),
+      ("bands", "doc_id", bandsDir(stateDir)))
+      .filter { case (_, _, dir) => exists(spark, dir) }
+      .map { case (name, key, dir) =>
+        name -> CompactJob.run(spark, dir, targetFileBytes, clusterKey = key)
+      }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.IncrementalCurate <dropPath> <stateDir>")
+      System.err.println(
+        "usage: graft.IncrementalCurate <dropPath> <stateDir> | --compact <stateDir>")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -263,11 +288,19 @@ object IncrementalCurate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = ingestDrop(spark, args(0), args(1))
-    println(
-      s"""{"n_drop":${r.nDrop},"n_new_urls":${r.nNewUrls},"n_gated":${r.nGated},""" +
-      s""""n_state_linked":${r.nStateLinked},"n_admitted":${r.nAdmitted},""" +
-      s""""n_canonical_total":${r.nCanonicalTotal}}""")
+    if (args(0) == "--compact") {
+      val reports = compactState(spark, args(1))
+      println(reports.map { case (name, r) =>
+        s""""$name":{"rows":${r.rows},"files_before":${r.filesBefore},""" +
+        s""""files_after":${r.filesAfter},"digest":${r.digest}}"""
+      }.mkString("{", ",", "}"))
+    } else {
+      val r = ingestDrop(spark, args(0), args(1))
+      println(
+        s"""{"n_drop":${r.nDrop},"n_new_urls":${r.nNewUrls},"n_gated":${r.nGated},""" +
+        s""""n_state_linked":${r.nStateLinked},"n_admitted":${r.nAdmitted},""" +
+        s""""n_canonical_total":${r.nCanonicalTotal}}""")
+    }
     spark.stop()
   }
 }

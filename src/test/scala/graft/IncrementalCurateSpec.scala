@@ -144,6 +144,41 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$state/_staging").exists())
   }
 
+  test("state compaction: fewer files, identical ingest behavior across the swap") {
+    val state = tmp("inc-compact-state")
+    // several small drops -> each state table accumulates per-drop files
+    val dirs = (0 until 3).map { k =>
+      val d = (0 until 4).map(i => (s"https://cmp.example/p$k/$i", textOf(s"m$k$i")))
+      val dir = tmp(s"inc-compact-d$k"); write(d, dir); dir
+    }
+    dirs.foreach(d => IncrementalCurate.ingestDrop(spark, d, state))
+    def nFiles(sub: String) = new java.io.File(s"$state/$sub")
+      .listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = Seq("urls", "canonical", "shas", "bands").map(nFiles)
+
+    val reports = IncrementalCurate.compactState(spark, state)
+    assert(reports.map(_._1) == Seq("urls", "canonical", "shas", "bands"))
+    val after = Seq("urls", "canonical", "shas", "bands").map(nFiles)
+    assert(after.zip(before).forall { case (a, b) => a < b },
+      s"compaction must shrink file counts, got $before -> $after")
+    reports.foreach { case (name, r) => assert(r.rows > 0, s"$name empty") }
+
+    // ingest behavior across the swap: url revisit, exact, near against
+    // content admitted BEFORE compaction all still reject; fresh admits
+    val d4 = Seq(
+      ("https://cmp.example/p1/0#frag", textOf("zz")), // url revisit
+      ("https://cmp.example/q/exact", textOf("m21")), // exact copy
+      ("https://cmp.example/q/near",
+        textOf("m02").split(' ').dropRight(1).mkString(" ")), // near-dup
+      ("https://cmp.example/q/new", textOf("fresh")))
+    val d4Dir = tmp("inc-compact-d4"); write(d4, d4Dir)
+    val r = IncrementalCurate.ingestDrop(spark, d4Dir, state)
+    assert(r.nNewUrls == 3 && r.nStateLinked == 2 && r.nAdmitted == 1,
+      s"post-compaction ingest must behave identically, got $r")
+    // re-ingesting an OLD drop is still a no-op (urls state survived)
+    assert(IncrementalCurate.ingestDrop(spark, dirs(0), state).nAdmitted == 0)
+  }
+
   test("hot-bucket cap applies to the probed state bands") {
     // The cap window runs over state bands restricted to the drop's
     // probed buckets; with maxBucket = 0 EVERY probed bucket is
