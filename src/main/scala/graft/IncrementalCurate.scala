@@ -43,12 +43,22 @@ import graft.ops.TextOps
   * links to state — transitivity across the drop/state boundary is
   * preserved (new1 ~ new2 ~ old rejects BOTH new docs).
   *
-  * Crash note: the four state appends are not atomic as a group. They
-  * are ordered so a mid-sequence crash can only DUPLICATE (canonical
-  * lands first; if the lookup keys are lost, re-ingesting the drop may
-  * re-admit — recoverable by a batch dedup pass), never lose admitted
-  * content. A production deployment wraps the appends in a commit log
-  * exactly like pipeline.TableIO's `_commits` protocol.
+  * Crash protocol: the four state appends are made atomic AS A GROUP
+  * by a drop-level manifest (`stateDir/_drops/d-*.list`, one line per
+  * `table/filename` added by the drop), written via temp + atomic
+  * rename only AFTER all four appends finish — the single commit
+  * point. Ingest starts with [[reconcileState]]: data files in any
+  * state table that no manifest lists are deleted as debris, so a
+  * crash anywhere mid-ingest rolls the WHOLE drop back (the urls key
+  * was part of the uncommitted group, so the re-ingest re-processes
+  * the drop from scratch); a crash after the rename is fully
+  * committed and the re-ingest is a no-op through the urls anti-join.
+  * Pre-manifest (legacy) state is genesis-adopted, and
+  * [[compactState]] deletes the manifest dir BEFORE swapping (stale
+  * manifests naming replaced files must never outlive the swap —
+  * reconciliation would delete the freshly compacted files) and
+  * re-adopts after. Same single-writer discipline as
+  * pipeline.TableIO's per-table `_commits` protocol.
   *
   * Staging note (correctness, not style): `admitted`'s lineage READS
   * every state dir (urls anti-join, sha join, band probe, canonical
@@ -79,6 +89,86 @@ object IncrementalCurate {
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // ---- drop-level commit manifest (stateDir/_drops/d-*.list): the
+  // single publish point for the four per-table appends of one drop.
+  // Entry format: "<table>/<filename>". See the crash protocol in the
+  // object scaladoc.
+
+  private val StateTables = Seq("urls", "canonical", "shas", "bands")
+  private def dropsPath(s: String) = new Path(s"$s/_drops")
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listDataNames(spark: SparkSession, stateDir: String,
+                            table: String): Seq[String] = {
+    val p = new Path(s"$stateDir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => s"$table/${st.getPath.getName}").toSeq
+  }
+
+  private def allDataNames(spark: SparkSession, stateDir: String): Seq[String] =
+    StateTables.flatMap(listDataNames(spark, stateDir, _))
+
+  /** Entries (`table/filename`) recorded by committed drops; None when
+    * the state predates the manifest (legacy: trust the directories).
+    */
+  private def committedEntries(spark: SparkSession,
+                               stateDir: String): Option[Set[String]] = {
+    val dp = dropsPath(stateDir)
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dp)) None
+    else Some(fs.listStatus(dp).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty).toSet)
+  }
+
+  private def writeDropManifest(spark: SparkSession, stateDir: String,
+                                entries: Seq[String]): Unit = {
+    if (entries.isEmpty) return
+    val dp = dropsPath(stateDir)
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dp)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dp, s".tmp-$id")
+    val fin = new Path(dp, s"d-$id.list")
+    val out = fs.create(tmp, true)
+    try out.write((entries.sorted.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmp, fin)
+  }
+
+  /** Roll back any half-committed drop: delete state data files no
+    * manifest lists (plus stale `_staging` scratch). Legacy state
+    * (tables without a `_drops` dir) is adopted into a genesis
+    * manifest first, so reconciliation never deletes pre-manifest
+    * data. Returns the deleted `table/filename` entries.
+    */
+  def reconcileState(spark: SparkSession, stateDir: String): Seq[String] = {
+    val staging = new Path(s"$stateDir/_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    committedEntries(spark, stateDir) match {
+      case None =>
+        val current = allDataNames(spark, stateDir)
+        if (current.nonEmpty) writeDropManifest(spark, stateDir, current)
+        Seq.empty
+      case Some(ok) =>
+        val debris = allDataNames(spark, stateDir).filterNot(ok.contains)
+        debris.foreach(e => fs.delete(new Path(s"$stateDir/$e"), false))
+        debris
+    }
   }
 
   private def append(df: DataFrame, dir: String): Unit =
@@ -115,7 +205,19 @@ object IncrementalCurate {
   ): DropReport = {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
-    val hasState = exists(spark, canonicalDir(stateDir))
+    reconcileState(spark, stateDir)
+    // the (possibly empty) _drops dir must exist BEFORE the appends: a
+    // crash mid-FIRST-ingest then leaves unlisted files next to an
+    // empty log, which reconciliation recognizes as debris
+    hadoopFs(spark, stateDir).mkdirs(dropsPath(stateDir))
+    // gate on DATA files, not dir existence: a rolled-back first drop
+    // leaves empty table dirs behind (reading one would fail schema
+    // inference). canonical/shas/bands commit as one group, so the
+    // canonical gate covers all three; urls commits in the same group
+    // but can be non-empty while canonical is empty (an all-rejected
+    // drop still records its urls), hence its own gate.
+    val hasState = listDataNames(spark, stateDir, "canonical").nonEmpty
+    val hasUrls = listDataNames(spark, stateDir, "urls").nonEmpty
 
     val drop = spark.read.parquet(dropPath).select(col("url"), col("text"))
     val nDrop = drop.count()
@@ -127,7 +229,7 @@ object IncrementalCurate {
         Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
       .filter(col("rn") === 1).drop("rn")
     // idempotence gate: urls the state has already processed are done
-    val newDocs = (if (hasState)
+    val newDocs = (if (hasUrls)
         normed.join(spark.read.parquet(urlsDir(stateDir)), Seq("url_norm"), "left_anti")
       else normed).persist()
     val nNewUrls = newDocs.count()
@@ -233,6 +335,7 @@ object IncrementalCurate {
       .option("compression", "zstd")
       .option("parquet.enable.dictionary", "false")
       .parquet(staging)
+    val beforeNames = allDataNames(spark, stateDir).toSet
     val staged = spark.read.parquet(staging)
     append(staged, canonicalDir(stateDir))
     append(staged.select(sha2(col("text"), 256).as("text_sha"), col("doc_id")),
@@ -241,6 +344,11 @@ object IncrementalCurate {
     append(newDocs.select(col("url_norm")), urlsDir(stateDir))
     new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(staging), true)
+    // the drop's single commit point: one manifest naming every file
+    // the four appends added (atomic rename; crash before this line =
+    // full rollback at the next ingest's reconcileState)
+    writeDropManifest(spark, stateDir,
+      allDataNames(spark, stateDir).filterNot(beforeNames.contains))
 
     val nTotal = spark.read.parquet(canonicalDir(stateDir)).count()
     admitted.unpersist(); gated.unpersist(); newDocs.unpersist()
@@ -259,10 +367,20 @@ object IncrementalCurate {
     * replays planted duplicates across a compaction to prove it.
     * Single-writer discipline: don't compact while a drop is
     * ingesting.
+    *
+    * Drop-manifest handling: the `_drops` log names the files the
+    * swap is about to REPLACE, so it is deleted FIRST (a stale
+    * manifest outliving the swap would make the next ingest's
+    * reconciliation delete the freshly compacted files as unlisted
+    * debris) and the compacted state is re-adopted into a fresh
+    * genesis manifest after. A crash mid-compaction leaves no
+    * manifest at all — the next ingest genesis-adopts whatever
+    * CompactJob's own .bak/.compacting recovery left current.
     */
   def compactState(spark: SparkSession, stateDir: String,
-                   targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, CompactJob.CompactReport)] =
-    Seq(
+                   targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, CompactJob.CompactReport)] = {
+    hadoopFs(spark, stateDir).delete(dropsPath(stateDir), true)
+    val reports = Seq(
       ("urls", "url_norm", urlsDir(stateDir)),
       ("canonical", "doc_id", canonicalDir(stateDir)),
       ("shas", "text_sha", shasDir(stateDir)),
@@ -271,6 +389,10 @@ object IncrementalCurate {
       .map { case (name, key, dir) =>
         name -> CompactJob.run(spark, dir, targetFileBytes, clusterKey = key)
       }
+    val current = allDataNames(spark, stateDir)
+    if (current.nonEmpty) writeDropManifest(spark, stateDir, current)
+    reports
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {

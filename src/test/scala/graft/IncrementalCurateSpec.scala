@@ -179,6 +179,69 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IncrementalCurate.ingestDrop(spark, dirs(0), state).nAdmitted == 0)
   }
 
+  test("crash before the drop manifest rolls the WHOLE drop back; re-ingest replays it") {
+    // Simulate the widest crash window — all four appends finished,
+    // the manifest rename never happened — by ingesting normally and
+    // deleting the drop's manifest. reconcileState at the next ingest
+    // must delete every file that drop added (all four tables), and
+    // the replayed ingest must produce the ORIGINAL report and a
+    // state indistinguishable from a never-crashed run.
+    val state = tmp("inc-crash-state")
+    val d0 = (0 until 5).map(i => (s"https://crash.example/p0/$i", textOf(s"x0$i")))
+    val d0Dir = tmp("inc-crash-d0"); write(d0, d0Dir)
+    assert(IncrementalCurate.ingestDrop(spark, d0Dir, state).nAdmitted == 5)
+    def manifests() = new java.io.File(s"$state/_drops")
+      .listFiles().filter(_.getName.endsWith(".list")).map(_.getName).toSet
+    val m0 = manifests()
+
+    val d1 = Seq(
+      ("https://crash.example/p1/new0", textOf("x10")),
+      ("https://crash.example/p1/new1", textOf("x11")),
+      ("https://crash.example/p1/exact", textOf("x03"))) // dup vs drop 0
+    val d1Dir = tmp("inc-crash-d1"); write(d1, d1Dir)
+    val r1 = IncrementalCurate.ingestDrop(spark, d1Dir, state)
+    assert(r1.nAdmitted == 2 && r1.nStateLinked == 1 && r1.nCanonicalTotal == 7)
+    val added = manifests() -- m0
+    assert(added.size == 1, s"one manifest per drop, got $added")
+    // "crash": commit record lost
+    assert(new java.io.File(s"$state/_drops/${added.head}").delete())
+
+    // the replay must roll back first (urls key included — otherwise
+    // the anti-join would skip the drop and its content would be lost)
+    val deleted = IncrementalCurate.reconcileState(spark, state)
+    assert(deleted.nonEmpty && Seq("urls/", "canonical/", "shas/", "bands/")
+      .forall(p => deleted.exists(_.startsWith(p))),
+      s"rollback must cover all four tables, got $deleted")
+    val r1b = IncrementalCurate.ingestDrop(spark, d1Dir, state)
+    assert(r1b == r1, s"replay must equal the original report: $r1 vs $r1b")
+    // and the replayed state still dedups: re-ingest is now a no-op
+    assert(IncrementalCurate.ingestDrop(spark, d1Dir, state).nAdmitted == 0)
+    val total = spark.read.parquet(s"$state/canonical").count()
+    assert(total == 7, s"no duplicated canonical rows after replay, got $total")
+  }
+
+  test("legacy state without a _drops log is genesis-adopted, never deleted") {
+    val state = tmp("inc-legacy-state")
+    val d0 = (0 until 4).map(i => (s"https://legacy.example/p/$i", textOf(s"y$i")))
+    val d0Dir = tmp("inc-legacy-d0"); write(d0, d0Dir)
+    assert(IncrementalCurate.ingestDrop(spark, d0Dir, state).nAdmitted == 4)
+    // wipe the log: state now predates the manifest protocol
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(s"$state/_drops"))
+
+    assert(IncrementalCurate.reconcileState(spark, state).isEmpty,
+      "adoption must not delete pre-manifest data")
+    // adopted state behaves: old content rejects, fresh admits
+    val d1 = Seq(
+      ("https://legacy.example/q/exact", textOf("y2")),
+      ("https://legacy.example/q/new", textOf("fresh")))
+    val d1Dir = tmp("inc-legacy-d1"); write(d1, d1Dir)
+    val r = IncrementalCurate.ingestDrop(spark, d1Dir, state)
+    assert(r.nStateLinked == 1 && r.nAdmitted == 1 && r.nCanonicalTotal == 5)
+  }
+
   test("hot-bucket cap applies to the probed state bands") {
     // The cap window runs over state bands restricted to the drop's
     // probed buckets; with maxBucket = 0 EVERY probed bucket is
