@@ -115,6 +115,42 @@ object Bench {
           "null"
       }
 
+    // ---- 1c. incremental curation drop cost -------------------------
+    // Three sequential drops of the documents table against a fresh
+    // state: the steady-state daily-drop cost a curation deployment
+    // budgets (atomic-manifest ingest included). Cross-drop duplicate
+    // classes come from the table's own planted DupMod copies. Larger
+    // constant-drop/growing-state evidence: graft.IncrementalBench.
+    val incJson =
+      if (pipelineOnly) "null"
+      else try {
+        val stateDir = java.nio.file.Files.createTempDirectory("bench-inc-state").toString
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(format_string("https://bench.example/d/%d", col("doc_id")).as("url"),
+            col("text"))
+        val walls = (0 until 3).map { k =>
+          val dropDir = java.nio.file.Files.createTempDirectory(s"bench-inc-d$k").toString
+          docs.filter(pmod(xxhash64(col("url")), lit(3)) === k)
+            .write.mode(SaveMode.Overwrite).parquet(dropDir)
+          val t0 = System.nanoTime()
+          val r = IncrementalCurate.ingestDrop(spark, dropDir, stateDir)
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dropDir))
+          (sec, r)
+        }
+        val total = spark.read.parquet(s"$stateDir/canonical").count()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+        s"""{"drop_sec":[${walls.map(_._1).mkString(",")}],""" +
+          s""""admitted":[${walls.map(_._2.nAdmitted).mkString(",")}],""" +
+          s""""state_linked":[${walls.map(_._2.nStateLinked).mkString(",")}],""" +
+          s""""canonical_total":$total}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] incremental_curate FAILED: ${e.getMessage}")
+          errors += "incremental_curate"
+          "null"
+      }
+
     // ---- 2. headline pipeline bench ---------------------------------
     // One-time corpus generation (NOT timed); both parallelism levels
     // read these same files. Partition count >> 32 per BASELINE.md.
@@ -178,6 +214,7 @@ object Bench {
       s""""pipeline_docs_per_sec":$docsPerSec,"pipeline_rows":$rowsOut,""" +
       s""""pipeline_sec":$pipelineSec,"pipeline_cold_sec":$coldSec,""" +
       s""""pipeline_digest":$digest,"ann_index_split":$annIndexJson,""" +
+      s""""incremental_curate":$incJson,""" +
       s""""load_before":$loadBefore,"load_after":${loadAvgJson()},""" +
       s""""host_cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""cpus":$cpus,"bench_pages":$corpusRows,"sf":"$sfDir"}""")

@@ -18,8 +18,18 @@ import graft.ops.TextOps
   * which member represents it.)
   *
   * State layout under `stateDir` (all parquet, append-per-drop):
-  *  - `urls/`      (url_norm)                 — every processed url;
-  *    the idempotence key: re-ingesting a drop admits nothing
+  *  - `urls/`      (url_hash BIGINT)          — xxhash64(url_norm) of
+  *    every processed url; the idempotence key: re-ingesting a drop
+  *    admits nothing. Hashes, not strings, by design: the table is
+  *    read whole by every drop's anti-join, and 8-byte high-entropy
+  *    values cut that scan+shuffle ~8x vs raw urls at 10^11-url
+  *    state. The trade is hash-collision url loss — a genuinely new
+  *    url whose hash matches ANY processed url is silently skipped:
+  *    expected n^2/2^65 ≈ 270 docs across 10^11 processed urls,
+  *    negligible against crawl noise (and url_hash == doc_id, which
+  *    is already the corpus-wide identity key, so a collision here
+  *    would collide canonical doc_ids anyway). Legacy url_norm-string
+  *    state is read compatibly (hashed on the fly).
   *  - `canonical/` (doc_id, url_norm, text)   — the curated corpus
   *  - `shas/`      (text_sha, doc_id)         — exact-dup lookup
   *  - `bands/`     (doc_id, band, bucket)     — MinHash band slices
@@ -228,10 +238,16 @@ object IncrementalCurate {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
       .filter(col("rn") === 1).drop("rn")
-    // idempotence gate: urls the state has already processed are done
-    val newDocs = (if (hasUrls)
-        normed.join(spark.read.parquet(urlsDir(stateDir)), Seq("url_norm"), "left_anti")
-      else normed).persist()
+    // idempotence gate: urls the state has already processed are done.
+    // The join key is url_hash == doc_id (both xxhash64(url_norm));
+    // legacy string-state is hashed on the fly.
+    val newDocs = (if (hasUrls) {
+        val raw = spark.read.parquet(urlsDir(stateDir))
+        val urlHashes =
+          if (raw.schema.fieldNames.contains("url_hash")) raw.select(col("url_hash"))
+          else raw.select(xxhash64(col("url_norm")).as("url_hash"))
+        normed.join(urlHashes, normed("doc_id") === urlHashes("url_hash"), "left_anti")
+      } else normed).persist()
     val nNewUrls = newDocs.count()
 
     // quality + repetition gate — the same integer-exact rules
@@ -341,7 +357,7 @@ object IncrementalCurate {
     append(staged.select(sha2(col("text"), 256).as("text_sha"), col("doc_id")),
       shasDir(stateDir))
     append(bandRelation(spark, staged), bandsDir(stateDir))
-    append(newDocs.select(col("url_norm")), urlsDir(stateDir))
+    append(newDocs.select(col("doc_id").as("url_hash")), urlsDir(stateDir))
     new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(staging), true)
     // the drop's single commit point: one manifest naming every file
@@ -380,8 +396,13 @@ object IncrementalCurate {
   def compactState(spark: SparkSession, stateDir: String,
                    targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, CompactJob.CompactReport)] = {
     hadoopFs(spark, stateDir).delete(dropsPath(stateDir), true)
+    val urlsKey =
+      if (exists(spark, urlsDir(stateDir)) &&
+          spark.read.parquet(urlsDir(stateDir)).schema.fieldNames.contains("url_hash"))
+        "url_hash"
+      else "url_norm" // legacy string state
     val reports = Seq(
-      ("urls", "url_norm", urlsDir(stateDir)),
+      ("urls", urlsKey, urlsDir(stateDir)),
       ("canonical", "doc_id", canonicalDir(stateDir)),
       ("shas", "text_sha", shasDir(stateDir)),
       ("bands", "doc_id", bandsDir(stateDir)))
