@@ -56,6 +56,16 @@ object CurateJob {
       nCanonical: Long, nSampled: Long, nShards: Long,
       nAuthTiers: Long)
 
+  /** The funnel's stage frames: [[run]] counts and writes from these;
+    * the `curate_funnel` oracle query materializes `packed` directly.
+    * `urlDeduped` (and `canonical`, when an optional stage is on) come
+    * back persisted when `cache = true` — callers unpersist them after
+    * their last action (unpersist on a non-persisted frame is a no-op).
+    */
+  final case class FunnelFrames(
+      urlDeduped: DataFrame, gated: DataFrame,
+      canonical: DataFrame, packed: DataFrame)
+
   def run(
       spark: SparkSession,
       extractedPath: String,
@@ -100,18 +110,107 @@ object CurateJob {
     val input = spark.read.parquet(extractedPath).select(col("url"), col("text"))
     val nInput = input.count()
 
-    // ---- 1. canonicalize urls; one doc per url_norm (deterministic
-    // keep: lexicographically-min sha — revisit-insensitive).
+    // ---- 0. canonicalize urls; doc key = xxhash64(url_norm). The
+    // funnel core (stages 1-4) is the shared [[funnel]] — the
+    // `curate_funnel` oracle query drives the SAME code over a planted
+    // corpus with known ids, so every stage below is DuckDB-replayed.
     val normed = TextOps.withUrlNorm(input.withColumnRenamed("url", "url_messy"))
       .select(xxhash64(col("url_norm")).as("doc_id"), col("url_norm"), col("text"))
-    // persisted ONCE here: the funnel count, the gate, edge building,
-    // clustering and the final write all derive from this frame — the
-    // input parquet is scanned exactly once per run
-    val urlDeduped = normed
+    val f = funnel(spark, normed, nBuckets, budgetTokens, samplePermille,
+      minTokens, dupFactor, maxDupPermille, authorityPermille, authorityEdges,
+      embeddings, semanticMinSimMicro)
+    val nUrlDeduped = f.urlDeduped.count() // materializes the persist
+    val nGated = f.gated.count() // cheap filter over the cached frame
+    val packed = f.packed
+
+    val writer = packed.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+    if (format == "json") // text-codec list has no zstd; gzip is the JSONL norm
+      writer.option("compression", "gzip").json(s"$outDir/shards")
+    else writer.option("compression", "zstd")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(s"$outDir/shards")
+
+    // a gate-everything day writes NO shard files; neither format can
+    // infer a schema from an empty directory tree — report zeros.
+    // Hadoop FS API, not java.io.File: the outDir may be HDFS/S3 on a
+    // real cluster, where a local-FS walk would silently report empty.
+    val suffix = if (format == "json") ".json" else ".parquet"
+    val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+    val fs = shardsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        (s.isFile && s.getPath.getName.contains(suffix)) ||
+          (s.isDirectory && hasData(s.getPath)))
+    val (nSampled, nShards) =
+      if (!hasData(shardsPath)) (0L, 0L)
+      else {
+        // explicit schema for JSONL: inference would decompress every
+        // gzip shard a second time just to learn what `packed` wrote
+        // (bucket is the partition-dir key, appended by discovery)
+        val jsonSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("url_norm", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType)))
+        val out = if (format == "json") spark.read.schema(jsonSchema).json(s"$outDir/shards")
+          else spark.read.parquet(s"$outDir/shards")
+        val r = out.agg(count(lit(1)),
+          countDistinct(col("bucket"), col("shard"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    val nCanonical = f.canonical.count()
+    f.canonical.unpersist()
+    f.urlDeduped.unpersist()
+
+    val report = CurateReport(nInput, nUrlDeduped, nGated, nCanonical, nSampled, nShards,
+      authorityPermille.map(_.length.toLong).getOrElse(0L))
+    import spark.implicits._
+    Seq(report).toDS().write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/curate_metrics")
+    report
+  }
+
+  /** The funnel core, stages 1-4 of [[run]] as a pure frame transform:
+    * url-dedup → quality gate → near-dup clustering → scrub + sample +
+    * shard-pack. Input `normed` rows are (doc_id, url_norm, text) with
+    * doc_id functionally determined by url_norm (production:
+    * xxhash64(url_norm); the oracle query supplies planted ids so the
+    * DuckDB mirror can recompute every stage) — multiple rows per
+    * url_norm are url revisits, collapsed by stage 1.
+    *
+    * `cache = false` skips the internal persists for one-shot callers
+    * (the oracle query) that cannot unpersist after returning a lazy
+    * frame; the component iteration then recomputes the cheap upstream
+    * projections, which is fine at oracle scale and wrong at corpus
+    * scale — [[run]] always caches.
+    */
+  def funnel(
+      spark: SparkSession,
+      normed: DataFrame,
+      nBuckets: Int = 8,
+      budgetTokens: Long = 4096L,
+      samplePermille: Long = 900L,
+      minTokens: Long = 5L,
+      dupFactor: Long = 2L,
+      maxDupPermille: Option[Long] = None,
+      authorityPermille: Option[Seq[Long]] = None,
+      authorityEdges: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None,
+      semanticMinSimMicro: Long = 950000L,
+      cache: Boolean = true): FunnelFrames = {
+    graft.functions.GraftExtensions.register(spark)
+
+    // ---- 1. one doc per url_norm (deterministic keep:
+    // lexicographically-min sha — revisit-insensitive). Persisted ONCE:
+    // the funnel count, the gate, edge building, clustering and the
+    // final write all derive from this frame — the input is scanned
+    // exactly once per run.
+    val urlDeduped0 = normed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
       .filter(col("rn") === 1).drop("rn")
-      .persist()
+    val urlDeduped = if (cache) urlDeduped0.persist() else urlDeduped0
 
     // ---- 2. quality + repetition gate: one projection, all flags
     // integer-exact (TextOps.qualityScores / repetitionStats rules).
@@ -125,8 +224,6 @@ object CurateJob {
       .filter(col("n_tokens") >= minTokens &&
         TextOps.keepPunct(col("text"), col("n_punct")) &&
         TextOps.keepNonRepetitive(col("n_distinct"), col("n_tokens"), dupFactor))
-    val nUrlDeduped = urlDeduped.count() // materializes the persist
-    val nGated = gated.count() // cheap filter over the cached frame
 
     // ---- 3. near-dup clustering: exact (sha) + MinHash-LSH (+
     // optional embedding-LSH) edges → connected components; survivors
@@ -167,7 +264,8 @@ object CurateJob {
     // canonical lineage (passage aggregate / host-rank pre-count) —
     // without it the whole funnel (gate + dedup + components) would
     // execute once per action
-    val cacheCanonical = maxDupPermille.isDefined || authorityPermille.isDefined
+    val cacheCanonical =
+      cache && (maxDupPermille.isDefined || authorityPermille.isDefined)
     val canonicalC = if (cacheCanonical) canonical.persist() else canonical
     val passGated = maxDupPermille match {
       case Some(th) =>
@@ -238,52 +336,7 @@ object CurateJob {
       .withColumn("shard", expr(s"(cum - n_tokens) DIV ${budgetTokens}L").cast("long"))
       .select(col("doc_id"), col("url_norm"), col("text"),
         col("n_tokens"), col("bucket"), col("shard"))
-    val writer = packed.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-    if (format == "json") // text-codec list has no zstd; gzip is the JSONL norm
-      writer.option("compression", "gzip").json(s"$outDir/shards")
-    else writer.option("compression", "zstd")
-      .option("parquet.enable.dictionary", "false")
-      .parquet(s"$outDir/shards")
-
-    // a gate-everything day writes NO shard files; neither format can
-    // infer a schema from an empty directory tree — report zeros.
-    // Hadoop FS API, not java.io.File: the outDir may be HDFS/S3 on a
-    // real cluster, where a local-FS walk would silently report empty.
-    val suffix = if (format == "json") ".json" else ".parquet"
-    val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
-    val fs = shardsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(p) && fs.listStatus(p).exists(s =>
-        (s.isFile && s.getPath.getName.contains(suffix)) ||
-          (s.isDirectory && hasData(s.getPath)))
-    val (nSampled, nShards) =
-      if (!hasData(shardsPath)) (0L, 0L)
-      else {
-        // explicit schema for JSONL: inference would decompress every
-        // gzip shard a second time just to learn what `packed` wrote
-        // (bucket is the partition-dir key, appended by discovery)
-        val jsonSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("url_norm", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType)))
-        val out = if (format == "json") spark.read.schema(jsonSchema).json(s"$outDir/shards")
-          else spark.read.parquet(s"$outDir/shards")
-        val r = out.agg(count(lit(1)),
-          countDistinct(col("bucket"), col("shard"))).collect()(0)
-        (r.getLong(0), r.getLong(1))
-      }
-    val nCanonical = canonicalC.count()
-    if (cacheCanonical) canonicalC.unpersist()
-    urlDeduped.unpersist()
-
-    val report = CurateReport(nInput, nUrlDeduped, nGated, nCanonical, nSampled, nShards,
-      authorityPermille.map(_.length.toLong).getOrElse(0L))
-    import spark.implicits._
-    Seq(report).toDS().write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/curate_metrics")
-    report
+    FunnelFrames(urlDeduped, gated, canonicalC, packed)
   }
 
   def main(args: Array[String]): Unit = {

@@ -223,12 +223,19 @@ private[graft] object OracleSqlGen {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val dedupMinhash: String = {
+  /** MinHash+LSH near-dup edge chain over a CTE named `corpus`
+    * (doc_id, text): 3-word shingles → FNV-1a/seed-xor/splitmix64
+    * signatures → 4-row band slices → bucket pairs → exact-Jaccard
+    * verify, ending in `jac(doc_a, doc_b, jaccard_milli)` — the
+    * TextOps.dedupMinhashEdges mirror, factored so both the standalone
+    * dedup_minhash oracle and the curate_funnel oracle (which gates
+    * the corpus first) replay the SAME kernel SQL.
+    */
+  private val minhashEdgeCtes: String = {
     val seedVals = TextOps.minhashSeeds.zipWithIndex.map { case (s, k) =>
       s"($k, ${java.lang.Long.toUnsignedString(s)}::HUGEINT)"
     }.mkString(", ")
-    s"""WITH $nearDupCorpus,
-       |shd AS (
+    s"""shd AS (
        |  SELECT DISTINCT doc_id, u.sh
        |  FROM corpus, UNNEST(${shinglesSql("text")}) AS u(sh)),
        |fvs AS (SELECT sh, ${fnvU("sh")} AS h FROM (SELECT DISTINCT sh FROM shd) dsh),
@@ -250,10 +257,14 @@ private[graft] object OracleSqlGen {
        |  SELECT p.doc_a, p.doc_b,
        |    CAST(floor(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
        |      / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE) * 1000) AS BIGINT) AS jaccard_milli
-       |  FROM pairs p JOIN sets a ON a.doc_id = p.doc_a JOIN sets b ON b.doc_id = p.doc_b)
+       |  FROM pairs p JOIN sets a ON a.doc_id = p.doc_a JOIN sets b ON b.doc_id = p.doc_b)""".stripMargin
+  }
+
+  val dedupMinhash: String =
+    s"""WITH $nearDupCorpus,
+       |$minhashEdgeCtes
        |SELECT doc_a, doc_b, jaccard_milli FROM jac WHERE jaccard_milli >= 700
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   val ngramJaccard: String =
     s"""WITH pairs AS (
@@ -782,5 +793,94 @@ private[graft] object OracleSqlGen {
        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM sm6
        |WHERE hk % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** End-to-end curation-funnel mirror (CurateJob.funnel defaults):
+    * planted corpus (base ∪ near-dups +1e6 ∪ exact copies +2e6, plus a
+    * url REVISIT row per doc_id%10==5) → url-dedup (min-sha256 per
+    * url) → quality gate (minTokens 5, punct*5<=len, n_distinct*2>nw)
+    * → exact + MinHash edges over the GATED corpus → recursive-CTE
+    * connected components → component-minimum survivors → splitmix64
+    * sampling at 900‰ → bucketed token-budget shard packing (budget
+    * 4096). Every kernel is the SAME fragment its standalone oracle
+    * uses (minhashEdgeCtes, splitmixCtes, the shard_pack window); the
+    * window sum takes the OUTER BIGINT cast (DuckDB widens to
+    * HUGEINT).
+    *
+    * Plan-shape constraints (all MEASURED, DuckDB 1.x): a RECURSIVE
+    * with-clause inlines every CTE into every reference — the
+    * recursion re-executed the whole minhash chain per iteration
+    * (54 s) until `sym AS MATERIALIZED`, and a predicate over the
+    * 6-level splitmix chain inside the recursive scope exploded
+    * exponentially during pushdown (OOM at 128 GB). Hence the split:
+    * the recursion lives in a derived-table subquery (the dup_stats
+    * precedent), the splitmix chain in a plain outer WITH over a
+    * MATERIALIZED `s0` (each chain level would otherwise inline and
+    * re-run the subquery — 22 s → 4.5 s). MATERIALIZED on other inner
+    * CTEs (corpus, jac, shd) itself OOMs — do not add hints here
+    * without re-measuring.
+    */
+  val curateFunnel: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.SampleSeed)
+    val nw = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    val np = "(length(text) - length(replace(replace(replace(replace(replace(replace(" +
+      "text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')))"
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT doc_id, nw,
+       |         ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |  FROM (
+       |    WITH RECURSIVE corpus0 AS (
+       |      SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |      UNION ALL
+       |      SELECT doc_id + 1000000 AS doc_id,
+       |             substring(text, 1, length(text) - instr(reverse(text), ' ')) AS text
+       |      FROM documents WHERE doc_id % 10 = 0),
+       |    corpusx AS (
+       |      SELECT doc_id, text FROM corpus0
+       |      UNION ALL
+       |      SELECT doc_id + 2000000 AS doc_id, text FROM corpus0 WHERE doc_id % 20 = 0),
+       |    raw AS (
+       |      SELECT doc_id, printf('https://curate.example/d/%d', doc_id) AS url_norm, text
+       |      FROM corpusx
+       |      UNION ALL
+       |      SELECT doc_id, printf('https://curate.example/d/%d', doc_id) AS url_norm,
+       |             'rev ' || text AS text
+       |      FROM corpusx WHERE doc_id % 10 = 5),
+       |    urld AS (
+       |      SELECT doc_id, text FROM (
+       |        SELECT doc_id, text,
+       |               row_number() OVER (PARTITION BY url_norm ORDER BY sha256(text)) AS rn
+       |        FROM raw) t WHERE rn = 1),
+       |    gcorp AS (
+       |      SELECT doc_id, text, nw FROM (
+       |        SELECT doc_id, text, $nw AS nw, $np AS np,
+       |               len(list_distinct(string_split(text, ' '))) AS nd
+       |        FROM urld) t
+       |      WHERE nw >= 5 AND np * 5 <= length(text) AND NOT (nd * 2 <= nw)),
+       |    corpus AS (SELECT doc_id, text FROM gcorp),
+       |    $minhashEdgeCtes,
+       |    near_edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_milli >= 700),
+       |    exact_edges AS (
+       |      SELECT min_id AS doc_a, doc_id AS doc_b FROM (
+       |        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS min_id FROM corpus) t
+       |      WHERE doc_id <> min_id),
+       |    edges AS (SELECT doc_a, doc_b FROM near_edges
+       |              UNION ALL SELECT doc_a, doc_b FROM exact_edges),
+       |    sym AS MATERIALIZED (
+       |        SELECT doc_a AS src, doc_b AS dst FROM edges
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |    cc AS (
+       |      SELECT doc_id AS node, doc_id AS label FROM corpus
+       |      UNION
+       |      SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
+       |    lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
+       |    SELECT g.doc_id, g.nw FROM gcorp g JOIN lab l USING (doc_id)
+       |    WHERE l.doc_id = l.cluster_id) surv),
+       |${splitmixCtes("cf", "s0", "doc_id, nw")}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(nw AS BIGINT) AS n_tokens,
+       |  CAST(doc_id % 8 AS BIGINT) AS bucket,
+       |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 4096 AS BIGINT) AS shard
+       |FROM cf6 WHERE hk % 1000 < 900 ORDER BY doc_id""".stripMargin
   }
 }

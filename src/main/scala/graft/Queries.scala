@@ -179,6 +179,32 @@ object Queries {
   def dupStats(s: SparkSession, d: String): DataFrame =
     TextOps.dupStatsFrom(dupCluster(s, d))
 
+  /** End-to-end curation funnel over the planted dup corpus — drives
+    * [[CurateJob.funnel]], the SAME code path the production job runs
+    * (stages 1-4), with known ids and synthesized urls so the DuckDB
+    * oracle replays every stage: url-revisit dedup (min-sha keep),
+    * quality + repetition gate, exact+MinHash clustering over the
+    * GATED corpus with component-minimum survivors, splitmix64
+    * sampling at 900‰, and token-budget shard packing. Revisit rows
+    * (doc_id%10==5, 'rev '-prefixed text, same url) exercise stage 1
+    * on a planted set disjoint from the near (%10==0) and exact
+    * (%20==0) families. `cache = false`: a query returns a lazy frame
+    * and could never unpersist — see the funnel scaladoc.
+    */
+  def curateFunnelQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val corpus = corpusWithExactDups(TextOps.corpusWithNearDups(docs))
+    val urlOf = format_string("https://curate.example/d/%d", col("doc_id"))
+    val normed = corpus
+      .select(col("doc_id").cast("long").as("doc_id"), urlOf.as("url_norm"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").cast("long").as("doc_id"), urlOf.as("url_norm"),
+          concat(lit("rev "), col("text")).as("text")))
+    CurateJob.funnel(s, normed, cache = false).packed
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   def repRatio(s: SparkSession, d: String): DataFrame =
     TextOps.repetitionStats(TextOps.readDocs(s, d))
 

@@ -31,6 +31,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
+    "curate_funnel" -> (Queries.curateFunnelQ _),
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
     "strat_sample" -> (Queries.stratSample _),
@@ -595,6 +596,9 @@ object SparkEntry {
     "passage_dedup" -> OracleSqlGen.passageDedup,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "dup_stats" -> OracleSqlGen.dupStats,
+    // the production funnel (CurateJob.funnel) end-to-end: url-revisit
+    // dedup → quality gate → exact+MinHash CC → sample → shard-pack
+    "curate_funnel" -> OracleSqlGen.curateFunnel,
     "strat_sample" -> OracleSqlGen.stratSample,
     "mix_balance" -> OracleSqlGen.mixBalance,
     "lang_id" -> OracleSqlGen.langId,
