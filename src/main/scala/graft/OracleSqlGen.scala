@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{GraphOps, TextOps, VectorOps}
 
 /** Generators for the hard DuckDB oracle SQL in [[SparkEntry.oracleSql]]
   * — the queries whose kernels (FNV-1a, splitmix64, SimHash, MinHash,
@@ -820,12 +820,25 @@ private[graft] object OracleSqlGen {
     * CTEs (corpus, jac, shd) itself OOMs — do not add hints here
     * without re-measuring.
     */
-  val curateFunnel: String = {
+  /** Skewed host id of an arbitrary doc-id expression — mirror of
+    * GraphOps.hostIdCol / PageSource.hostId (single SQL source:
+    * SparkEntry's page-derivation fragments delegate here).
+    */
+  private[graft] def hidOfSql(x: String): String =
+    s"CASE WHEN ($x) % 2 = 0 THEN 0 WHEN ($x) % 4 = 3 THEN 1 + (($x) % 9) ELSE 10 + (($x) % 990) END"
+
+  /** The funnel-survivor CTE shared by the curate_funnel oracles:
+    * `s0(doc_id, nw, x)` — one row per canonical survivor with its
+    * splitmix input x, the recursion confined to the inner derived
+    * table (see [[curateFunnel]] for the measured plan-shape
+    * constraints that force this structure).
+    */
+  private val curateS0: String = {
     val seedU = java.lang.Long.toUnsignedString(TextOps.SampleSeed)
     val nw = "(length(text) - length(replace(text, ' ', '')) + 1)"
     val np = "(length(text) - length(replace(replace(replace(replace(replace(replace(" +
       "text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')))"
-    s"""WITH s0 AS MATERIALIZED (
+    s"""s0 AS MATERIALIZED (
        |  SELECT doc_id, nw,
        |         ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
        |  FROM (
@@ -875,12 +888,64 @@ private[graft] object OracleSqlGen {
        |      SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
        |    lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
        |    SELECT g.doc_id, g.nw FROM gcorp g JOIN lab l USING (doc_id)
-       |    WHERE l.doc_id = l.cluster_id) surv),
+       |    WHERE l.doc_id = l.cluster_id) surv)""".stripMargin
+  }
+
+  val curateFunnel: String =
+    s"""WITH $curateS0,
        |${splitmixCtes("cf", "s0", "doc_id, nw")}
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |  CAST(nw AS BIGINT) AS n_tokens,
        |  CAST(doc_id % 8 AS BIGINT) AS bucket,
        |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 4096 AS BIGINT) AS shard
        |FROM cf6 WHERE hk % 1000 < 900 ORDER BY doc_id""".stripMargin
+
+  /** [[curateFunnel]] with the authority-weighted sampling branch ON
+    * (CurateJob.funnel authorityPermille = 1000/600/200‰, planted-
+    * arithmetic path): the PageRank loop runs over the SURVIVOR set —
+    * ids reduced mod GraphOps.HostIdModulus, the survivor count as the
+    * planted citation modulus (hostRank counts the frame it is handed,
+    * which is the scrubbed/canonical set) — then ntile(3) tiers, the
+    * per-tier permille against the SAME splitmix key, and the shared
+    * shard-pack window. Damping 850/1000, base 150, 3 iterations —
+    * the host_rank oracle's kernel over a different doc universe.
+    */
+  val curateFunnelAuth: String = {
+    def hostOf(x: String) = s"'host' || CAST(${hidOfSql(x)} AS VARCHAR) || '.example'"
+    val rounds = (1 to 3).map { k =>
+      s"""ar$k AS (
+         |  SELECT anodes.host,
+         |    CAST(150 + COALESCE(s.inflow, 0) AS BIGINT) AS rank_milli
+         |  FROM anodes LEFT JOIN (
+         |    SELECT e.dst AS host,
+         |           sum(r.rank_milli * 850 * e.w // (1000 * o.od)) AS inflow
+         |    FROM aedges e JOIN aoutdeg o USING (src)
+         |    JOIN ar${k - 1} r ON r.host = e.src
+         |    GROUP BY e.dst) s USING (host))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $curateS0,
+       |${splitmixCtes("cf", "s0", "doc_id, nw")},
+       |rd AS (SELECT doc_id % ${GraphOps.HostIdModulus} AS rid FROM s0),
+       |ae0 AS (
+       |  SELECT ${hostOf("rid")} AS src,
+       |         ${hostOf("(rid * 31 + 7) % (SELECT count(*) FROM s0)")} AS dst
+       |  FROM rd),
+       |aedges AS (SELECT src, dst, count(*) AS w FROM ae0 WHERE src <> dst GROUP BY src, dst),
+       |aoutdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM aedges GROUP BY src),
+       |anodes AS (SELECT DISTINCT ${hostOf("rid")} AS host FROM rd),
+       |ar0 AS (SELECT host, CAST(1000 AS BIGINT) AS rank_milli FROM anodes),
+       |$rounds,
+       |tiers AS (
+       |  SELECT host, ntile(3) OVER (ORDER BY rank_milli DESC, host ASC) AS tier
+       |  FROM ar3),
+       |kept AS (
+       |  SELECT c.doc_id, c.nw FROM cf6 c
+       |  JOIN tiers t ON t.host = ${hostOf(s"c.doc_id % ${GraphOps.HostIdModulus}")}
+       |  WHERE c.hk % 1000 < CASE t.tier WHEN 1 THEN 1000 WHEN 2 THEN 600 ELSE 200 END)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(nw AS BIGINT) AS n_tokens,
+       |  CAST(doc_id % 8 AS BIGINT) AS bucket,
+       |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 4096 AS BIGINT) AS shard
+       |FROM kept ORDER BY doc_id""".stripMargin
   }
 }

@@ -191,18 +191,40 @@ object Queries {
     * (%20==0) families. `cache = false`: a query returns a lazy frame
     * and could never unpersist — see the funnel scaladoc.
     */
-  def curateFunnelQ(s: SparkSession, d: String): DataFrame = {
+  def curateFunnelQ(s: SparkSession, d: String): DataFrame =
+    CurateJob.funnel(s, curateCorpus(s, d), cache = false).packed
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  /** [[curateFunnelQ]] with authority-weighted sampling ON (rates
+    * 1000/600/200‰ over 3 ntile tiers of the planted-arithmetic
+    * host_rank) — the funnel's authority branch, oracle-replayed: the
+    * mirror re-derives the PageRank loop over the SURVIVOR set (the
+    * rank universe the funnel actually ranks — reduced ids, survivor
+    * count as the citation modulus), the ntile tiers, the per-tier
+    * permille and the final packing. Same shared funnel() code path.
+    */
+  def curateFunnelAuthQ(s: SparkSession, d: String): DataFrame =
+    CurateJob.funnel(s, curateCorpus(s, d),
+        authorityPermille = Some(Seq(1000L, 600L, 200L)), cache = false).packed
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  /** The planted funnel corpus shared by the curate_funnel queries:
+    * base ∪ near-dups (+1e6) ∪ exact copies (+2e6), each with a
+    * deterministic url, plus a url REVISIT row ('rev '-prefixed text,
+    * same url) for doc_id%10==5 — disjoint from the near/exact planted
+    * families so each funnel stage has its own positives.
+    */
+  private def curateCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = TextOps.readDocs(s, d)
     val corpus = corpusWithExactDups(TextOps.corpusWithNearDups(docs))
     val urlOf = format_string("https://curate.example/d/%d", col("doc_id"))
-    val normed = corpus
+    corpus
       .select(col("doc_id").cast("long").as("doc_id"), urlOf.as("url_norm"), col("text"))
       .unionByName(corpus.filter(col("doc_id") % 10 === 5)
         .select(col("doc_id").cast("long").as("doc_id"), urlOf.as("url_norm"),
           concat(lit("rev "), col("text")).as("text")))
-    CurateJob.funnel(s, normed, cache = false).packed
-      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
-      .orderBy(col("doc_id"))
   }
 
   def repRatio(s: SparkSession, d: String): DataFrame =

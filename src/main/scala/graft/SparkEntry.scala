@@ -32,6 +32,7 @@ object SparkEntry {
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
     "curate_funnel" -> (Queries.curateFunnelQ _),
+    "curate_funnel_auth" -> (Queries.curateFunnelAuthQ _),
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
     "strat_sample" -> (Queries.stratSample _),
@@ -114,8 +115,7 @@ object SparkEntry {
   /** skewed host id of an arbitrary doc-id expression — mirror of
     * PageSource.hostId / GraphOps.hostIdCol
     */
-  private def hidOf(x: String): String =
-    s"CASE WHEN ($x) % 2 = 0 THEN 0 WHEN ($x) % 4 = 3 THEN 1 + (($x) % 9) ELSE 10 + (($x) % 990) END"
+  private def hidOf(x: String): String = OracleSqlGen.hidOfSql(x)
   private val hid = hidOf("doc_id")
 
   /** host_rank oracle: the integer PageRank loop of GraphOps.hostRank
@@ -599,6 +599,9 @@ object SparkEntry {
     // the production funnel (CurateJob.funnel) end-to-end: url-revisit
     // dedup → quality gate → exact+MinHash CC → sample → shard-pack
     "curate_funnel" -> OracleSqlGen.curateFunnel,
+    // the funnel's authority branch: survivor-set PageRank → ntile
+    // tiers → per-tier permille, replayed over the same survivor CTE
+    "curate_funnel_auth" -> OracleSqlGen.curateFunnelAuth,
     "strat_sample" -> OracleSqlGen.stratSample,
     "mix_balance" -> OracleSqlGen.mixBalance,
     "lang_id" -> OracleSqlGen.langId,
