@@ -674,6 +674,38 @@ private[graft] object OracleSqlGen {
        |FROM rates r LEFT JOIN kept k USING (lang) ORDER BY lang""".stripMargin
   }
 
+  /** Temperature-weighted mixture sampling mirror (alpha = 1/2,
+    * budget = total//2): rate = least(1000, (B*1000*isqrt(n)) //
+    * (S*n)) with TextOps.isqrtSql's exact integer sqrt (the SAME
+    * expression string — floor(sqrt(double)) + ±1 fix-up, so
+    * cross-engine sqrt rounding cannot diverge), kept set via the
+    * splitmix chain on doc_id xor TempSeed. DuckDB window sums widen
+    * to HUGEINT — all terms positive, so `//` == Spark DIV; the outer
+    * BIGINT casts restore the driver-hashable types.
+    */
+  val mixTemperature: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.TempSeed)
+    val isq = TextOps.isqrtSql("n_docs")
+    s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |rates AS (
+       |  SELECT lang, n_docs,
+       |    least(1000, ((sum(n_docs) OVER ()) // 2) * 1000 * $isq
+       |                // ((sum($isq) OVER ()) * n_docs)) AS rate_permille
+       |  FROM counts),
+       |s0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |       FROM documents),
+       |${splitmixCtes("mt", "s0", "doc_id, lang")},
+       |kept AS (
+       |  SELECT s.lang, count(*) AS n_kept
+       |  FROM mt6 s JOIN rates r USING (lang)
+       |  WHERE s.hk % 1000 < r.rate_permille GROUP BY s.lang)
+       |SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+       |  CAST(r.rate_permille AS BIGINT) AS rate_permille,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM rates r LEFT JOIN kept k USING (lang) ORDER BY lang""".stripMargin
+  }
+
   /** Quality-classifier inference mirror: per-distinct-word weight via
     * the FNV→xor-seed→splitmix chain, summed per occurrence, truncated
     * mean (`//` toward zero == JVM `/`).

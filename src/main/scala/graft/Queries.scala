@@ -317,6 +317,21 @@ object Queries {
   def mixBalanceQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixBalance(TextOps.readDocs(s, d))
 
+  def mixTemperatureQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixTemperature(TextOps.readDocs(s, d))
+
+  /** Same planted-contamination corpus as [[decontaminateQ]], through
+    * the Bloom-prefiltered scale path — output must be row-identical
+    * (the oracle row reuses decontaminate's SQL verbatim).
+    */
+  def decontaminateBloomQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(4000001L))
+    TextOps.decontaminateBloom(docs.unionByName(planted))
+  }
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextOps.tokenCounts(TextOps.readDocs(s, d))
 

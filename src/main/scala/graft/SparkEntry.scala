@@ -43,6 +43,8 @@ object SparkEntry {
     "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
     "mix_balance" -> (Queries.mixBalanceQ _),
     "decontaminate" -> (Queries.decontaminateQ _),
+    "decontaminate_bloom" -> (Queries.decontaminateBloomQ _),
+    "mix_temperature" -> (Queries.mixTemperatureQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
@@ -180,6 +182,25 @@ object SparkEntry {
        |  auth2 || path || CASE WHEN query = '' THEN ''
        |    ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS url_norm
        |FROM n5""".stripMargin
+
+  /** Shared by `decontaminate` AND `decontaminate_bloom` — the Bloom
+    * variant is exactness-preserving (pre-filter + confirm join), so
+    * one oracle checks both.
+    */
+  private val decontaminateSql: String =
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |g AS (
+      |  SELECT doc_id, doc_id % 50 = 0 AS is_eval, u.gram
+      |  FROM corpus, UNNEST(list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 7),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS u(gram)),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+      |SELECT doc_id, count(*) AS n_shared_ngrams
+      |FROM g JOIN ev USING (gram) WHERE NOT is_eval
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -575,21 +596,12 @@ object SparkEntry {
         |SELECT doc_id, w AS term, CAST(rank AS BIGINT) AS rank, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // eval-set 8-gram contamination: planted quote-docs at +4000001
-    // (≡1 mod 50 keeps them on the training side)
-    "decontaminate" ->
-      """WITH corpus AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 4000001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
-        |g AS (
-        |  SELECT doc_id, doc_id % 50 = 0 AS is_eval, u.gram
-        |  FROM corpus, UNNEST(list_distinct(list_transform(
-        |    range(len(string_split(text, ' ')) - 7),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS u(gram)),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
-        |SELECT doc_id, count(*) AS n_shared_ngrams
-        |FROM g JOIN ev USING (gram) WHERE NOT is_eval
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // (≡1 mod 50 keeps them on the training side). The _bloom variant
+    // is the 100 TB shape (Bloom pre-filter + exact confirm join) and
+    // must be row-identical — SAME oracle SQL.
+    "decontaminate" -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateSql,
+    "mix_temperature" -> OracleSqlGen.mixTemperature,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,

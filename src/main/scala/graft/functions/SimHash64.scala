@@ -126,7 +126,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => ExtractPage(children)),
     (new FunctionIdentifier("splitmix64"),
       new ExpressionInfo(classOf[Splitmix64].getName, "splitmix64"),
-      (children: Seq[Expression]) => Splitmix64(children.head))
+      (children: Seq[Expression]) => Splitmix64(children.head)),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1)))
   )
 
   /** Imperative registration for an already-built session (tests,

@@ -764,6 +764,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]]'s 100 TB shape: identical output, but the
+    * eval-gram set is never broadcast as strings. A driver-built
+    * Bloom filter over xxhash64(gram) (~10 bits/gram at fpp=0.01 —
+    * a 10^9-gram eval set is ~1.2 GB of bits vs ~60 GB of strings)
+    * travels in the plan and pre-filters the corpus-side gram stream
+    * inside whole-stage codegen ([[graft.functions.BloomMightContain]]);
+    * only the fpp-bounded survivors reach the exact confirm semi-join,
+    * which is a plain shuffle join (NO broadcast — wire bytes ≈
+    * fpp × corpus grams + eval grams). Exactness: the Bloom stage has
+    * no false negatives and the confirm join removes its false
+    * positives (including any xxhash64 collisions), so the result is
+    * row-identical to [[decontaminate]] — the DuckDB oracle is the
+    * SAME SQL (asserted in OpsCoreSpec, plus oracle row
+    * `decontaminate_bloom`).
+    *
+    * Eval docs are scanned twice eagerly (distinct-gram count for
+    * Bloom sizing, then the sketch build) + once lazily (confirm
+    * join) — the eval set is orders of magnitude smaller than the
+    * corpus, which is scanned exactly once.
+    */
+  def decontaminateBloom(docs: DataFrame, n: Int = 8,
+                         evalPred: Column = col("doc_id") % 50 === 0,
+                         fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val evalGrams = docs.filter(evalPred)
+      .select(explode(array_distinct(ngramArr(n))).as("gram"))
+      .distinct()
+    val evalHashes = evalGrams.select(xxhash64(col("gram")).as("gh"))
+    val nEval = math.max(evalHashes.count(), 1L)
+    val bloom = evalHashes.stat.bloomFilter("gh", nEval, fpp)
+    val bits = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val grams = docs.filter(!evalPred)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(array_distinct(ngramArr(n))).as("gram"))
+    grams
+      .filter(call_function("bloom_might_contain",
+        xxhash64(col("gram")), lit(bits)))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-corpus n-gram census: the most-repeated word n-grams (the
     * memorization-risk / boilerplate census), TWO-LEVEL so the
     * corpus-scale shuffle never carries gram strings:
@@ -953,6 +1000,64 @@ object TextOps {
       .join(broadcast(rates), Seq("lang"))
       .filter(unsignedMod1000(
         splitmixCol(col("doc_id").bitwiseXOR(lit(MixSeed)))) < col("rate_permille"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Seed for the temperature-sampling hash (public: the oracle
+    * embeds it).
+    */
+  val TempSeed = 0x7e3a5eedbea7L
+
+  /** Exact integer square root as ONE SQL expression string, shared
+    * VERBATIM between Spark and the DuckDB oracle: floor(sqrt(double))
+    * then a ±1 integer fix-up, so any cross-engine double-sqrt rounding
+    * at the boundary cannot change the result (exact for n < 2^52,
+    * where the double representation of n is itself exact).
+    */
+  def isqrtSql(n: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($n) AS DOUBLE))) AS BIGINT)"
+    s"(CASE WHEN ($s0 + 1) * ($s0 + 1) <= ($n) THEN $s0 + 1 " +
+      s"WHEN $s0 * $s0 > ($n) THEN $s0 - 1 ELSE $s0 END)"
+  }
+
+  /** Temperature-weighted mixture sampling (the multilingual
+    * corpus-mixing rule, alpha = 1/2): target stratum mass is
+    * proportional to sqrt(n_lang) — up-weights rare languages
+    * relative to proportional sampling without letting any stratum
+    * dominate — under a total budget of half the corpus. Per-stratum
+    * keep rate (integer-exact, mirrored in the DuckDB oracle):
+    *
+    *   rate_permille = min(1000, (B * 1000 * isqrt(n_l)) DIV (S * n_l))
+    *   where B = total DIV 2, S = sum of isqrt(n_m) over strata.
+    *
+    * The kept set is the deterministic hash-threshold rule on
+    * splitmix64(doc_id xor TempSeed) — same machinery as
+    * [[mixBalance]]/[[stratifiedSample]], no RNG, reproducible across
+    * runs and engines. One aggregate (strata cardinality rows) + one
+    * broadcast-joined scan; the corpus never shuffles. Overflow bound:
+    * B * 1000 * isqrt(n_l) < 2^63 holds to ~10^12 docs per corpus
+    * (isqrt ≤ 10^6 there); past that, widen to DECIMAL on both sides.
+    * Output is the per-stratum audit row (lang, n_docs, rate_permille,
+    * n_kept).
+    */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", expr(isqrtSql("n_docs")))
+      .withColumn("total", sum(col("n_docs")).over(w))
+      .withColumn("s_isq", sum(col("isq")).over(w))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          expr("(total DIV 2) * 1000 * isq DIV (s_isq * n_docs)")).cast("long"))
+      .select(col("lang"), col("n_docs"), col("rate_permille"))
+    val kept = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(unsignedMod1000(
+        splitmixCol(col("doc_id").bitwiseXOR(lit(TempSeed)))) < col("rate_permille"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
     rates.join(kept, Seq("lang"), "left")
       .na.fill(0L, Seq("n_kept"))

@@ -274,6 +274,74 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!evalDocs.exists { case (id, _) => got.contains(id) })
   }
 
+  test("decontaminateBloom is row-identical to decontaminate (exactness-preserving pre-filter)") {
+    val exact = Queries.decontaminateQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = Queries.decontaminateBloomQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom == exact)
+    assert(bloom.nonEmpty)
+    // a deliberately terrible fpp (50% false positives reach the
+    // confirm join) must STILL be exact — only wasted wire, never a
+    // wrong row
+    val docs = TextOps.readDocs(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(4000001L))
+    val sloppy = TextOps.decontaminateBloom(docs.unionByName(planted), fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sloppy == exact)
+  }
+
+  test("decontaminateBloom never broadcasts the eval-gram strings") {
+    val docs = TextOps.readDocs(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val plan = TextOps.decontaminateBloom(docs)
+      .queryExecution.optimizedPlan.toString()
+    // the exact-confirm join must carry no broadcast HINT (AQE may
+    // still size-promote at test scale; the invariant is that WE never
+    // force a string-carrying broadcast)
+    assert(!plan.contains("ResolvedHint"), plan.linesIterator.take(30).mkString("\n"))
+    // and the bloom probe is in the plan (the pre-filter actually fires)
+    assert(plan.contains("bloom_might_contain"))
+  }
+
+  test("mixTemperature: sqrt-weighted rates, budget respected, kept matches the JVM kernel") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val rows = Queries.mixTemperatureQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def isqrt(n: Long): Long = { // exact integer sqrt reference
+      var s = math.sqrt(n.toDouble).toLong
+      while ((s + 1) * (s + 1) <= n) s += 1
+      while (s * s > n) s -= 1
+      s
+    }
+    val total = rows.map(_._2).sum
+    val sIsq = rows.map(t => isqrt(t._2)).sum
+    rows.foreach { case (lang, n, rate, kept) =>
+      val want = math.min(1000L, (total / 2L) * 1000L * isqrt(n) / (sIsq * n))
+      assert(rate == want, s"$lang rate $rate != $want")
+      assert(kept <= n)
+      val expect = docs.filter(col("lang") === lang)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+        .count(id => java.lang.Long.remainderUnsigned(
+          PageSource.splitmix64(id ^ TextOps.TempSeed), 1000L) < rate)
+      assert(kept == expect, s"$lang kept $kept != $expect")
+    }
+    // temperature flattening: isqrt is a step function, so rates are
+    // only guaranteed monotone across a REAL size gap (isqrt(n)/n can
+    // locally invert between near-equal strata, e.g. 8/80 < 9/82) —
+    // assert it for every pair at least 2x apart, where
+    // isqrt(2n)/(2n) < isqrt(n)/n holds unconditionally (n >= 3)
+    val byN = rows.sortBy(_._2)
+    for {
+      (_, n1, r1, _) <- byN
+      (_, n2, r2, _) <- byN
+      if n2 >= 2 * n1 && n1 >= 3
+    } assert(r1 >= r2, s"rate not monotone across 2x gap: n=$n1 r=$r1 vs n=$n2 r=$r2")
+  }
+
   test("ngramCensus finds the mutated-copy grams at count 2") {
     val rows = Queries.ngramCensusQ(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
