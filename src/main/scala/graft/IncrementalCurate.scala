@@ -41,7 +41,12 @@ import graft.ops.TextOps
   * is a key join (url_norm / text_sha / (band, bucket)) against
   * relations that carry ids+hashes only — canonical TEXT is read
   * exclusively for the Jaccard verify of the (small) candidate pair
-  * set. Hot state buckets are capped like the batch operator, with
+  * set. All three state-table joins are additionally Bloom-prefiltered
+  * on the DROP's keys (see [[prefilterState]]): the state scan still
+  * reads its key column, but the join exchanges carry only true
+  * matches + fpp×|state| false positives instead of the whole table —
+  * the difference between ~8 GB and ~8 TB of urls shuffle per drop at
+  * 10^12-url state. Hot state buckets are capped like the batch operator, with
   * the count window running over state bands RESTRICTED to the
   * drop's probed buckets — identical counts (the cap key equals the
   * join key, so probed buckets keep all their state rows) at
@@ -181,6 +186,38 @@ object IncrementalCurate {
     }
   }
 
+  /** State-side Bloom prefilter for the per-drop joins: a sketch over
+    * the DROP's join keys (~14 bits/key at fpp=1e-3 — drop-sized, so
+    * ~180 MB for a 10^8-url drop) filters the state scan INSIDE
+    * whole-stage codegen before the confirm join, so only true matches
+    * + fpp×|state| rows reach the exchange instead of the whole table
+    * (a 10^12-row urls state is ~8 TB of shuffle per drop without it;
+    * ~8 GB of false positives with it). Exactness: the sketch has no
+    * false negatives, so every true match still reaches the downstream
+    * anti/semi/equi join; false positives are non-matching state rows
+    * that join drops — results are row-identical (A/B-asserted in
+    * IncrementalCurateSpec). The hot-bucket cap window stays correct
+    * too: every state row of a PROBED (band, bucket) has its key in
+    * the sketch by construction, so probed buckets keep all their rows
+    * and per-bucket counts are unchanged.
+    *
+    * Returns state unfiltered when the projected sketch exceeds
+    * `maxBytes` — the bits ride the task binary, so an unbounded drop
+    * must not inflate the plan (the joins are already correct without
+    * the prefilter, just state-scan-bound).
+    */
+  private[graft] def prefilterState(state: DataFrame, probeKey: org.apache.spark.sql.Column,
+                                    dropKeys: DataFrame, n: Long,
+                                    fpp: Double, maxBytes: Long): DataFrame = {
+    val ln2 = math.log(2)
+    val projBytes = (-math.max(n, 1L) * math.log(fpp) / (ln2 * ln2)).toLong / 8 + 1
+    if (n <= 0 || maxBytes <= 0 || projBytes > maxBytes) state
+    else {
+      val bits = TextOps.bloomBitsOf(dropKeys, dropKeys.columns.head, n, fpp)
+      state.filter(call_function("bloom_might_contain", probeKey, lit(bits)))
+    }
+  }
+
   private def append(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Append)
       .option("compression", "zstd")
@@ -211,7 +248,9 @@ object IncrementalCurate {
       minTokens: Long = 5L,
       dupFactor: Long = 2L,
       minJaccardMilli: Long = 700L,
-      maxBucket: Int = 4096
+      maxBucket: Int = 4096,
+      prefilterFpp: Double = 0.001,
+      prefilterMaxBytes: Long = 256L << 20
   ): DropReport = {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
@@ -232,21 +271,30 @@ object IncrementalCurate {
     val drop = spark.read.parquet(dropPath).select(col("url"), col("text"))
     val nDrop = drop.count()
 
-    // within-drop url dedup (CurateJob's deterministic revisit rule)
-    val normed = TextOps.withUrlNorm(drop.withColumnRenamed("url", "url_messy"))
+    // within-drop url dedup (CurateJob's deterministic revisit rule).
+    // urlNormed is factored out pre-window so the Bloom build below
+    // scans urls only (text pruned, no window re-execution) — the
+    // row-number dedup doesn't change the url_norm key SET.
+    val urlNormed = TextOps.withUrlNorm(drop.withColumnRenamed("url", "url_messy"))
       .select(xxhash64(col("url_norm")).as("doc_id"), col("url_norm"), col("text"))
+    val normed = urlNormed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
       .filter(col("rn") === 1).drop("rn")
     // idempotence gate: urls the state has already processed are done.
     // The join key is url_hash == doc_id (both xxhash64(url_norm));
-    // legacy string-state is hashed on the fly.
+    // legacy string-state is hashed on the fly. The state side is
+    // Bloom-prefiltered on the drop's url hashes (see prefilterState)
+    // so the anti-join's state exchange is O(drop + fpp*state), not
+    // O(state).
     val newDocs = (if (hasUrls) {
         val raw = spark.read.parquet(urlsDir(stateDir))
         val urlHashes =
           if (raw.schema.fieldNames.contains("url_hash")) raw.select(col("url_hash"))
           else raw.select(xxhash64(col("url_norm")).as("url_hash"))
-        normed.join(urlHashes, normed("doc_id") === urlHashes("url_hash"), "left_anti")
+        val probed = prefilterState(urlHashes, col("url_hash"),
+          urlNormed.select(col("doc_id")), nDrop, prefilterFpp, prefilterMaxBytes)
+        normed.join(probed, normed("doc_id") === probed("url_hash"), "left_anti")
       } else normed).persist()
     val nNewUrls = newDocs.count()
 
@@ -272,13 +320,25 @@ object IncrementalCurate {
     val oldEdges: DataFrame = if (!hasState)
       Seq.empty[(Long, Long)].toDF("doc_id", "old_id")
     else {
+      val stateShas = prefilterState(
+        spark.read.parquet(shasDir(stateDir))
+          .select(col("text_sha"), col("doc_id").as("old_id")),
+        xxhash64(col("text_sha")),
+        gated.select(xxhash64(sha2(col("text"), 256)).as("k")),
+        nGated, prefilterFpp, prefilterMaxBytes)
       val exactOld = gated
         .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
-        .join(spark.read.parquet(shasDir(stateDir))
-          .select(col("text_sha"), col("doc_id").as("old_id")), Seq("text_sha"))
+        .join(stateShas, Seq("text_sha"))
         .select(col("doc_id"), col("old_id"))
-      val stateBands = spark.read.parquet(bandsDir(stateDir))
-        .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
+      // bands prefilter keys on xxhash64(band, bucket) — identical
+      // IntegerType/ArrayType(LongType) inputs on both sides, so the
+      // hash agrees; the left_semi below stays the exact confirm
+      val stateBands = prefilterState(
+        spark.read.parquet(bandsDir(stateDir))
+          .select(col("doc_id").as("old_id"), col("band"), col("bucket")),
+        xxhash64(col("band"), col("bucket")),
+        dropBandsOpt.get.select(xxhash64(col("band"), col("bucket")).as("k")),
+        nGated * TextOps.Bands, prefilterFpp, prefilterMaxBytes)
       // Restrict state bands to the drop's probed buckets FIRST: the
       // cap key equals the join key, so every state row of a probed
       // bucket survives the restriction and per-bucket counts are

@@ -764,6 +764,20 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Serialized [[org.apache.spark.util.sketch.BloomFilter]] over a
+    * BIGINT key column — the driver-built sketch the native
+    * `bloom_might_contain` probe ([[graft.functions.BloomMightContain]])
+    * deserializes once per plan. Shared by [[decontaminateBloom]] and
+    * IncrementalCurate's state-scan prefilters.
+    */
+  def bloomBitsOf(keys: DataFrame, keyCol: String, n: Long,
+                  fpp: Double): Array[Byte] = {
+    val bloom = keys.stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** [[decontaminate]]'s 100 TB shape: identical output, but the
     * eval-gram set is never broadcast as strings. A driver-built
     * Bloom filter over xxhash64(gram) (~10 bits/gram at fpp=0.01 —
@@ -792,13 +806,8 @@ object TextOps {
       .select(explode(array_distinct(ngramArr(n))).as("gram"))
       .distinct()
     val evalHashes = evalGrams.select(xxhash64(col("gram")).as("gh"))
-    val nEval = math.max(evalHashes.count(), 1L)
-    val bloom = evalHashes.stat.bloomFilter("gh", nEval, fpp)
-    val bits = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val nEval = evalHashes.count()
+    val bits = bloomBitsOf(evalHashes, "gh", nEval, fpp)
     val grams = docs.filter(!evalPred)
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(array_distinct(ngramArr(n))).as("gram"))

@@ -103,6 +103,58 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(urls2 == urls)
   }
 
+  test("prefilterState: bloom probe fires in-plan, keeps every true match, byte-cap bypasses") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val state = (0L until 10000L).toDF("url_hash")
+    val dropKeys = Seq(3L, 42L, 9999L, 123456789L).toDF("k")
+    val filtered = IncrementalCurate.prefilterState(
+      state, col("url_hash"), dropKeys, 4L, 0.001, 1L << 20)
+    // analyzed, not optimized: over a LocalRelation the optimizer
+    // constant-folds the whole filter away (ConvertToLocalRelation) —
+    // itself proof the probe evaluates — but parquet-backed state (the
+    // production shape) keeps it as a codegen filter above the scan
+    val plan = filtered.queryExecution.analyzed.toString()
+    assert(plan.contains("bloom_might_contain"), plan.linesIterator.take(5).mkString("\n"))
+    val kept = filtered.collect().map(_.getLong(0)).toSet
+    // no false negatives: every drop key present in state survives
+    assert(Set(3L, 42L, 9999L).subsetOf(kept))
+    // the sketch actually filters (fpp=1e-3 over 10k rows leaves ~ the
+    // true matches, allow generous headroom)
+    assert(kept.size < 1000, s"prefilter kept ${kept.size} of 10000")
+    // byte cap / zero-n bypass: state returned unfiltered
+    assert(IncrementalCurate.prefilterState(
+      state, col("url_hash"), dropKeys, 4L, 0.001, 0L).count() == 10000L)
+    assert(IncrementalCurate.prefilterState(
+      state, col("url_hash"), dropKeys, 0L, 0.001, 1L << 20).count() == 10000L)
+  }
+
+  test("ingest with state prefilter disabled is result-identical (A/B over every dup class)") {
+    val d1 = (0 until 10).map(i => (s"https://ab.example/p/$i", textOf(s"a$i")))
+    val a3near = textOf("a3").split(' ').dropRight(1).mkString(" ")
+    val d2 = Seq(
+      ("https://ab.example/q/0", textOf("b0")),
+      ("https://ab.example/p/4#frag", textOf("zz")),
+      ("https://ab.example/q/exact", textOf("a1")),
+      ("https://ab.example/q/near", textOf("a2").split(' ').dropRight(1).mkString(" ")),
+      ("https://ab.example/q/chainB", a3near),
+      ("https://ab.example/q/chainA", a3near.split(' ').dropRight(1).mkString(" ")))
+    val d1Dir = tmp("ab-d1"); write(d1, d1Dir)
+    val d2Dir = tmp("ab-d2"); write(d2, d2Dir)
+    val stOn = tmp("ab-on"); val stOff = tmp("ab-off")
+    val on = Seq(
+      IncrementalCurate.ingestDrop(spark, d1Dir, stOn),
+      IncrementalCurate.ingestDrop(spark, d2Dir, stOn))
+    val off = Seq(
+      IncrementalCurate.ingestDrop(spark, d1Dir, stOff, prefilterMaxBytes = 0L),
+      IncrementalCurate.ingestDrop(spark, d2Dir, stOff, prefilterMaxBytes = 0L))
+    assert(on == off)
+    def canon(st: String) = spark.read.parquet(s"$st/canonical")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(canon(stOn) == canon(stOff))
+  }
+
   test("drop k+2 dedups against content ADMITTED in drop k+1 (state appends are lineage-safe)") {
     // Regression: the state appends used to invalidate the cached
     // `admitted` plan (its lineage reads every state dir), and the
