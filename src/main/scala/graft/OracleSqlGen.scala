@@ -516,6 +516,57 @@ private[graft] object OracleSqlGen {
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SQ8 mirror (VectorOps.sqTrain/sqEncode/annSqFromQ recomputed):
+    * per-dimension integer min/max over the milli values, code =
+    * clamp_255((m - mn) * 255 // rng) — numerator non-negative on the
+    * training corpus, so DuckDB's toward-zero `//` equals the JVM `/`
+    * — and ADC = squared L2 in the 255-scaled milli space between the
+    * query and the dequantization mn*255 + c*rng, shortlist by
+    * (d ASC, vec_id ASC), then the SAME exact cosine re-rank tail as
+    * annPq.
+    */
+  val annSq: String = {
+    val (nQueries, topK, shortlist) = (10, 5, 100)
+    s"""WITH vm AS (
+       |  SELECT vec_id, dd.i,
+       |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
+       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
+       |mm AS (SELECT i, min(m) AS mn, greatest(1, max(m) - min(m)) AS rng
+       |       FROM vm GROUP BY i),
+       |codes AS (
+       |  SELECT v.vec_id, v.i,
+       |         least(255, greatest(0, ((v.m - mm.mn) * 255) // mm.rng)) AS c
+       |  FROM vm v JOIN mm USING (i)),
+       |qs AS (SELECT vec_id AS query_id, i, m * 255 AS qsc
+       |       FROM vm WHERE vec_id < $nQueries),
+       |adc AS (
+       |  SELECT q.query_id, c.vec_id,
+       |         sum((q.qsc - (mm.mn * 255 + c.c * mm.rng)) *
+       |             (q.qsc - (mm.mn * 255 + c.c * mm.rng))) AS d
+       |  FROM codes c JOIN mm ON mm.i = c.i JOIN qs q ON q.i = c.i
+       |  WHERE c.vec_id <> q.query_id
+       |  GROUP BY q.query_id, c.vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rn
+       |    FROM adc) t WHERE rn <= $shortlist),
+       |normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |         ${dotSql("q.embedding", "n.embedding")} / (n.norm * q.norm) AS sim
+       |  FROM short sh JOIN normed n ON n.vec_id = sh.neighbor_id
+       |                JOIN normed q ON q.vec_id = sh.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       |        CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
+       |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Recall@5 of the approximate ANN methods vs the exact brute-force
     * top-k — a pure composition of the already-mirrored queries, so the
     * oracle re-derives the recall numbers from first principles.

@@ -378,6 +378,9 @@ object Queries {
   def annPq(s: SparkSession, d: String): DataFrame =
     VectorOps.annPq(s, VectorOps.readEmbeddings(s, d))
 
+  def annSq(s: SparkSession, d: String): DataFrame =
+    VectorOps.annSq(s, VectorOps.readEmbeddings(s, d))
+
   /** Build/serve split: materialize the LSH index to parquet, then
     * answer from the STORED index — bit-identical to ann_lsh (same
     * DuckDB mirror), proving the serving path reads what the offline

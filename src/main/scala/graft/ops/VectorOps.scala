@@ -624,6 +624,143 @@ object VectorOps {
     annPqFrom(spark, codes, codebooks, emb, nQueries, k, shortlist, dim)
   }
 
+  // -------------------------------------------------------------------
+  // SQ8 — per-dimension int8 scalar quantization (the memory tier
+  // between the exact float scan and PQ: 4x smaller vectors, one code
+  // per DIMENSION so reconstruction error is per-element bounded and
+  // recall is near-exact; FAISS's SQ8 shape)
+  // -------------------------------------------------------------------
+
+  /** SQ8 train: per-dimension (min, max) of the milli-fixed-point
+    * values over the base — ONE partial-aggregate pass (d longs per
+    * partition to the driver, no shuffle; the kmeansMilli precedent).
+    * Integer-exact, so the DuckDB oracle recomputes it bit-for-bit.
+    */
+  def sqTrain(spark: SparkSession, emb: DataFrame,
+              dim: Int = 64): (Array[Long], Array[Long]) = {
+    import spark.implicits._
+    val parts = emb.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val mn = Array.fill(dim)(Long.MaxValue)
+        val mx = Array.fill(dim)(Long.MinValue)
+        var any = false
+        it.foreach { v =>
+          any = true
+          val m = milli(v)
+          var i = 0
+          val n = math.min(dim, m.length)
+          while (i < n) {
+            if (m(i) < mn(i)) mn(i) = m(i)
+            if (m(i) > mx(i)) mx(i) = m(i)
+            i += 1
+          }
+        }
+        if (any) Iterator.single((mn.toSeq, mx.toSeq)) else Iterator.empty
+      }
+      .collect()
+    require(parts.nonEmpty, "sqTrain: empty embedding relation")
+    val mins = Array.fill(dim)(Long.MaxValue)
+    val maxs = Array.fill(dim)(Long.MinValue)
+    parts.foreach { case (mn, mx) =>
+      var i = 0
+      while (i < dim) {
+        if (mn(i) < mins(i)) mins(i) = mn(i)
+        if (mx(i) > maxs(i)) maxs(i) = mx(i)
+        i += 1
+      }
+    }
+    (mins, maxs)
+  }
+
+  /** SQ8 encode: code_i = clamp_255((m_i - min_i) * 255 / rng_i) with
+    * rng_i = max(1, max_i - min_i). All-integer; JVM truncating `/`
+    * matches DuckDB `//` (both toward zero — the numerator is
+    * non-negative for training vectors, and the clamp equalizes any
+    * out-of-range serve-time vector on both engines).
+    */
+  def sqEncode(spark: SparkSession, emb: DataFrame,
+               mins: Array[Long], maxs: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val ranges = mins.indices.map(i => math.max(1L, maxs(i) - mins(i))).toArray
+    val bc = spark.sparkContext.broadcast((mins, ranges))
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val (mn, rng) = bc.value
+        it.map { case (id, v) =>
+          val m = milli(v)
+          val n = math.min(mn.length, m.length)
+          val cs = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val c = (m(i) - mn(i)) * 255L / rng(i)
+            cs(i) = math.max(0L, math.min(255L, c)).toInt
+            i += 1
+          }
+          (id, cs.toSeq)
+        }
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** SQ8 ADC shortlist + exact re-rank for an ARBITRARY (query_id,
+    * q_emb) relation: squared L2 in the 255-scaled milli space between
+    * the query and each code's dequantization (min_i*255 + c_i*rng_i)
+    * — one pass over the codes (4x fewer bytes than the float base),
+    * then [[rerankExactQ]] on the shortlist only. The query batch is
+    * collected and broadcast (BOUNDED request batches — same contract
+    * as the serve queries; enforced), so the base never shuffles.
+    * Magnitude bound: per-term (2^21)^2 ≈ 2^42, x4096 dims < 2^54 —
+    * BIGINT-safe on both engines.
+    */
+  private[ops] def annSqFromQ(spark: SparkSession, codes: DataFrame,
+                              mins: Array[Long], maxs: Array[Long],
+                              emb: DataFrame, queries: DataFrame,
+                              k: Int, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val ranges = mins.indices.map(i => math.max(1L, maxs(i) - mins(i))).toArray
+    val qArr = queries.select(col("query_id").cast("long"), col("q_emb"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, milli(v).map(_ * 255L)) }
+    require(qArr.length <= 65536,
+      s"annSq: ${qArr.length} queries exceed the bounded-batch contract (65536)")
+    val bc = spark.sparkContext.broadcast((qArr, mins.map(_ * 255L), ranges))
+    val adc = codes.select(col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (qs, min255, rng) = bc.value
+        it.flatMap { case (id, csSeq) =>
+          val cs = csSeq.toArray
+          qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
+            var s = 0L
+            var i = 0
+            val n = math.min(cs.length, math.min(qv.length, rng.length))
+            while (i < n) {
+              val d = qv(i) - (min255(i) + cs(i).toLong * rng(i))
+              s += d * d
+              i += 1
+            }
+            (qid, id, s)
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "adc_dist")
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExactQ(short, emb, queries, k)
+  }
+
+  def annSq(spark: SparkSession, emb: DataFrame, nQueries: Int = 10,
+            k: Int = 5, shortlist: Int = 100, dim: Int = 64): DataFrame = {
+    val (mins, maxs) = sqTrain(spark, emb, dim)
+    val codes = sqEncode(spark, emb, mins, maxs)
+    annSqFromQ(spark, codes, mins, maxs, emb,
+      queriesByIdPrefix(emb, nQueries), k, shortlist)
+  }
+
   /** Recall@k of the approximate ANN methods against the exact
     * brute-force ground truth — the number a user tuning
     * nPlanes/nProbe/bands actually needs. Deterministic and fully

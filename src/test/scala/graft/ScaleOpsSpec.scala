@@ -297,6 +297,35 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("annSq: near-exact recall, true cosines after re-rank, deterministic, partition-invariant") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val a = VectorOps.annSq(spark, emb).collect().toSeq
+    assert(a == VectorOps.annSq(spark, emb).collect().toSeq, "SQ must be deterministic")
+    assert(a == VectorOps.annSq(spark, emb.repartition(7)).collect().toSeq,
+      "SQ train/encode/search must be partition-invariant")
+    assert(a.nonEmpty && a.size <= 50)
+    val brute = VectorOps.annBrute(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // exact re-rank: reported sims are TRUE cosines
+    a.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(simB => assert(simB == r.getLong(3),
+        s"re-ranked sim for $key diverges from exact"))
+    }
+    // SQ8 with per-DIMENSION codes + 100-deep shortlist should be
+    // near-exact — materially tighter than the PQ floor
+    val exact = brute.keySet
+    val hits = a.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    assert(hits * 1000L / 50 >= 900L, s"SQ recall_milli = ${hits * 1000L / 50}")
+    // codes are bytes per dimension: every code in [0, 255]
+    val (mins, maxs) = VectorOps.sqTrain(spark, emb)
+    val codes = VectorOps.sqEncode(spark, emb, mins, maxs)
+    import org.apache.spark.sql.functions.{col, explode, max => smax, min => smin}
+    val mm = codes.select(explode(col("codes")).as("c"))
+      .agg(smin(col("c")), smax(col("c"))).head()
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 255)
+  }
+
   test("qualityTrain: recovers the planted lexicon on held-out docs; guards block memorization") {
     val sp = spark; import sp.implicits._
     val docs = TextOps.readDocs(spark, sfDir)
