@@ -13,18 +13,20 @@ import graft.ops.AnnIndex
   * rerunning after a crash just rewrites the same artifacts.
   *
   * CLI: spark-submit --class graft.AnnIndexJob app.jar \
-  *        <embeddingsParquet> <indexDir> [lsh|pq|both]
+  *        <embeddingsParquet> <indexDir> [lsh|pq|sq|both|all]
+  * ("both" = lsh+pq, kept for compatibility; "all" adds the SQ8 leg)
   */
 object AnnIndexJob {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.AnnIndexJob <embeddingsParquet> <indexDir> [lsh|pq|both]")
+        "usage: graft.AnnIndexJob <embeddingsParquet> <indexDir> [lsh|pq|sq|both|all]")
       sys.exit(2)
     }
     val what = if (args.length > 2) args(2) else "both"
-    require(Set("lsh", "pq", "both").contains(what), s"unknown index kind: $what")
+    require(Set("lsh", "pq", "sq", "both", "all").contains(what),
+      s"unknown index kind: $what")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .appName("graft-ann-index")
@@ -36,9 +38,12 @@ object AnnIndexJob {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(args(0))
     val t0 = System.nanoTime()
-    if (what == "lsh" || what == "both") AnnIndex.buildLsh(spark, emb, args(1))
+    if (what == "lsh" || what == "both" || what == "all")
+      AnnIndex.buildLsh(spark, emb, args(1))
     val tLsh = (System.nanoTime() - t0) / 1e9
-    if (what == "pq" || what == "both") AnnIndex.buildPq(spark, emb, args(1))
+    if (what == "pq" || what == "both" || what == "all")
+      AnnIndex.buildPq(spark, emb, args(1))
+    if (what == "sq" || what == "all") AnnIndex.buildSq(spark, emb, args(1))
     val tAll = (System.nanoTime() - t0) / 1e9
     val nVecs = emb.count()
     println(

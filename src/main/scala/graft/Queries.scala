@@ -422,6 +422,16 @@ object Queries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** Same split for SQ8: the quantizer + byte codes persist, serving
+    * reads them back — bit-identical to ann_sq (same DuckDB mirror).
+    */
+  def annSqServe(s: SparkSession, d: String): DataFrame = {
+    val emb = VectorOps.readEmbeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-sq").toString
+    graft.ops.AnnIndex.buildSq(s, emb, dir)
+    materializeAndDelete(s, graft.ops.AnnIndex.serveSq(s, emb, dir), dir)
+  }
+
   def embedClusterQ(s: SparkSession, d: String): DataFrame =
     VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
 

@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_ivf" -> (Queries.annIvf _),
     "ann_pq" -> (Queries.annPq _),
     "ann_sq" -> (Queries.annSq _),
+    "ann_sq_serve" -> (Queries.annSqServe _),
     "ann_pq_serve" -> (Queries.annPqServe _),
     "embed_cluster" -> (Queries.embedClusterQ _),
     "ann_recall" -> (Queries.annRecall _),
@@ -630,6 +631,7 @@ object SparkEntry {
     "ann_ivf" -> OracleSqlGen.annIvf,
     "ann_pq" -> OracleSqlGen.annPq,
     "ann_sq" -> OracleSqlGen.annSq,
+    "ann_sq_serve" -> OracleSqlGen.annSq,
     "ann_pq_serve" -> OracleSqlGen.annPq,
     "embed_cluster" -> OracleSqlGen.embedCluster,
     "ann_recall" -> OracleSqlGen.annRecall,

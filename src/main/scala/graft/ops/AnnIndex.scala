@@ -142,7 +142,8 @@ object AnnIndex {
   def compact(spark: SparkSession, indexDir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.CompactJob.CompactReport)] = {
     val fsConf = spark.sparkContext.hadoopConfiguration
-    Seq("lsh_buckets" -> lshDir(indexDir), "pq_codes" -> pqCodesDir(indexDir))
+    Seq("lsh_buckets" -> lshDir(indexDir), "pq_codes" -> pqCodesDir(indexDir),
+        "sq_codes" -> sqCodesDir(indexDir))
       .filter { case (_, d) =>
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(fsConf).exists(p)
@@ -183,6 +184,94 @@ object AnnIndex {
     val codebooks = readCodebooks(spark, indexDir)
     VectorOps.annPqFrom(spark, spark.read.parquet(pqCodesDir(indexDir)),
       codebooks, emb, nQueries, k, shortlist, dimOf(codebooks))
+  }
+
+  // -------------------------------------------------------------------
+  // SQ8 index — per-dimension scalar quantization (see VectorOps.annSq)
+  // -------------------------------------------------------------------
+
+  private def sqMetaDir(indexDir: String) = s"$indexDir/sq_meta"
+  private def sqCodesDir(indexDir: String) = s"$indexDir/sq_codes"
+
+  /** Train per-dimension (min, max) and materialize the SQ8 artifacts:
+    * a one-row quantizer table (mins, maxs ARRAY<BIGINT>) and the
+    * byte-per-dimension code relation. Training is one
+    * partial-aggregate pass; encoding one more.
+    */
+  def buildSq(spark: SparkSession, emb: DataFrame, indexDir: String,
+              dim: Int = 64): Unit = {
+    import spark.implicits._
+    val (mins, maxs) = VectorOps.sqTrain(spark, emb, dim)
+    write(Seq((mins.toSeq, maxs.toSeq)).toDF("mins", "maxs").coalesce(1),
+      sqMetaDir(indexDir))
+    write(VectorOps.sqEncode(spark, emb, mins, maxs)
+      .withColumn("from_append", lit(false)), sqCodesDir(indexDir))
+  }
+
+  /** Rehydrate the stored quantizer (the geometry travels WITH the
+    * index — serve/append cannot drift from build parameters).
+    */
+  private def readSqMeta(spark: SparkSession, indexDir: String): (Array[Long], Array[Long]) = {
+    val rows = spark.read.parquet(sqMetaDir(indexDir))
+      .select(col("mins"), col("maxs")).collect()
+    require(rows.length == 1, s"malformed sq_meta at $indexDir")
+    (rows(0).getSeq[Long](0).toArray, rows(0).getSeq[Long](1).toArray)
+  }
+
+  /** Approximate top-k against a PREBUILT SQ8 index — identical
+    * results to VectorOps.annSq with the index's quantizer; the base
+    * is read once, in the exact re-rank.
+    */
+  def serveSq(spark: SparkSession, emb: DataFrame, indexDir: String,
+              nQueries: Int = 10, k: Int = 5, shortlist: Int = 100): DataFrame = {
+    val (mins, maxs) = readSqMeta(spark, indexDir)
+    VectorOps.annSqFromQ(spark, spark.read.parquet(sqCodesDir(indexDir)),
+      mins, maxs, emb, VectorOps.queriesByIdPrefix(emb, nQueries), k, shortlist)
+  }
+
+  /** Arbitrary-query SQ serving. SQ ADC is a broadcast scan by
+    * construction (the query batch rides the closure), so this form is
+    * for BOUNDED request batches only — the kernel enforces the same
+    * 65536 ceiling the LSH/PQ serve guards use; chunk larger batches
+    * or use the PQ/LSH serve paths.
+    */
+  def serveSqQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+                     indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
+    val (mins, maxs) = readSqMeta(spark, indexDir)
+    VectorOps.annSqFromQ(spark, spark.read.parquet(sqCodesDir(indexDir)),
+      mins, maxs, emb, queries.filter(col("q_emb").isNotNull), k, shortlist)
+  }
+
+  /** Append newly-arrived vectors encoded under the FROZEN stored
+    * quantizer (codes are per-vector independent given (mins, maxs),
+    * so append-then-serve equals serving codes of the union encoded
+    * under the same frozen quantizer — spec-asserted). Out-of-range
+    * values clamp to 0/255; [[sqStaleness]] is the retrain signal.
+    * Same disjoint-ids contract as [[appendLsh]].
+    */
+  def appendSq(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit = {
+    val (mins, maxs) = readSqMeta(spark, indexDir)
+    append(VectorOps.sqEncode(spark, newEmb, mins, maxs)
+      .withColumn("from_append", lit(true)), sqCodesDir(indexDir))
+  }
+
+  /** Permille of stored SQ code rows encoded after the quantizer's
+    * training (mirrors [[pqStaleness]]).
+    */
+  def sqStaleness(spark: SparkSession, indexDir: String): Long = {
+    val codes = spark.read.parquet(sqCodesDir(indexDir))
+    val r = codes.agg(
+      sum(when(col("from_append"), 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("n")).collect()(0)
+    if (r.getLong(1) == 0L) 0L else r.getLong(0) * 1000L / r.getLong(1)
+  }
+
+  /** Retrain the quantizer on the CURRENT corpus and re-encode —
+    * bit-identical to a fresh [[buildSq]]; staleness reads 0 after.
+    */
+  def rebuildSq(spark: SparkSession, emb: DataFrame, indexDir: String): Unit = {
+    val (mins, _) = readSqMeta(spark, indexDir)
+    buildSq(spark, emb, indexDir, dim = mins.length)
   }
 
   // -------------------------------------------------------------------

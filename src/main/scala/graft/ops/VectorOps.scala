@@ -713,7 +713,7 @@ object VectorOps {
     * Magnitude bound: per-term (2^21)^2 ≈ 2^42, x4096 dims < 2^54 —
     * BIGINT-safe on both engines.
     */
-  private[ops] def annSqFromQ(spark: SparkSession, codes: DataFrame,
+  private[graft] def annSqFromQ(spark: SparkSession, codes: DataFrame,
                               mins: Array[Long], maxs: Array[Long],
                               emb: DataFrame, queries: DataFrame,
                               k: Int, shortlist: Int): DataFrame = {

@@ -467,6 +467,54 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve result must flow from the stored index")
   }
 
+  test("AnnIndex SQ8 leg: serve bit-identity, frozen-quantizer appends, staleness, compaction") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ann-index-sq").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+
+    AnnIndex.buildSq(spark, emb, dir)
+    assert(new java.io.File(s"$dir/sq_codes").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "sq_codes not written")
+    assert(rows(AnnIndex.serveSq(spark, emb, dir)) ==
+      rows(VectorOps.annSq(spark, emb)), "SQ serve != in-memory")
+    assert(AnnIndex.sqStaleness(spark, dir) == 0L)
+
+    // frozen-quantizer append: build on the even half, append the odd
+    // half; serve over the union must equal the KERNEL composition
+    // (codes of the union encoded under the even half's quantizer)
+    import org.apache.spark.sql.functions.col
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val dir2 = java.nio.file.Files.createTempDirectory("ann-index-sq-app").toString
+    AnnIndex.buildSq(spark, evens, dir2)
+    AnnIndex.appendSq(spark, odds, dir2)
+    val (mn, mx) = VectorOps.sqTrain(spark, evens)
+    val wantRows = rows(VectorOps.annSqFromQ(spark,
+      VectorOps.sqEncode(spark, emb, mn, mx), mn, mx, emb,
+      emb.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb")).filter(col("query_id") < 10), 5, 100))
+    assert(rows(AnnIndex.serveSq(spark, emb, dir2)) == wantRows,
+      "append-then-serve must equal frozen-quantizer encoding of the union")
+    val stale = AnnIndex.sqStaleness(spark, dir2)
+    assert(stale > 0L && stale < 1000L, s"staleness permille = $stale")
+
+    // rebuild retrains on the full corpus: staleness resets, results
+    // equal a fresh full build
+    AnnIndex.rebuildSq(spark, emb, dir2)
+    assert(AnnIndex.sqStaleness(spark, dir2) == 0L)
+    assert(rows(AnnIndex.serveSq(spark, emb, dir2)) ==
+      rows(VectorOps.annSq(spark, emb)))
+
+    // compaction covers sq_codes; serve is bit-identical after
+    AnnIndex.appendSq(spark,
+      emb.limit(20).withColumn("vec_id", col("vec_id") + 10000000L), dir)
+    val before = rows(AnnIndex.serveSq(spark, emb, dir))
+    val reports = AnnIndex.compact(spark, dir).toMap
+    assert(reports.contains("sq_codes"))
+    assert(rows(AnnIndex.serveSq(spark, emb, dir)) == before,
+      "SQ serve changed across compaction")
+  }
+
   test("corpus lifecycle: extract -> embed -> index -> serve ARBITRARY query vectors") {
     val sp = spark; import sp.implicits._
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
