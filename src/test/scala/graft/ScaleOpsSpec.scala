@@ -670,4 +670,49 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorOps.annRecall(spark, emb).collect().toSeq ==
       VectorOps.annRecall(spark, emb).collect().toSeq)
   }
+
+  test("AnnServeJob: batch serving from a stored index == library serve, all three kinds") {
+    val sp = spark; import sp.implicits._
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val idxDir = tmp("serve-job-idx")
+    AnnIndex.buildLsh(spark, emb, idxDir)
+    AnnIndex.buildPq(spark, emb, idxDir)
+    AnnIndex.buildSq(spark, emb, idxDir)
+
+    // request batch = three corpus vectors under fresh negative ids,
+    // plus one null-embedding row (must be dropped, not an NPE)
+    val probe = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id"), col("embedding")).collect()
+    val embPath = tmp("serve-job-emb") + "/emb.parquet"
+    emb.write.mode("overwrite").parquet(embPath)
+    val qPath = tmp("serve-job-q") + "/queries.parquet"
+    (probe.zipWithIndex.map { case (r, i) =>
+      (-(i + 1).toLong, r.getSeq[Float](1))
+    }.toSeq :+ (-9L, null.asInstanceOf[Seq[Float]]))
+      .toDF("query_id", "q_emb").write.mode("overwrite").parquet(qPath)
+    val queries = spark.read.parquet(qPath)
+
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    for (kind <- Seq("lsh", "pq", "sq")) {
+      val outDir = tmp(s"serve-job-out-$kind")
+      val (nQ, nR) = AnnServeJob.run(spark, idxDir, embPath, qPath, outDir, kind, k = 3)
+      assert(nQ == 4L, s"$kind: nQueries")
+      val want = kind match {
+        case "lsh" => AnnIndex.serveLshQueries(spark, emb, queries, idxDir, 3)
+        case "pq" => AnnIndex.servePqQueries(spark, emb, queries, idxDir, 3)
+        case "sq" => AnnIndex.serveSqQueries(spark, emb, queries, idxDir, 3)
+      }
+      val got = spark.read.parquet(outDir)
+      assert(nR == got.count(), s"$kind: reported result count != written rows")
+      assert(sortedRows(got) == sortedRows(want), s"$kind: job output != library serve")
+      // null-embedding request dropped; real requests answered
+      val qids = got.select("query_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!qids.contains(-9L) && qids == Set(-1L, -2L, -3L), s"$kind: qids=$qids")
+    }
+    intercept[IllegalArgumentException] {
+      AnnServeJob.run(spark, idxDir, embPath, qPath, tmp("serve-job-bad"), "hnsw")
+    }
+  }
 }
