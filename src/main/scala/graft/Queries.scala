@@ -274,6 +274,24 @@ object Queries {
         TextOps.hostOf("url_norm").as("host"))
       .orderBy("doc_id")
 
+  /** Per-host document cap over REAL parsed hosts (the C4/RefinedWeb
+    * "at most N pages per domain" rule): hosts come from the full
+    * messy-url → normalize → parse chain (same synth as url_normalize,
+    * so the mega-host skew PageSource.hostId plants — half the corpus
+    * on host0 — hits the cap for real), quality key = word count.
+    * Salted two-phase window (TextOps.hostCap); the oracle replays the
+    * single-window semantics the composition must equal.
+    */
+  def hostCapQ(s: SparkSession, d: String): DataFrame = {
+    val hosts = urlNormalizeQ(s, d)
+      .select(col("doc_id"), TextOps.hostOf("url_norm").as("host"))
+    val toks = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    TextOps.hostCap(hosts.join(toks, Seq("doc_id")), cap = 12)
+      .orderBy("doc_id")
+  }
+
   def piiScrubQ(s: SparkSession, d: String): DataFrame =
     TextOps.piiScrub(TextOps.readDocs(s, d))
 

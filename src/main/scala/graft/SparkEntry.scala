@@ -38,6 +38,7 @@ object SparkEntry {
     "strat_sample" -> (Queries.stratSample _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "host_parse" -> (Queries.hostParseQ _),
+    "host_cap" -> (Queries.hostCapQ _),
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
     "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
@@ -554,6 +555,24 @@ object SparkEntry {
       s"""SELECT doc_id, url_norm,
          |  ${graft.ops.TextOps.hostOfSql("url_norm")} AS host
          |FROM ($urlNormalizeSql) u ORDER BY doc_id""".stripMargin,
+    // per-host cap: single-window replay of the salted two-phase
+    // TextOps.hostCap (the composition is provably equal — see the
+    // operator's scaladoc); hosts from the SAME parse chain as
+    // host_parse, quality key = the shared nw word count, cap 12
+    "host_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${graft.ops.TextOps.hostOfSql("url_norm")} AS host
+         |  FROM ($urlNormalizeSql) u),
+         |t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             CAST($nw AS BIGINT) AS n_tokens FROM documents),
+         |r AS (
+         |  SELECT h.doc_id, h.host, t.n_tokens,
+         |    row_number() OVER (
+         |      PARTITION BY h.host
+         |      ORDER BY t.n_tokens DESC, h.doc_id ASC) AS rn
+         |  FROM h JOIN t USING (doc_id))
+         |SELECT doc_id, host, n_tokens, CAST(rn AS BIGINT) AS cap_rank
+         |FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
     // email redaction: pattern uses only char classes + quantifiers so
     // Java regex (Spark) and RE2 (DuckDB) match identically
     "pii_scrub" ->

@@ -1127,6 +1127,44 @@ object TextOps {
   /** [[hostOfSql]] as a Column over the named url column. */
   def hostOf(urlNormCol: String): Column = expr(hostOfSql(urlNormCol))
 
+  /** Per-host document cap — the "at most `cap` pages per domain"
+    * curation rule: keep each host's top-`cap` docs by
+    * (n_tokens DESC, doc_id ASC), emitting `cap_rank` (1-based) for
+    * the survivors. Input must carry (doc_id, host, n_tokens); the
+    * ordering key is total per host (doc_id is unique), so the result
+    * is deterministic and parallelism-invariant.
+    *
+    * Scale shape: a single `Window.partitionBy(host)` puts an entire
+    * host in ONE task — on a web corpus where one host can own half
+    * the crawl (exactly the skew PageSource.hostId plants), that task
+    * is the job. Instead the cap runs in two phases:
+    *   1. a SALTED window over (host, doc_id % saltBuckets) prunes
+    *      each bucket to its local top-`cap` — the mega-host's rows
+    *      spread over `saltBuckets` tasks, and the survivor set is
+    *      ≤ saltBuckets·cap rows per host regardless of corpus size;
+    *   2. the global per-host window ranks only those survivors.
+    * Phase 1 cannot evict a global top-`cap` row (a row in the global
+    * top-`cap` is in the top-`cap` of its own bucket), so the
+    * composition equals the single-window semantics exactly —
+    * spec-asserted against the naive form.
+    */
+  def hostCap(docs: DataFrame, cap: Int, saltBuckets: Int = 16): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("n_tokens").desc, col("doc_id").asc)
+    val local = Window
+      .partitionBy(col("host"), pmod(col("doc_id"), lit(saltBuckets.toLong)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col("host")).orderBy(order: _*)
+    docs
+      .withColumn("rn_local", row_number().over(local))
+      .filter(col("rn_local") <= cap)
+      .drop("rn_local")
+      .withColumn("cap_rank", row_number().over(global).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
+
   // -------------------------------------------------------------------
   // PII scrubbing (email redaction)
   // -------------------------------------------------------------------

@@ -671,6 +671,36 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       VectorOps.annRecall(spark, emb).collect().toSeq)
   }
 
+  test("hostCap: salted two-phase == sequential reference; salt-invariant; mega-host capped") {
+    val sp = spark; import sp.implicits._
+    // adversarial skew: one host owns ~94% of the corpus, one host has
+    // exactly cap rows, one fewer, plus deliberate n_tokens ties that
+    // only the doc_id tiebreak resolves
+    val rows = (0 until 900).map(i => (i.toLong, "mega.example", (i % 7).toLong + 10L)) ++
+      (900 until 905).map(i => (i.toLong, "five.example", 50L)) ++
+      Seq((905L, "one.example", 3L))
+    val docs = rows.toDF("doc_id", "host", "n_tokens")
+    val cap = 5
+    // sequential reference: per-host sort by (n_tokens desc, doc_id asc)
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.sortBy { case (id, _, nt) => (-nt, id) }.take(cap).zipWithIndex
+        .map { case ((id, h, nt), i) => (id, h, nt, (i + 1).toLong) }
+    }.sortBy(_._1)
+    def got(salt: Int) = graft.ops.TextOps.hostCap(docs, cap, salt)
+      .select("doc_id", "host", "n_tokens", "cap_rank").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got(16) == want, "two-phase != sequential reference")
+    // the salt is an execution detail, never a semantic one
+    assert(got(1) == want && got(3) == want && got(64) == want,
+      "result must be salt-invariant")
+    // mega-host really truncated; small hosts intact
+    val byHost = want.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byHost("mega.example") == cap && byHost("five.example") == cap &&
+      byHost("one.example") == 1)
+    // cap >= every group: nothing dropped, ranks are a permutation
+    assert(graft.ops.TextOps.hostCap(docs, 1000, 8).count() == rows.size.toLong)
+  }
+
   test("AnnServeJob: batch serving from a stored index == library serve, all three kinds") {
     val sp = spark; import sp.implicits._
     val emb = VectorOps.readEmbeddings(spark, sfDir)
