@@ -4,14 +4,20 @@
 Usage: python3 scripts/oracle_check.py [verify_out_dir] [sf_dir]
 (after `sbt -batch "runMain graft.Verify <sf_dir> <verify_out_dir>"`)
 
-Queries run CONCURRENTLY across worker threads, one DuckDB connection
-per worker (duckdb releases the GIL during execution; per-connection
-thread budgets keep total CPU at ~the core count). The SQL is executed
-byte-identically to what the driver runs — parallelism is the runtime
-guard, never a semantic change. ORACLE_WORKERS overrides the pool size.
+Queries run CONCURRENTLY across worker PROCESSES, one DuckDB
+connection per worker (per-connection thread budgets keep total CPU at
+~the core count). Processes, not threads: N in-process connections
+share one vm.max_map_count budget (65530 maps by default), and the
+recursive funnel mirrors fragment DuckDB's allocator enough that the
+8-thread pool hit the map ceiling — malloc then fails at KB sizes
+while the host has >100 GB free ("bad allocation" OOMs on whichever
+query allocates next). One process per worker gives each connection
+its own map table. The SQL is executed byte-identically to what the
+driver runs — parallelism is the runtime guard, never a semantic
+change. ORACLE_WORKERS overrides the pool size.
 """
-import duckdb, json, glob, os, sys, decimal, threading
-from concurrent.futures import ThreadPoolExecutor
+import duckdb, json, glob, os, sys, decimal
+from concurrent.futures import ProcessPoolExecutor
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
@@ -20,17 +26,24 @@ oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
 
 N_WORKERS = int(os.environ.get('ORACLE_WORKERS', '8'))
 THREADS_PER_CON = max(1, (os.cpu_count() or 8) // N_WORKERS)
-tls = threading.local()
+# Fair-share memory budget per worker connection, with a spill dir so
+# an over-budget query degrades to disk instead of dying.
+_mem_gb = max(2, int(0.8 * (os.sysconf('SC_PAGE_SIZE') * os.sysconf('SC_PHYS_PAGES'))
+                     / (1 << 30) / N_WORKERS))
+_con = None
 
 def get_con():
-    if not hasattr(tls, 'con'):
+    global _con
+    if _con is None:
         con = duckdb.connect()
         con.execute(f"PRAGMA threads={THREADS_PER_CON}")
+        con.execute(f"PRAGMA memory_limit='{_mem_gb}GB'")
+        con.execute(f"PRAGMA temp_directory='/tmp/oracle_spill_{os.getpid()}'")
         for f in glob.glob(f'{sf_dir}/*.parquet'):
             name = os.path.basename(f).replace('.parquet', '')
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
-        tls.con = con
-    return tls.con
+        _con = con
+    return _con
 
 def norm(v):
     if isinstance(v, decimal.Decimal): return float(v)
@@ -76,7 +89,7 @@ def check(item):
         return (name, 'values', f'{len(srows)} vs {len(orows)} rows; first diffs {str(diff)[:300]}')
     return None
 
-with ThreadPoolExecutor(max_workers=N_WORKERS) as pool:
+with ProcessPoolExecutor(max_workers=N_WORKERS) as pool:
     results = list(pool.map(check, sorted(oracle.items())))
 ok = [n for (n, _), r in zip(sorted(oracle.items()), results) if r is None]
 bad = sorted([r for r in results if r is not None])

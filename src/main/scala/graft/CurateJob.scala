@@ -20,6 +20,10 @@ import graft.ops.{GraphOps, TextOps, VectorOps}
   *       whose cross-doc duplicated-passage share exceeds
   *       maxDupPermille — the sub-document signal doc-level dedup
   *       cannot see; off by default)
+  *     → [optional] per-domain cap (at most maxDocsPerHost docs per
+  *       PARSED host, keep the best by token count — the C4/RefinedWeb
+  *       domain budget; salted two-phase TextOps.hostCap, off by
+  *       default)
   *     → PII scrub → deterministic hash sampling (flat permille, or
   *       [optional] authority-weighted: host_rank → ntile tiers →
   *       per-tier permille joined on host — the PageRank signal
@@ -103,7 +107,12 @@ object CurateJob {
       // collapse to one canonical doc. Off by default: the funnel is
       // byte-identical to prior rounds when None.
       embeddings: Option[DataFrame] = None,
-      semanticMinSimMicro: Long = 950000L
+      semanticMinSimMicro: Long = 950000L,
+      // optional per-domain cap ("at most N pages per host, keep the
+      // best by token count" — the C4/RefinedWeb rule): hosts are
+      // PARSED from url_norm, the cap is the salted two-phase
+      // TextOps.hostCap. Off by default (funnel byte-identical).
+      maxDocsPerHost: Option[Int] = None
   ): CurateReport = {
     graft.functions.GraftExtensions.register(spark)
 
@@ -118,7 +127,7 @@ object CurateJob {
       .select(xxhash64(col("url_norm")).as("doc_id"), col("url_norm"), col("text"))
     val f = funnel(spark, normed, nBuckets, budgetTokens, samplePermille,
       minTokens, dupFactor, maxDupPermille, authorityPermille, authorityEdges,
-      embeddings, semanticMinSimMicro)
+      embeddings, semanticMinSimMicro, maxDocsPerHost)
     val nUrlDeduped = f.urlDeduped.count() // materializes the persist
     val nGated = f.gated.count() // cheap filter over the cached frame
     val packed = f.packed
@@ -198,6 +207,7 @@ object CurateJob {
       authorityEdges: Option[DataFrame] = None,
       embeddings: Option[DataFrame] = None,
       semanticMinSimMicro: Long = 950000L,
+      maxDocsPerHost: Option[Int] = None,
       cache: Boolean = true): FunnelFrames = {
     graft.functions.GraftExtensions.register(spark)
 
@@ -264,8 +274,8 @@ object CurateJob {
     // canonical lineage (passage aggregate / host-rank pre-count) —
     // without it the whole funnel (gate + dedup + components) would
     // execute once per action
-    val cacheCanonical =
-      cache && (maxDupPermille.isDefined || authorityPermille.isDefined)
+    val cacheCanonical = cache && (maxDupPermille.isDefined ||
+      authorityPermille.isDefined || maxDocsPerHost.isDefined)
     val canonicalC = if (cacheCanonical) canonical.persist() else canonical
     val passGated = maxDupPermille match {
       case Some(th) =>
@@ -278,9 +288,27 @@ object CurateJob {
       case None => canonicalC
     }
 
+    // ---- 3c (optional). per-domain cap: at most maxDocsPerHost docs
+    // per PARSED host, keeping the highest-token-count ones — the
+    // C4/RefinedWeb "domain budget" that stops one mega-host from
+    // dominating the corpus even after dedup (its pages are all
+    // distinct content). The cap relation carries (doc_id, host,
+    // n_tokens) only — text never rides the hostCap shuffles — and
+    // survivors rejoin by id (left_semi).
+    val hostCapped = maxDocsPerHost match {
+      case Some(cap) =>
+        val kept = TextOps.hostCap(
+          passGated.select(col("doc_id"),
+            TextOps.hostOf("url_norm").as("host"),
+            col("n_tokens")),
+          cap).select(col("doc_id"))
+        passGated.join(kept, Seq("doc_id"), "left_semi")
+      case None => passGated
+    }
+
     // ---- 4. scrub + sample + shard-pack, one more projection + the
     // bucket-partitioned window, then the shard write.
-    val scrubbed = passGated
+    val scrubbed = hostCapped
       .withColumn("text",
         regexp_replace(col("text"), TextOps.EmailPattern, "<EMAIL>"))
     val sampleKey = TextOps.unsignedMod1000(
@@ -342,16 +370,22 @@ object CurateJob {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.CurateJob <extractedPath> <outDir> [tierPermille,...] [linkGraphPath]\n" +
+        "usage: graft.CurateJob <extractedPath> <outDir> [tierPermille,...] [linkGraphPath] [maxDocsPerHost]\n" +
         "  optional 3rd arg: comma-separated per-tier sample permille\n" +
         "  (index 0 = highest-authority hosts) enabling authority-weighted sampling\n" +
         "  optional 4th arg: parquet of (src, dst) host link edges — tiers then\n" +
-        "  key on hosts PARSED from url_norm ranked over this real link graph")
+        "  key on hosts PARSED from url_norm ranked over this real link graph\n" +
+        "  optional 5th arg: per-domain document cap (keep the top-N docs\n" +
+        "  per parsed host by token count); '-' skips the 3rd/4th args")
       sys.exit(2)
     }
+    // '-' placeholders let later optional args be set without earlier ones
     val authRates =
-      if (args.length > 2) Some(args(2).split(",").toSeq.map(_.trim.toLong))
+      if (args.length > 2 && args(2) != "-")
+        Some(args(2).split(",").toSeq.map(_.trim.toLong))
       else None
+    val hostCapArg =
+      if (args.length > 4 && args(4) != "-") Some(args(4).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .appName("graft-curate")
@@ -364,9 +398,10 @@ object CurateJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val edges = if (args.length > 3) Some(spark.read.parquet(args(3))) else None
+    val edges = if (args.length > 3 && args(3) != "-")
+      Some(spark.read.parquet(args(3))) else None
     val r = run(spark, args(0), args(1), authorityPermille = authRates,
-      authorityEdges = edges)
+      authorityEdges = edges, maxDocsPerHost = hostCapArg)
     println(
       s"""{"n_input":${r.nInput},"n_url_deduped":${r.nUrlDeduped},""" +
       s""""n_gated":${r.nGated},"n_canonical":${r.nCanonical},""" +

@@ -983,6 +983,32 @@ private[graft] object OracleSqlGen {
        |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 4096 AS BIGINT) AS shard
        |FROM cf6 WHERE hk % 1000 < 900 ORDER BY doc_id""".stripMargin
 
+  /** [[curateFunnel]] with the per-domain cap branch ON
+    * (CurateJob.funnel maxDocsPerHost = 8): the query's planted urls
+    * carry doc_id%7 host labels, so the Spark side parses hosts
+    * through the REAL TextOps.hostOf chain while the mirror
+    * re-derives the identical partition key from doc_id%7 (the parse
+    * is bijective on these urls). Cap = single-window replay of the
+    * salted two-phase TextOps.hostCap (provably equal — operator
+    * scaladoc), applied between clustering and sampling, exactly
+    * where the funnel applies it.
+    */
+  val curateFunnelCap: String =
+    s"""WITH $curateS0,
+       |capped AS (
+       |  SELECT doc_id, nw, x FROM (
+       |    SELECT doc_id, nw, x,
+       |      row_number() OVER (
+       |        PARTITION BY doc_id % 7
+       |        ORDER BY nw DESC, doc_id ASC) AS rn
+       |    FROM s0) t WHERE rn <= 8),
+       |${splitmixCtes("cf", "capped", "doc_id, nw")}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(nw AS BIGINT) AS n_tokens,
+       |  CAST(doc_id % 8 AS BIGINT) AS bucket,
+       |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 4096 AS BIGINT) AS shard
+       |FROM cf6 WHERE hk % 1000 < 900 ORDER BY doc_id""".stripMargin
+
   /** [[curateFunnel]] with the authority-weighted sampling branch ON
     * (CurateJob.funnel authorityPermille = 1000/600/200‰, planted-
     * arithmetic path): the PageRank loop runs over the SURVIVOR set —

@@ -210,16 +210,37 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
       .orderBy(col("doc_id"))
 
+  /** [[curateFunnelQ]] with the per-domain cap branch ON (maxDocsPerHost
+    * 8 over 7 planted hosts — urls carry doc_id%7 host labels, so the
+    * REAL parse chain TextOps.hostOf keys the cap while the oracle
+    * re-derives the same partition from doc_id%7). The host part does
+    * not change url-dedup grouping (urls stay unique per doc), so the
+    * mirror reuses the shared survivor CTE and replays cap → sample →
+    * pack on top. Same shared funnel() code path.
+    */
+  def curateFunnelCapQ(s: SparkSession, d: String): DataFrame =
+    CurateJob.funnel(s, curateCorpus(s, d, hosted = true),
+        maxDocsPerHost = Some(8), cache = false).packed
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
+      .orderBy(col("doc_id"))
+
   /** The planted funnel corpus shared by the curate_funnel queries:
     * base ∪ near-dups (+1e6) ∪ exact copies (+2e6), each with a
     * deterministic url, plus a url REVISIT row ('rev '-prefixed text,
     * same url) for doc_id%10==5 — disjoint from the near/exact planted
     * families so each funnel stage has its own positives.
     */
-  private def curateCorpus(s: SparkSession, d: String): DataFrame = {
+  private def curateCorpus(s: SparkSession, d: String,
+                           hosted: Boolean = false): DataFrame = {
     val docs = TextOps.readDocs(s, d)
     val corpus = corpusWithExactDups(TextOps.corpusWithNearDups(docs))
-    val urlOf = format_string("https://curate.example/d/%d", col("doc_id"))
+    // hosted: spread urls over 7 doc_id%7 hosts (for the per-domain
+    // cap branch); urls remain unique per doc either way, so url-dedup
+    // and every later stage behave identically
+    val urlOf =
+      if (hosted) format_string("https://h%d.curate.example/d/%d",
+        col("doc_id") % 7, col("doc_id"))
+      else format_string("https://curate.example/d/%d", col("doc_id"))
     corpus
       .select(col("doc_id").cast("long").as("doc_id"), urlOf.as("url_norm"), col("text"))
       .unionByName(corpus.filter(col("doc_id") % 10 === 5)

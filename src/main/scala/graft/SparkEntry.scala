@@ -33,6 +33,7 @@ object SparkEntry {
     "dup_stats" -> (Queries.dupStats _),
     "curate_funnel" -> (Queries.curateFunnelQ _),
     "curate_funnel_auth" -> (Queries.curateFunnelAuthQ _),
+    "curate_funnel_cap" -> (Queries.curateFunnelCapQ _),
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
     "strat_sample" -> (Queries.stratSample _),
@@ -635,6 +636,9 @@ object SparkEntry {
     // the funnel's authority branch: survivor-set PageRank → ntile
     // tiers → per-tier permille, replayed over the same survivor CTE
     "curate_funnel_auth" -> OracleSqlGen.curateFunnelAuth,
+    // the funnel's per-domain-cap branch: survivor CTE + the cap
+    // window (doc_id%7 == the parsed host partition on these urls)
+    "curate_funnel_cap" -> OracleSqlGen.curateFunnelCap,
     "strat_sample" -> OracleSqlGen.stratSample,
     "mix_balance" -> OracleSqlGen.mixBalance,
     "lang_id" -> OracleSqlGen.langId,

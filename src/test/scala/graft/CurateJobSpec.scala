@@ -290,4 +290,33 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("url_norm").collect().map(_.getString(0))
     assert(kept.forall(_.contains("/c/")), kept.mkString(","))
   }
+
+  test("optional per-domain cap keeps each host's longest docs; default-off funnel unchanged") {
+    val sp = spark; import sp.implicits._
+    // mega host: 12 docs of 8..19 words (all-distinct vocab per doc so
+    // nothing dedups or trips the repetition gate); small host: 3 docs
+    val docs =
+      (0 until 12).map(i => (s"https://mega.example/p/$i",
+        (0 until 8 + i).map(k => s"a${i}w$k").mkString(" "))) ++
+      (0 until 3).map(i => (s"https://small.example/p/$i",
+        (0 until 9).map(k => s"b${i}w$k").mkString(" ")))
+    val in = java.nio.file.Files.createTempDirectory("hc-in").toString
+    docs.toDF("url", "text").write.mode("overwrite").parquet(in)
+
+    val outOff = java.nio.file.Files.createTempDirectory("hc-off").toString
+    val rOff = CurateJob.run(spark, in, outOff, samplePermille = 1000L)
+    assert(rOff.nCanonical == 15 && rOff.nSampled == 15, "cap off: all ship")
+
+    val outOn = java.nio.file.Files.createTempDirectory("hc-on").toString
+    val rOn = CurateJob.run(spark, in, outOn, samplePermille = 1000L,
+      maxDocsPerHost = Some(4))
+    assert(rOn.nCanonical == 15, "the cap acts after clustering")
+    assert(rOn.nSampled == 4 + 3, s"mega capped to 4, small intact: ${rOn.nSampled}")
+    val kept = spark.read.parquet(s"$outOn/shards")
+      .select("url_norm").collect().map(_.getString(0)).toSet
+    // the cap keeps the LONGEST mega docs (ids 8..11 have 16..19 words)
+    assert((8 until 12).forall(i => kept.contains(s"https://mega.example/p/$i")),
+      kept.mkString(","))
+    assert((0 until 3).forall(i => kept.contains(s"https://small.example/p/$i")))
+  }
 }
