@@ -782,6 +782,45 @@ private[graft] object OracleSqlGen {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR importance-weight mirror (ops.TextOps.dsirWeights): bigrams
+    * of the space-split word list, feature-hashed with the SAME
+    * fnv1a64-mod-NBuckets kernel as the classifier; per-bucket share =
+    * tc·1000 // rc (target = lang 'en' occurrences); doc weight = sum
+    * of its grams' shares. LEFT JOIN + COALESCE so sub-2-word docs
+    * emit zero rows on both engines; every aggregate CAST back to
+    * BIGINT (DuckDB SUM widens to HUGEINT).
+    */
+  val dsirWeights: String = {
+    val nB = graft.ops.Classifier.NBuckets
+    s"""WITH w0 AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, u.gram
+       |  FROM w0, UNNEST(list_transform(range(1, len(ws)),
+       |                                 i -> ws[i] || ' ' || ws[i+1])) AS u(gram)),
+       |dg AS (SELECT DISTINCT gram FROM g),
+       |fv AS (SELECT gram, CAST(${fnvU("gram")} % $nB::HUGEINT AS BIGINT) AS bucket FROM dg),
+       |gb AS (SELECT doc_id, lang, bucket FROM g JOIN fv USING (gram)),
+       |census AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS rc,
+       |         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tc
+       |  FROM gb GROUP BY bucket),
+       |share AS (SELECT bucket, CAST(tc * 1000 // rc AS BIGINT) AS s FROM census),
+       |doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(s) AS BIGINT) AS w_sum
+       |  FROM gb JOIN share USING (bucket) GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(COALESCE(doc.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(doc.w_sum, 0) AS BIGINT) AS w_sum,
+       |  CAST(CASE WHEN COALESCE(doc.n_grams, 0) = 0 THEN 0
+       |       ELSE doc.w_sum * 1000 // doc.n_grams END AS BIGINT) AS w_avg_milli
+       |FROM documents d LEFT JOIN doc ON CAST(d.doc_id AS BIGINT) = doc.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Classifier TRAINING mirror (ops.Classifier.qualityTrain):
     * hashed-unigram presence features (fnv1a64 mod NBuckets), planted
     * lexicon labels (splitmix64(fnv) mod 17 == 0), one-pass purity

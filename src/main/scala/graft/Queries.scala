@@ -380,6 +380,14 @@ object Queries {
   def qualityClassifyQ(s: SparkSession, d: String): DataFrame =
     TextOps.qualityClassify(s, TextOps.readDocs(s, d))
 
+  /** DSIR-style importance weights over the documents corpus (target
+    * distribution = the 'en' slice) — the data-selection signal a
+    * pretraining team uses to up-sample target-like documents.
+    * Integer-exact permille shares; oracle recomputes census + scoring.
+    */
+  def dsirWeightsQ(s: SparkSession, d: String): DataFrame =
+    TextOps.dsirWeights(s, TextOps.readDocs(s, d))
+
   /** Supervised quality-classifier training on the documents corpus:
     * hashed-unigram presence features, planted lexicon labels, ONE-PASS
     * purity induction on the even-doc_id half (a bucket joins the model

@@ -53,6 +53,7 @@ object SparkEntry {
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
     "quality_classify" -> (Queries.qualityClassifyQ _),
+    "dsir_weights" -> (Queries.dsirWeightsQ _),
     "quality_train" -> (Queries.qualityTrainQ _),
     "quality_eval" -> (Queries.qualityEvalQ _),
     "lang_id" -> (Queries.langIdQ _),
@@ -458,6 +459,7 @@ object SparkEntry {
     "host_rank" -> hostRankSql(3),
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
+    "dsir_weights" -> OracleSqlGen.dsirWeights,
     "quality_eval" -> OracleSqlGen.qualityEval,
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

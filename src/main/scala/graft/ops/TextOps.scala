@@ -427,6 +427,59 @@ object TextOps {
           col("n_punct") * 5L <= col("n_chars"))
       .orderBy("doc_id")
 
+  /** DSIR-style importance weights over hashed bigrams (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling" — integer-exact variant): bigrams feature-hash into
+    * `nBuckets` buckets (fnv1a64 mod nBuckets — the Classifier.bucketOf
+    * kernel, same DuckDB mirror); the per-bucket importance share is
+    * tc·1000/rc (target-language occurrences over all occurrences —
+    * proportional to p_target/p_raw up to the corpus-constant
+    * tt/rt, so doc ranks are DSIR ranks), and a doc's weight is the
+    * sum of its grams' shares. No logs, no floats: every number is a
+    * permille-scaled integer the oracle recomputes exactly.
+    *
+    * Scale shape: pass 1 is a bucket census — map-side-combined
+    * groupBy over ≤ nBuckets keys, collected state ≤ nBuckets longs
+    * (the Classifier-census precedent); pass 2 scores per ROW against
+    * the closure-shipped share table — zero shuffles, and no gram
+    * string ever rides a wire in either pass (buckets are ints).
+    * Two corpus scans total, both O(doc) per row.
+    */
+  def dsirWeights(spark: SparkSession, docs: DataFrame,
+                  targetLang: String = "en",
+                  nBuckets: Int = Classifier.NBuckets): DataFrame = {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+    def grams(t: String): Array[Int] = {
+      val ws = t.split(' ').filter(_.nonEmpty)
+      if (ws.length < 2) Array.empty
+      else Array.tabulate(ws.length - 1) { i =>
+        java.lang.Long.remainderUnsigned(
+          fnv1a64(ws(i) + " " + ws(i + 1)), nBuckets.toLong).toInt
+      }
+    }
+    val census = rows.flatMap { case (_, t, lang) =>
+        val tgt = if (lang == targetLang) 1L else 0L
+        grams(t).iterator.map(b => (b, tgt))
+      }.toDF("bucket", "t")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rc"), sum(col("t")).as("tc"))
+      .collect()
+    val share = new Array[Long](nBuckets)
+    census.foreach(r => share(r.getInt(0)) = r.getLong(2) * 1000L / r.getLong(1))
+    rows.mapPartitions(_.map { case (id, t, _) =>
+        val bs = grams(t)
+        var wSum = 0L
+        var i = 0
+        while (i < bs.length) { wSum += share(bs(i)); i += 1 }
+        val n = bs.length.toLong
+        (id, n, wSum, if (n == 0L) 0L else wSum * 1000L / n)
+      })
+      .toDF("doc_id", "n_grams", "w_sum", "w_avg_milli")
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (typed map; non-SQL-expressible → rows-only
     * driver check, byte-determinism covered by unit tests).
     */

@@ -671,6 +671,48 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       VectorOps.annRecall(spark, emb).collect().toSeq)
   }
 
+  test("dsirWeights: distributed == sequential reference; target-like docs rank higher; degenerate docs zero") {
+    val sp = spark; import sp.implicits._
+    // planted corpus: 'en' docs draw from vocab A, others from vocab B,
+    // mixed docs share both — A-bigrams get high target share, so docs
+    // heavier in A must rank higher. Plus degenerate 0/1-word docs.
+    val a = (0 until 10).map(i => s"alpha$i")
+    val b = (0 until 10).map(i => s"beta$i")
+    val docs = Seq(
+      (1L, a.mkString(" "), "en"), (2L, a.reverse.mkString(" "), "en"),
+      (3L, b.mkString(" "), "de"), (4L, b.reverse.mkString(" "), "fr"),
+      (5L, (a.take(5) ++ b.take(5)).mkString(" "), "de"),
+      (6L, "", "en"), (7L, "solo", "de"))
+      .toDF("doc_id", "text", "lang")
+    // sequential reference (direct spec transcription)
+    val rows = Seq(
+      (1L, a, "en"), (2L, a.reverse, "en"), (3L, b, "de"),
+      (4L, b.reverse, "fr"), (5L, a.take(5) ++ b.take(5), "de"),
+      (6L, Seq.empty[String], "en"), (7L, Seq("solo"), "de"))
+    def bOf(g: String) = java.lang.Long.remainderUnsigned(
+      graft.ops.TextOps.fnv1a64(g), 4096L).toInt
+    val occ = rows.flatMap { case (_, ws, lang) =>
+      ws.sliding(2).filter(_.size == 2).map(p => (bOf(p.mkString(" ")), lang == "en"))
+    }
+    val share = occ.groupBy(_._1).view.mapValues { os =>
+      os.count(_._2).toLong * 1000L / os.size.toLong
+    }.toMap
+    val want = rows.map { case (id, ws, _) =>
+      val bs = ws.sliding(2).filter(_.size == 2).map(p => bOf(p.mkString(" "))).toSeq
+      val s = bs.map(share).sum
+      (id, bs.size.toLong, s, if (bs.isEmpty) 0L else s * 1000L / bs.size)
+    }
+    val got = graft.ops.TextOps.dsirWeights(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    val byId = got.map(r => r._1 -> r._4).toMap
+    // pure-target docs outrank pure-other docs; the mix sits between
+    assert(byId(1L) > byId(3L) && byId(2L) > byId(4L))
+    assert(byId(5L) > byId(3L) && byId(5L) < byId(1L))
+    // degenerate docs emit zero-weight rows, not errors or dropped rows
+    assert(byId(6L) == 0L && byId(7L) == 0L)
+  }
+
   test("hostCap: salted two-phase == sequential reference; salt-invariant; mega-host capped") {
     val sp = spark; import sp.implicits._
     // adversarial skew: one host owns ~94% of the corpus, one host has
