@@ -200,6 +200,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sampEx = TextOps.stratifiedSample(docs)
       .queryExecution.executedPlan.collect { case e: Exchange => e }
     assert(sampEx.size <= 1, s"strat_sample shuffles ${sampEx.size}x")
+    // host_cap: exactly the two designed exchanges — (host, salt) for
+    // the local prune, host for the global rank — and neither carries
+    // text (the cap relation is ids+host+count by contract)
+    val sp2 = spark; import sp2.implicits._
+    val capIn = (0 until 100).map(i => (i.toLong, s"h${i % 3}", (i % 11).toLong))
+      .toDF("doc_id", "host", "n_tokens")
+    // (string count: AQE wraps the plan, so collect{Exchange} sees
+    // nothing pre-execution — same convention as SparkPipelineSpec)
+    val capPlan = TextOps.hostCap(capIn, 4)
+      .queryExecution.executedPlan.toString
+    val capEx = capPlan.linesIterator.count(_.contains("Exchange"))
+    assert(capEx == 2, s"host_cap shuffles ${capEx}x (want 2):\n$capPlan")
+    assert(!capPlan.contains("Broadcast"), "host_cap must not broadcast")
   }
 
   test("connectedComponents equals union-find on random graphs (property)") {
