@@ -254,6 +254,9 @@ object Queries {
   def shardPack(s: SparkSession, d: String): DataFrame =
     TextOps.shardPack(TextOps.readDocs(s, d))
 
+  def seqPack(s: SparkSession, d: String): DataFrame =
+    TextOps.seqPack(TextOps.readDocs(s, d))
+
   def stratSample(s: SparkSession, d: String): DataFrame =
     TextOps.stratifiedSample(TextOps.readDocs(s, d))
 

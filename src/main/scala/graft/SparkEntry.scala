@@ -36,6 +36,7 @@ object SparkEntry {
     "curate_funnel_cap" -> (Queries.curateFunnelCapQ _),
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
+    "seq_pack" -> (Queries.seqPack _),
     "strat_sample" -> (Queries.stratSample _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "host_parse" -> (Queries.hostParseQ _),
@@ -546,6 +547,23 @@ object SparkEntry {
          |  CAST(nw AS BIGINT) AS n_tokens,
          |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 2048 AS BIGINT) AS shard
          |FROM t ORDER BY doc_id""".stripMargin,
+    // sequence packing: per-doc coordinates in the fixed-length (512
+    // tokens) training-window stream; same bucketed window-cumsum
+    // shape as shard_pack (DuckDB window sum of BIGINT widens to
+    // HUGEINT — off is cast back before the derived columns)
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, $nw AS nw FROM documents),
+         |o AS (SELECT doc_id, doc_id % 8 AS bucket, nw,
+         |  CAST(sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw AS BIGINT) AS off
+         |FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(nw AS BIGINT) AS n_tokens,
+         |  CAST(off // 512 AS BIGINT) AS seq_first,
+         |  CAST((off + nw - 1) // 512 AS BIGINT) AS seq_last,
+         |  CAST((off + nw - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_seqs,
+         |  CAST(off % 512 AS BIGINT) AS begin_pos
+         |FROM o ORDER BY doc_id""".stripMargin,
     // URL canonicalization: the messy synth (fragment / uppercase
     // authority / :443 / unsorted params keyed on doc_id%4) and the
     // normalizer are both mirrored step-for-step

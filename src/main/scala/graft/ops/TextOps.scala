@@ -781,6 +781,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: the final stage of an LLM training-data
+    * pipeline. Documents are concatenated (within a bucket, in doc_id
+    * order) into one token stream that is cut into fixed-length
+    * training sequences of `seqLen` tokens; each doc gets its packing
+    * coordinates — the first/last sequence window it lands in, how
+    * many windows it spans, and its start position inside the first
+    * window (what an attention-mask / boundary-reset builder needs).
+    * Same scale shape as [[shardPack]]: the running offset is a window
+    * sum PARTITIONED by bucket, so there is no global sort or
+    * single-reducer cumsum — buckets scale out linearly, and sequence
+    * ids are per-bucket (production: bucket = shard file).
+    * Token count = whitespace split, >= 1 even for empty text (both
+    * engines agree); all offsets non-negative so DIV == DuckDB `//`.
+    */
+  def seqPack(docs: DataFrame, nBuckets: Int = 8,
+              seqLen: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_first", expr(s"off DIV ${seqLen}L"))
+      .withColumn("seq_last", expr(s"(off + n_tokens - 1L) DIV ${seqLen}L"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+      .withColumn("begin_pos", expr(s"off % ${seqLen}L"))
+      .select("doc_id", "bucket", "n_tokens",
+        "seq_first", "seq_last", "n_seqs", "begin_pos")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // Decontamination (eval-set n-gram overlap) + n-gram census
   // -------------------------------------------------------------------

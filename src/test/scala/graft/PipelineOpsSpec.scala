@@ -413,4 +413,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
     assert(got.nonEmpty && got.size < docs.count())
   }
+
+  test("seqPack matches a sequential packing reference and tiles each bucket") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val got = TextOps.seqPack(docs, nBuckets = 8, seqLen = 512L)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // sequential reference: concatenate per bucket in doc_id order
+    val byBucket = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+      .groupBy { case (id, _) => java.lang.Math.floorMod(id, 8L) }
+    val want = byBucket.toSeq.flatMap { case (bucket, ds) =>
+      var off = 0L
+      ds.toSeq.map { case (id, nTok) =>
+        val first = off / 512L
+        val last = (off + nTok - 1L) / 512L
+        val row = (id, (bucket, nTok, first, last, last - first + 1L, off % 512L))
+        off += nTok
+        row
+      }
+    }.toMap
+    assert(got == want)
+    // the stream tiles: some doc crosses a window boundary at sf0.001
+    assert(got.values.exists(_._5 > 1L), "no doc spans 2+ sequences — fixture too small?")
+  }
 }
