@@ -260,6 +260,20 @@ object Queries {
   def stratSample(s: SparkSession, d: String): DataFrame =
     TextOps.stratifiedSample(TextOps.readDocs(s, d))
 
+  /** Lexical top-k retrieval (integer-exact BM25 variant,
+    * ops.SearchOps): the query set is every doc_id % 101 == 0 doc,
+    * probing with its distinct words 2..6 — a deterministic bounded
+    * request batch the oracle re-derives with the same slice.
+    */
+  def bm25SearchQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val qterms = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").cast("long").as("query_id"),
+        explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
+          .as("term"))
+    graft.ops.SearchOps.bm25Search(docs, qterms)
+  }
+
   /** URL canonicalization over deterministically-messied urls: every
     * doc's clean url gets one of four mutations (fragment, uppercased
     * scheme+host, explicit :443 port, unsorted query params) keyed on

@@ -37,6 +37,7 @@ object SparkEntry {
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
     "seq_pack" -> (Queries.seqPack _),
+    "bm25_search" -> (Queries.bm25SearchQ _),
     "strat_sample" -> (Queries.stratSample _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "host_parse" -> (Queries.hostParseQ _),
@@ -564,6 +565,45 @@ object SparkEntry {
          |  CAST((off + nw - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_seqs,
          |  CAST(off % 512 AS BIGINT) AS begin_pos
          |FROM o ORDER BY doc_id""".stripMargin,
+    // BM25-variant lexical search: mirrors SearchOps.bm25Search
+    // token-for-token — milli fixed-point k1=1200/b=750, reciprocal
+    // idf (N*1000 // df, clamped 10^7), truncating `//` == Spark DIV
+    // on the all-non-negative operands; per-query row_number top-10.
+    // avgdl_milli = (sum(dl)*1000)//n exactly as the driver computes
+    // it from the scalar pass.
+    "bm25_search" ->
+      """WITH scal AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl
+        |  FROM documents),
+        |q AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term
+        |  FROM documents,
+        |    UNNEST(list_distinct(string_split(text, ' ')[2:6])) AS u(term)
+        |  WHERE doc_id % 101 = 0),
+        |p AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, u.term
+        |        FROM documents, UNNEST(string_split(text, ' ')) AS u(term))
+        |  WHERE term IN (SELECT DISTINCT term FROM q)
+        |  GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dfc FROM p GROUP BY term),
+        |sc AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum((LEAST(scal.n * 1000 // dft.dfc, 10000000) *
+        |      ((p.tf * 2200 * 1000000) // (p.tf * 1000 +
+        |       (1200 * (250 + (750 * ((p.dl * 1000000) // (scal.sdl * 1000 // scal.n))) // 1000)) // 1000))
+        |      ) // 1000) AS BIGINT) AS score_micro
+        |  FROM p JOIN dft USING (term) JOIN q USING (term) CROSS JOIN scal
+        |  GROUP BY q.query_id, p.doc_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, score_micro
+        |FROM sc
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // URL canonicalization: the messy synth (fragment / uppercase
     // authority / :443 / unsorted params keyed on doc_id%4) and the
     // normalizer are both mirrored step-for-step
