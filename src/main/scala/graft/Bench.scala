@@ -120,6 +120,42 @@ object Bench {
           "null"
       }
 
+    // ---- 1b2. lexical index build/serve split ------------------------
+    // Same separation for the BM25 leg: offline postings build vs
+    // serve-only cost from the stored index, plus the append+compact
+    // maintenance sweep (ops/SearchIndex mirrors the AnnIndex
+    // lifecycle; serve results are oracle-checked via bm25_serve).
+    val lexIndexJson =
+      if (pipelineOnly) "null"
+      else try {
+        val docs = graft.ops.TextOps.readDocs(spark, sfDir)
+        val qterms = docs.filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id").cast("long").as("query_id"),
+            explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
+              .as("term"))
+        val dir = java.nio.file.Files.createTempDirectory("bench-lex-index").toString
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = time(graft.ops.SearchIndex.build(spark, docs, dir))
+        val serve = time(graft.ops.SearchIndex.serve(spark, dir, qterms).count())
+        // disjoint-ids contract: shift the drop's ids out of the base
+        val drop = docs.limit(50)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+        val appendSec = time(graft.ops.SearchIndex.append(spark, drop, dir))
+        val compactSec = time(graft.ops.SearchIndex.compact(spark, dir))
+        val serveC = time(graft.ops.SearchIndex.serve(spark, dir, qterms).count())
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        s"""{"build_sec":$build,"serve_sec":$serve,""" +
+          s""""append_sec":$appendSec,"compact_sec":$compactSec,""" +
+          s""""serve_compacted_sec":$serveC}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] lex_index_split FAILED: ${e.getMessage}")
+          errors += "lex_index_split"
+          "null"
+      }
+
     // ---- 1c. incremental curation drop cost -------------------------
     // Three sequential drops of the documents table against a fresh
     // state: the steady-state daily-drop cost a curation deployment
@@ -219,6 +255,7 @@ object Bench {
       s""""pipeline_docs_per_sec":$docsPerSec,"pipeline_rows":$rowsOut,""" +
       s""""pipeline_sec":$pipelineSec,"pipeline_cold_sec":$coldSec,""" +
       s""""pipeline_digest":$digest,"ann_index_split":$annIndexJson,""" +
+      s""""lex_index_split":$lexIndexJson,""" +
       s""""incremental_curate":$incJson,""" +
       s""""load_before":$loadBefore,"load_after":${loadAvgJson()},""" +
       s""""host_cpus":${Runtime.getRuntime.availableProcessors()},""" +

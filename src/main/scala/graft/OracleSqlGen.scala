@@ -297,11 +297,16 @@ private[graft] object OracleSqlGen {
        |  CAST(max(CASE WHEN j = 3 THEN hk % 1000 END) AS BIGINT) AS f3
        |FROM q6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  val annCosine: String =
+  /** Exact-cosine mirror, parameterized on the query-set predicate and
+    * k (hybrid_rrf's vector leg keys its queries off the shared
+    * id % 101 slice at depth 10; the default ann_cosine row keeps the
+    * vec_id-prefix convention at 5).
+    */
+  def annCosineWith(queryPred: String, k: Int): String =
     s"""WITH normed AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
        |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM normed WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM normed WHERE $queryPred),
        |scored AS (
        |  SELECT q.query_id, n.vec_id AS neighbor_id,
        |         ${dotSql("q.q_emb", "n.embedding")} / (n.norm * q.q_norm) AS sim
@@ -312,7 +317,9 @@ private[graft] object OracleSqlGen {
        |         CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
        |  FROM scored)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
-       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  val annCosine: String = annCosineWith("vec_id < 10", 5)
 
   /** Multi-table multi-probe sign-LSH mirror: 16 tables × 9 planes,
     * each query probes its own bucket plus the 9 Hamming-1 buckets per

@@ -79,6 +79,18 @@ object PlanAudit {
         .filter(sampleKey < col("tier_permille"))
         .drop("host", "tier_permille")
     }
+    // lexical serve from a stored inverted index: the postings scan
+    // must carry the literal In(term,...) pushed filter
+    dump("bm25_serve") {
+      val docs = graft.ops.TextOps.readDocs(spark, sfDir)
+      val qterms = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").cast("long").as("query_id"),
+          explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
+            .as("term"))
+      val dir = java.nio.file.Files.createTempDirectory("plan-lex").toString
+      graft.ops.SearchIndex.build(spark, docs, dir)
+      graft.ops.SearchIndex.serve(spark, dir, qterms)
+    }
     spark.stop()
   }
 }

@@ -260,18 +260,51 @@ object Queries {
   def stratSample(s: SparkSession, d: String): DataFrame =
     TextOps.stratifiedSample(TextOps.readDocs(s, d))
 
-  /** Lexical top-k retrieval (integer-exact BM25 variant,
-    * ops.SearchOps): the query set is every doc_id % 101 == 0 doc,
-    * probing with its distinct words 2..6 — a deterministic bounded
-    * request batch the oracle re-derives with the same slice.
+  /** The deterministic bounded request batch both lexical queries
+    * probe with (and the oracle re-derives with the same slice): every
+    * doc_id % 101 == 0 doc queries with its distinct words 2..6.
     */
-  def bm25SearchQ(s: SparkSession, d: String): DataFrame = {
-    val docs = TextOps.readDocs(s, d)
-    val qterms = docs.filter(col("doc_id") % 101 === 0)
+  private def bm25QueryTerms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 101 === 0)
       .select(col("doc_id").cast("long").as("query_id"),
         explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
           .as("term"))
-    graft.ops.SearchOps.bm25Search(docs, qterms)
+
+  /** Lexical top-k retrieval (integer-exact BM25 variant,
+    * ops.SearchOps). */
+  def bm25SearchQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    graft.ops.SearchOps.bm25Search(docs, bm25QueryTerms(docs))
+  }
+
+  /** Hybrid retrieval: RRF fusion of the bm25 lexical leg and the
+    * exact-cosine vector leg over the SAME query set (ids % 101 == 0 —
+    * the embeddings and documents tables share an id space). Each leg
+    * is its own oracle-checked ranking; the fusion is integer-exact
+    * (10^6 DIV (60+rank)), so the oracle composes both mirrors and
+    * replays the fusion bit-for-bit.
+    */
+  def hybridRrfQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val lex = graft.ops.SearchOps.bm25Search(docs, bm25QueryTerms(docs))
+    val vec = graft.ops.VectorOps.annBruteBy(
+      graft.ops.VectorOps.readEmbeddings(s, d),
+      col("vec_id") % 101 === 0, k = 10)
+    graft.ops.SearchOps.hybridRrf(lex, vec)
+  }
+
+  /** Build/serve split for the lexical leg: materialize the inverted
+    * index (postings + corpus stats) to parquet, then answer the SAME
+    * request batch from the STORED index — bit-identical to
+    * bm25_search (same DuckDB mirror), proving the serving path reads
+    * what the offline build wrote. Temp dir lifecycle as annLshServe.
+    */
+  def bm25ServeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    graft.ops.SearchIndex.build(s, docs, dir)
+    materializeAndDelete(s,
+      graft.ops.SearchIndex.serve(s, dir, bm25QueryTerms(docs)), dir)
   }
 
   /** URL canonicalization over deterministically-messied urls: every

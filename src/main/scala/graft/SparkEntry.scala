@@ -38,6 +38,8 @@ object SparkEntry {
     "shard_pack" -> (Queries.shardPack _),
     "seq_pack" -> (Queries.seqPack _),
     "bm25_search" -> (Queries.bm25SearchQ _),
+    "bm25_serve" -> (Queries.bm25ServeQ _),
+    "hybrid_rrf" -> (Queries.hybridRrfQ _),
     "strat_sample" -> (Queries.stratSample _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "host_parse" -> (Queries.hostParseQ _),
@@ -208,6 +210,50 @@ object SparkEntry {
       |SELECT doc_id, count(*) AS n_shared_ngrams
       |FROM g JOIN ev USING (gram) WHERE NOT is_eval
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BM25-variant lexical retrieval mirror: replays
+    * SearchOps.bm25From token-for-token — milli fixed-point
+    * k1=1200/b=750, reciprocal idf (N*1000 // df, clamped 10^7),
+    * truncating `//` == Spark DIV on the all-non-negative operands;
+    * per-query row_number top-10; avgdl_milli = (sum(dl)*1000)//n
+    * exactly as the driver computes it from the scalar pass. SHARED by
+    * bm25_search (in-memory) and bm25_serve (stored-index path) — the
+    * kernel is the same code, so both check against this one SQL; a
+    * scoring change hits TWO oracle rows.
+    */
+  private val bm25Sql: String =
+    """WITH scal AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl
+      |  FROM documents),
+      |q AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term
+      |  FROM documents,
+      |    UNNEST(list_distinct(string_split(text, ' ')[2:6])) AS u(term)
+      |  WHERE doc_id % 101 = 0),
+      |p AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, u.term
+      |        FROM documents, UNNEST(string_split(text, ' ')) AS u(term))
+      |  WHERE term IN (SELECT DISTINCT term FROM q)
+      |  GROUP BY doc_id, dl, term),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dfc FROM p GROUP BY term),
+      |sc AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    CAST(sum((LEAST(scal.n * 1000 // dft.dfc, 10000000) *
+      |      ((p.tf * 2200 * 1000000) // (p.tf * 1000 +
+      |       (1200 * (250 + (750 * ((p.dl * 1000000) // (scal.sdl * 1000 // scal.n))) // 1000)) // 1000))
+      |      ) // 1000) AS BIGINT) AS score_micro
+      |  FROM p JOIN dft USING (term) JOIN q USING (term) CROSS JOIN scal
+      |  GROUP BY q.query_id, p.doc_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, score_micro
+      |FROM sc
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -565,45 +611,35 @@ object SparkEntry {
          |  CAST((off + nw - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_seqs,
          |  CAST(off % 512 AS BIGINT) AS begin_pos
          |FROM o ORDER BY doc_id""".stripMargin,
-    // BM25-variant lexical search: mirrors SearchOps.bm25Search
-    // token-for-token — milli fixed-point k1=1200/b=750, reciprocal
-    // idf (N*1000 // df, clamped 10^7), truncating `//` == Spark DIV
-    // on the all-non-negative operands; per-query row_number top-10.
-    // avgdl_milli = (sum(dl)*1000)//n exactly as the driver computes
-    // it from the scalar pass.
-    "bm25_search" ->
-      """WITH scal AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl
-        |  FROM documents),
-        |q AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term
-        |  FROM documents,
-        |    UNNEST(list_distinct(string_split(text, ' ')[2:6])) AS u(term)
-        |  WHERE doc_id % 101 = 0),
-        |p AS (
-        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, u.term
-        |        FROM documents, UNNEST(string_split(text, ' ')) AS u(term))
-        |  WHERE term IN (SELECT DISTINCT term FROM q)
-        |  GROUP BY doc_id, dl, term),
-        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dfc FROM p GROUP BY term),
-        |sc AS (
-        |  SELECT q.query_id, p.doc_id,
-        |    CAST(sum((LEAST(scal.n * 1000 // dft.dfc, 10000000) *
-        |      ((p.tf * 2200 * 1000000) // (p.tf * 1000 +
-        |       (1200 * (250 + (750 * ((p.dl * 1000000) // (scal.sdl * 1000 // scal.n))) // 1000)) // 1000))
-        |      ) // 1000) AS BIGINT) AS score_micro
-        |  FROM p JOIN dft USING (term) JOIN q USING (term) CROSS JOIN scal
-        |  GROUP BY q.query_id, p.doc_id)
-        |SELECT query_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
-        |  doc_id, score_micro
-        |FROM sc
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    // BM25-variant lexical search + its stored-index serving twin:
+    // both check against the ONE shared mirror (see bm25Sql) — the
+    // serving path composes the same scoring kernel over persisted
+    // postings, so bit-identity is what the gate proves.
+    "bm25_search" -> bm25Sql,
+    "bm25_serve" -> bm25Sql,
+    // Hybrid retrieval: RRF fusion of the two mirrors above/below —
+    // the lexical leg IS bm25Sql, the vector leg IS the exact-cosine
+    // mirror re-keyed to the shared id % 101 query slice at depth 10;
+    // fusion contribution = 10^6 // (60 + rank), integer-exact. Outer
+    // CAST: DuckDB sum(BIGINT) widens to HUGEINT.
+    "hybrid_rrf" ->
+      s"""WITH lex AS ($bm25Sql),
+         |vec AS (${OracleSqlGen.annCosineWith("vec_id % 101 = 0", 10)}),
+         |u AS (
+         |  SELECT query_id, doc_id, rank FROM lex
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id AS doc_id, rank FROM vec),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+         |  FROM u GROUP BY query_id, doc_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rrf_micro
+         |FROM f
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // URL canonicalization: the messy synth (fragment / uppercase
     // authority / :443 / unsorted params keyed on doc_id%4) and the
     // normalizer are both mirrored step-for-step

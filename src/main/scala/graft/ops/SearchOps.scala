@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * ranking quality is preserved while every engine computes the same
   * longs; the clamp keeps idf·tfpart inside 63 bits at any corpus
   * size: contrib ≤ 10^7 · 2.2·10^6 / 10^3 = 2.2·10^10 per term).
+  *
+  * The scoring kernel ([[bm25From]]) is shared VERBATIM between the
+  * in-memory search ([[bm25Search]]) and the stored-index serving path
+  * (ops/SearchIndex.serve), so a served result is bit-identical to the
+  * in-memory one — bm25_search and bm25_serve check against the SAME
+  * DuckDB mirror.
   */
 object SearchOps {
 
@@ -30,56 +36,61 @@ object SearchOps {
   /** idf_milli clamp — bounds per-term contribution at any N. */
   val IdfClampMilli = 10000000L
 
-  /** Top-k BM25-variant search: `queryTerms` is a bounded request
-    * relation (query_id BIGINT, term STRING) — one row per distinct
-    * query term (deduped defensively here).
+  /** (doc_id, dl, words) projection of a (doc_id, text) relation —
+    * whitespace tokens, document length in tokens.
+    */
+  private def tokenized(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("words"))
+    .withColumn("dl", size(col("words")).cast("long"))
+
+  /** Full postings relation (doc_id, dl, term, tf) — one row per
+    * distinct (document, term). This is the inverted-index payload
+    * SearchIndex materializes; the in-memory search computes the
+    * query-gated subset of exactly these rows.
+    */
+  def postingsOf(docs: DataFrame): DataFrame = tokenized(docs)
+    .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+    .groupBy(col("doc_id"), col("term"), col("dl"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** Corpus scalar stats (nDocs, sumDl) — one 2-long row to the
+    * driver; the only driver-side state BM25 needs.
+    */
+  def corpusStats(docs: DataFrame): (Long, Long) = {
+    val r = tokenized(docs).agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("sdl")).collect()(0)
+    if (r.getLong(0) == 0L) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /** Scoring kernel over an ALREADY term-gated postings relation:
+    * df from the gated postings themselves (a term's posting set IS
+    * its document set — no corpus-wide df pass), milli fixed-point
+    * BM25-variant contribution, per-query row_number top-k.
     *
-    * Scale shape (the 100 TB plan):
-    *  - the corpus is scanned twice: a scalar pass for N/avgdl (one
-    *    2-long row to the driver) and the postings pass;
-    *  - the query-term set is broadcast and SEMI-JOINS the exploded
-    *    token stream BEFORE any shuffle — only matched postings (a
-    *    vanishing fraction of corpus tokens) reach the (doc, term)
-    *    tf aggregation, so shuffle bytes are O(matches), not
-    *    O(corpus tokens);
-    *  - df is computed from those matched postings (a term's posting
-    *    set IS its document set) — term-cardinality rows, broadcast
-    *    back; no corpus-wide df pass is ever needed;
-    *  - top-k is a per-query row_number window — partitions are
-    *    per-query, never global.
-    * Only bounded relations (query terms, per-term df) are broadcast —
-    * never text or postings (the near-dup broadcast invariant).
+    * `broadcastProbes` guards the probe-side broadcasts (per-term df,
+    * query terms — both bounded by the request batch when the caller
+    * verified it): an unbounded query relation falls back to plain
+    * shuffle joins with identical results (the AnnIndex guard
+    * discipline). The postings relation is NEVER broadcast.
     *
     * All arithmetic is non-negative integer with truncating division
     * (Spark `DIV` == DuckDB `//` on non-negatives); the oracle mirrors
     * the expression order token-for-token.
     */
-  def bm25Search(docs: DataFrame, queryTerms: DataFrame,
-                 k: Int = 10): DataFrame = {
+  private[graft] def bm25From(gatedPostings: DataFrame, nDocs: Long,
+                              avgdlMilli: Long, qterms: DataFrame, k: Int,
+                              broadcastProbes: Boolean): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val base = docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        split(col("text"), " ").as("words"))
-      .withColumn("dl", size(col("words")).cast("long"))
-    // one 2-long row: corpus size + total token count → avgdl in milli
-    val scal = base.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("dl")).cast("long").as("sdl")).collect()(0)
-    val nDocs = scal.getLong(0)
-    val avgdlMilli = scal.getLong(1) * 1000L / nDocs
-    val qterms = queryTerms
-      .select(col("query_id").cast("long").as("query_id"), col("term"))
-      .distinct()
-    val termSet = qterms.select("term").distinct()
-    val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
-      .join(broadcast(termSet), Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    val dfRel = postings.groupBy(col("term"))
+    require(nDocs > 0 && avgdlMilli > 0,
+      s"corpus stats must be positive: n=$nDocs avgdl_milli=$avgdlMilli")
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastProbes) broadcast(df) else df
+    val dfRel = gatedPostings.groupBy(col("term"))
       .agg(count(lit(1)).as("dfc"))
-    val scored = postings
-      .join(broadcast(dfRel), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
+    val scored = gatedPostings
+      .join(hint(dfRel), Seq("term"))
+      .join(hint(qterms), Seq("term"))
       .withColumn("contrib", expr(
         s"(LEAST(${nDocs}L * 1000L DIV dfc, ${IdfClampMilli}L) * " +
           s"((tf * 2200L * 1000000L) DIV (tf * 1000L + " +
@@ -94,5 +105,93 @@ object SearchOps {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_micro")
       .orderBy("query_id", "rank")
+  }
+
+  /** Defensive normalization of a (query_id, term) request relation:
+    * null terms dropped (a malformed request row must not score),
+    * duplicates collapsed.
+    */
+  private[graft] def cleanTerms(queryTerms: DataFrame): DataFrame = queryTerms
+    .filter(col("term").isNotNull)
+    .select(col("query_id").cast("long").as("query_id"), col("term"))
+    .distinct()
+
+  /** Bounded-request probe guard: one cheap limit(N+1) count decides
+    * whether probe relations may ride broadcasts (identical results
+    * either way — the AnnIndex.BroadcastQueryLimit discipline).
+    */
+  private[graft] def isBounded(qterms: DataFrame, probeLimit: Long): Boolean =
+    qterms.limit(probeLimit.toInt + 1).count() <= probeLimit
+
+  /** Top-k BM25-variant search: `queryTerms` is a request relation
+    * (query_id BIGINT, term STRING) — one row per distinct query term
+    * (deduped defensively here).
+    *
+    * Scale shape (the 100 TB plan):
+    *  - the corpus is scanned twice: a scalar pass for N/avgdl (one
+    *    2-long row to the driver) and the postings pass;
+    *  - the query-term set semi-joins the exploded token stream BEFORE
+    *    any shuffle — only matched postings (a vanishing fraction of
+    *    corpus tokens) reach the (doc, term) tf aggregation, so
+    *    shuffle bytes are O(matches), not O(corpus tokens);
+    *  - df is computed from those matched postings — term-cardinality
+    *    rows; no corpus-wide df pass is ever needed;
+    *  - top-k is a per-query row_number window — partitions are
+    *    per-query, never global.
+    * Probe relations (query terms, per-term df) are broadcast only
+    * under the bounded-batch guard (`probeLimit`); postings and text
+    * never are (the near-dup broadcast invariant). For repeated query
+    * batches over a stable corpus, build once and serve from
+    * ops/SearchIndex instead — same kernel, no corpus rescan.
+    */
+  /** RRF (reciprocal-rank fusion) constant — the standard k=60. */
+  val RrfKMilli = 60L
+
+  /** Hybrid retrieval: fuse a lexical ranking (query_id, rank, doc_id)
+    * and a vector ranking (query_id, neighbor_id, rank) by
+    * reciprocal-rank fusion — the standard way a curation team
+    * combines BM25 and embedding retrieval when neither signal alone
+    * is trusted (integer-exact: contribution = 10^6 DIV (60 + rank),
+    * so the DuckDB oracle replays the fusion bit-for-bit; only RANKS
+    * cross the leg boundary, never engine-specific scores, which is
+    * both the published RRF rationale and what keeps the fusion
+    * cross-engine stable).
+    *
+    * Scale shape: each leg is already a top-k relation (queries × k
+    * rows) — the fusion is a union + one tiny groupBy + a per-query
+    * window. Cost lives entirely in the legs, which scale on their own
+    * plans (bm25 postings probe; ANN index serve).
+    */
+  def hybridRrf(lexRanked: DataFrame, vecRanked: DataFrame,
+                k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val lex = lexRanked.select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = vecRanked.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = lex.unionByName(vec)
+      .withColumn("part", expr(s"1000000L DIV (${RrfKMilli}L + rank)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part")).as("rrf_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  def bm25Search(docs: DataFrame, queryTerms: DataFrame, k: Int = 10,
+                 probeLimit: Long = AnnIndex.BroadcastQueryLimit): DataFrame = {
+    val (nDocs, sumDl) = corpusStats(docs)
+    val qterms = cleanTerms(queryTerms)
+    val bounded = isBounded(qterms, probeLimit)
+    val termSet = qterms.select("term").distinct()
+    val gated = tokenized(docs)
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+      .join(if (bounded) broadcast(termSet) else termSet, Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    bm25From(gated, nDocs, sumDl * 1000L / nDocs, qterms, k, bounded)
   }
 }

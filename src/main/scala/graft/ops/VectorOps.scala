@@ -44,10 +44,17 @@ object VectorOps {
   /** Exact brute-force cosine top-k for a query set (vec_id < nQueries).
     * Deterministic tie-break on neighbor id.
     */
-  def annBrute(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def annBrute(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    annBruteBy(emb, col("vec_id") < nQueries, k)
+
+  /** Same exact baseline with an arbitrary query predicate over
+    * vec_id (the hybrid_rrf vector leg keys its query set off the
+    * shared doc_id slice, not an id prefix).
+    */
+  def annBruteBy(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val normed = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
-    val queries = normed.filter(col("vec_id") < nQueries)
+    val queries = normed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
     val scored = normed

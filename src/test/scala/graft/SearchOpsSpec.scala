@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{SearchOps, TextOps}
+import graft.ops.{SearchIndex, SearchOps, TextOps}
 
 /** Lexical retrieval guarantees: the distributed BM25-variant scorer
   * equals a sequential brute-force reference bit-for-bit (same Long
@@ -107,5 +107,130 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = TextOps.readDocs(spark, sfDir)
     val empty = Seq.empty[(Long, String)].toDF("query_id", "term")
     assert(SearchOps.bm25Search(docs, empty).count() == 0L)
+  }
+
+  test("hybridRrf equals integer RRF recomputed from the collected legs") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val lex = Queries.bm25SearchQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))) // (qid, doc, rank)
+    val vec = graft.ops.VectorOps.annBruteBy(
+      graft.ops.VectorOps.readEmbeddings(spark, sfDir),
+      col("vec_id") % 101 === 0, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (qid, doc, rank)
+    val fused = (lex ++ vec).groupBy(t => (t._1, t._2))
+      .map { case ((qid, doc), rows) =>
+        (qid, doc, rows.map(t => 1000000L / (60L + t._3)).sum)
+      }.toSeq
+    val want = fused.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, doc, s) => (-s, doc) }.take(10).zipWithIndex
+        .map { case ((_, doc, s), i) => (qid, (i + 1).toLong, doc, s) }
+    }.sortBy(t => (t._1, t._2))
+    val got = collectRows(Queries.hybridRrfQ(spark, sfDir))
+    assert(got.nonEmpty && got == want)
+    // a doc ranked in BOTH legs must outscore its best single-leg part
+    val both = fused.filter { case (qid, doc, _) =>
+      lex.exists(t => t._1 == qid && t._2 == doc) &&
+        vec.exists(t => t._1 == qid && t._2 == doc)
+    }
+    assert(both.forall(_._3 > 1000000L / 61L))
+    assert(docs.count() > 0)
+  }
+
+  // -------------------------------------------------------------------
+  // stored-index lifecycle (ops/SearchIndex)
+  // -------------------------------------------------------------------
+
+  private def collectRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  private def docsAndTerms() = {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val qterms = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").cast("long").as("query_id"),
+        explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
+          .as("term"))
+    (docs, qterms)
+  }
+
+  test("SearchIndex build->serve is bit-identical to the in-memory search") {
+    val (docs, qterms) = docsAndTerms()
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-bitid").toString
+    SearchIndex.build(spark, docs, dir)
+    val direct = collectRows(SearchOps.bm25Search(docs, qterms))
+    val served = collectRows(SearchIndex.serve(spark, dir, qterms))
+    assert(served.nonEmpty && served == direct)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("SearchIndex serve paths agree: IN pushdown, semi-join, shuffle fallback") {
+    val (docs, qterms) = docsAndTerms()
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-paths").toString
+    SearchIndex.build(spark, docs, dir)
+    val pushed = SearchIndex.serve(spark, dir, qterms)
+    // the small-batch path must reach the parquet scan as a literal
+    // IN predicate — that's the row-group pruning the term-sorted
+    // build layout exists for
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), plan.take(2000))
+    val base = collectRows(pushed)
+    // pushdown disabled -> broadcast semi-join gate
+    val semi = collectRows(SearchIndex.serve(spark, dir, qterms,
+      pushdownTerms = 0))
+    // probe limit forced to 1 -> unbounded classification, shuffle joins
+    val shuffled = collectRows(SearchIndex.serve(spark, dir, qterms,
+      probeLimit = 1L))
+    assert(base.nonEmpty && semi == base && shuffled == base)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("SearchIndex append-then-serve equals a full rebuild (exact)") {
+    val (docs, qterms) = docsAndTerms()
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val incDir = java.nio.file.Files.createTempDirectory("lexidx-inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("lexidx-full").toString
+    SearchIndex.build(spark, first, incDir)
+    SearchIndex.append(spark, second, incDir)
+    SearchIndex.build(spark, docs, fullDir)
+    val inc = collectRows(SearchIndex.serve(spark, incDir, qterms))
+    val full = collectRows(SearchIndex.serve(spark, fullDir, qterms))
+    assert(inc.nonEmpty && inc == full)
+    Seq(incDir, fullDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("SearchIndex compaction preserves served results and shrinks files") {
+    val (docs, qterms) = docsAndTerms()
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-compact").toString
+    // three appended slices -> small-file accumulation
+    SearchIndex.build(spark, docs.filter(col("doc_id") % 3 === 0), dir)
+    SearchIndex.append(spark, docs.filter(col("doc_id") % 3 === 1), dir)
+    SearchIndex.append(spark, docs.filter(col("doc_id") % 3 === 2), dir)
+    val before = collectRows(SearchIndex.serve(spark, dir, qterms))
+    val report = SearchIndex.compact(spark, dir)
+    val after = collectRows(SearchIndex.serve(spark, dir, qterms))
+    assert(report.filesAfter < report.filesBefore)
+    assert(before.nonEmpty && after == before)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("LexServeJob answers a parquet request batch from a stored index") {
+    val (docs, qterms) = docsAndTerms()
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-cli").toString
+    val qDir = java.nio.file.Files.createTempDirectory("lexidx-q").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lexidx-out").toString
+    SearchIndex.build(spark, docs, dir)
+    // null-term row must be dropped, not NPE
+    val withNull = qterms.unionByName(
+      spark.sql("SELECT CAST(424242 AS BIGINT) AS query_id, CAST(NULL AS STRING) AS term"))
+    withNull.write.mode("overwrite").parquet(qDir)
+    val (nQ, nR) = LexServeJob.run(spark, dir, qDir, s"$outDir/res")
+    assert(nQ > 0 && nR > 0)
+    val fromJob = spark.read.parquet(s"$outDir/res")
+      .orderBy("query_id", "rank")
+    assert(collectRows(fromJob) == collectRows(SearchIndex.serve(spark, dir, qterms)))
+    Seq(dir, qDir, outDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 }
