@@ -241,6 +241,19 @@ object IncrementalCurate {
       .toDF("doc_id", "band", "bucket")
   }
 
+  /** @param lexIndexDir when set, the drop's ADMITTED docs are
+    *   appended to the lexical serving index there (ops/SearchIndex;
+    *   built on first use) — the freshness leg of the incremental
+    *   lifecycle: a curation deployment serves retrieval from the same
+    *   state it admits into. The append runs AFTER the drop's manifest
+    *   commit: a crash in between leaves the index BEHIND state (one
+    *   drop missing — detectable via [[lexStaleness]], recoverable via
+    *   [[rebuildLexIndex]]), never double-appended (the reverse order
+    *   would re-append the whole drop after a state rollback+replay).
+    *   Disjoint-ids contract holds by construction: doc_id =
+    *   xxhash64(url_norm) and first-writer-wins admission means a
+    *   url_norm is admitted at most once across all drops.
+    */
   def ingestDrop(
       spark: SparkSession,
       dropPath: String,
@@ -250,7 +263,8 @@ object IncrementalCurate {
       minJaccardMilli: Long = 700L,
       maxBucket: Int = 4096,
       prefilterFpp: Double = 0.001,
-      prefilterMaxBytes: Long = 256L << 20
+      prefilterMaxBytes: Long = 256L << 20,
+      lexIndexDir: Option[String] = None
   ): DropReport = {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
@@ -418,13 +432,22 @@ object IncrementalCurate {
       shasDir(stateDir))
     append(bandRelation(spark, staged), bandsDir(stateDir))
     append(newDocs.select(col("doc_id").as("url_hash")), urlsDir(stateDir))
-    new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new Path(staging), true)
     // the drop's single commit point: one manifest naming every file
     // the four appends added (atomic rename; crash before this line =
     // full rollback at the next ingest's reconcileState)
     writeDropManifest(spark, stateDir,
       allDataNames(spark, stateDir).filterNot(beforeNames.contains))
+    // serving-index freshness leg — AFTER the commit point (see the
+    // param doc: behind-by-one-drop on crash, never double-appended);
+    // derives from the staged read-back, so its plan reads no state
+    // path the appends above invalidated
+    lexIndexDir.foreach { idx =>
+      val docs = staged.select(col("doc_id"), col("text"))
+      if (exists(spark, s"$idx/lex_meta")) graft.ops.SearchIndex.append(spark, docs, idx)
+      else if (nAdmitted > 0) graft.ops.SearchIndex.build(spark, docs, idx)
+    }
+    new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(staging), true)
 
     val nTotal = spark.read.parquet(canonicalDir(stateDir)).count()
     admitted.unpersist(); gated.unpersist(); newDocs.unpersist()
@@ -475,10 +498,42 @@ object IncrementalCurate {
     reports
   }
 
+  /** Docs the lexical serving index is BEHIND the curated state (0 =
+    * fresh): canonical rows minus indexed n_docs. Nonzero only after a
+    * crash between a drop's state commit and its index append — the
+    * recovery signal for [[rebuildLexIndex]]. (Never negative in a
+    * healthy lifecycle: admissions are index-append-or-crash, and the
+    * index never indexes a doc state doesn't have.)
+    */
+  def lexStaleness(spark: SparkSession, stateDir: String,
+                   lexIndexDir: String): Long = {
+    val canonical =
+      if (listDataNames(spark, stateDir, "canonical").nonEmpty)
+        spark.read.parquet(canonicalDir(stateDir)).count()
+      else 0L
+    val indexed =
+      if (exists(spark, s"$lexIndexDir/lex_meta"))
+        spark.read.parquet(s"$lexIndexDir/lex_meta")
+          .select(col("n_docs")).collect()(0).getLong(0)
+      else 0L
+    canonical - indexed
+  }
+
+  /** Rebuild the lexical serving index from the curated state — the
+    * recovery path when [[lexStaleness]] is nonzero (exact appends
+    * mean the rebuilt index is bit-identical to the never-crashed
+    * append chain over the same canonical set; spec-asserted).
+    */
+  def rebuildLexIndex(spark: SparkSession, stateDir: String,
+                      lexIndexDir: String): Unit =
+    graft.ops.SearchIndex.build(spark,
+      spark.read.parquet(canonicalDir(stateDir)).select(col("doc_id"), col("text")),
+      lexIndexDir)
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.IncrementalCurate <dropPath> <stateDir> | --compact <stateDir>")
+        "usage: graft.IncrementalCurate <dropPath> <stateDir> [lexIndexDir] | --compact <stateDir>")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -498,11 +553,14 @@ object IncrementalCurate {
         s""""files_after":${r.filesAfter},"digest":${r.digest}}"""
       }.mkString("{", ",", "}"))
     } else {
-      val r = ingestDrop(spark, args(0), args(1))
+      val lexIdx = args.lift(2)
+      val r = ingestDrop(spark, args(0), args(1), lexIndexDir = lexIdx)
+      val lexJson = lexIdx.map(idx =>
+        s""","lex_staleness":${lexStaleness(spark, args(1), idx)}""").getOrElse("")
       println(
         s"""{"n_drop":${r.nDrop},"n_new_urls":${r.nNewUrls},"n_gated":${r.nGated},""" +
         s""""n_state_linked":${r.nStateLinked},"n_admitted":${r.nAdmitted},""" +
-        s""""n_canonical_total":${r.nCanonicalTotal}}""")
+        s""""n_canonical_total":${r.nCanonicalTotal}$lexJson}""")
     }
     spark.stop()
   }

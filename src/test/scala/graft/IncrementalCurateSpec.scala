@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.TextOps
+import graft.ops.{SearchIndex, TextOps}
 
 /** Daily-drop incremental curation: new content admits, every
   * duplicate class against prior drops rejects (url revisit, exact
@@ -348,5 +348,61 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     IncrementalCurate.ingestDrop(spark, d1Dir, state2)
     val rDef = IncrementalCurate.ingestDrop(spark, d2Dir, state2)
     assert(rDef.nAdmitted == 0, "default cap keeps the near-dup rejection")
+  }
+
+  test("lexical serving index stays fresh across drops; staleness + rebuild recover a crash gap") {
+    import org.apache.spark.sql.functions._
+    val state = tmp("inc-lex-state")
+    val lexIdx = tmp("inc-lex-idx")
+
+    // three drops, the middle one carrying duplicates that must NOT
+    // reach the index (only admitted docs are indexed)
+    val d1 = (0 until 6).map(i => (s"https://lex.example/p/$i", textOf(s"la$i")))
+    val d2 = Seq(
+      ("https://lex.example/q/0", textOf("lb0")),
+      ("https://lex.example/q/exact", textOf("la1")), // rejected: exact dup
+      ("https://lex.example/q/1", textOf("lb1")))
+    val d3 = Seq(("https://lex.example/r/0", textOf("lc0")))
+    val dirs = Seq(d1, d2, d3).map { rows =>
+      val d = tmp("inc-lex-d"); write(rows, d); d
+    }
+    dirs.foreach(d =>
+      IncrementalCurate.ingestDrop(spark, d, state, lexIndexDir = Some(lexIdx)))
+    assert(IncrementalCurate.lexStaleness(spark, state, lexIdx) == 0L)
+
+    // the per-drop-appended index serves bit-identically to one built
+    // fresh over the canonical state (exact appends)
+    val canonical = spark.read.parquet(s"$state/canonical")
+      .select(col("doc_id"), col("text"))
+    val qterms = canonical.select(col("doc_id").as("query_id"),
+      explode(expr("slice(split(text, ' '), 1, 3)")).as("term"))
+    val freshIdx = tmp("inc-lex-fresh")
+    SearchIndex.build(spark, canonical, freshIdx)
+    def rows(idx: String) = SearchIndex.serve(spark, idx, qterms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val served = rows(lexIdx)
+    assert(served.nonEmpty && served == rows(freshIdx))
+    // the rejected duplicate never entered the index: indexed doc
+    // count == canonical count (9 of the 10 drop rows admitted)
+    assert(canonical.count() == 9L)
+
+    // idempotent re-drop appends nothing to the index
+    IncrementalCurate.ingestDrop(spark, dirs(1), state, lexIndexDir = Some(lexIdx))
+    assert(IncrementalCurate.lexStaleness(spark, state, lexIdx) == 0L)
+    assert(rows(lexIdx) == served)
+
+    // crash gap: a drop commits to state but the index append is lost
+    // -> staleness surfaces it, rebuild recovers bit-identity
+    val d4 = Seq(("https://lex.example/s/0", textOf("ld0")))
+    val d4Dir = tmp("inc-lex-d4"); write(d4, d4Dir)
+    IncrementalCurate.ingestDrop(spark, d4Dir, state) // no lexIndexDir = the "crash"
+    assert(IncrementalCurate.lexStaleness(spark, state, lexIdx) == 1L)
+    IncrementalCurate.rebuildLexIndex(spark, state, lexIdx)
+    assert(IncrementalCurate.lexStaleness(spark, state, lexIdx) == 0L)
+    val canonical2 = spark.read.parquet(s"$state/canonical")
+      .select(col("doc_id"), col("text"))
+    val fresh2 = tmp("inc-lex-fresh2")
+    SearchIndex.build(spark, canonical2, fresh2)
+    assert(rows(lexIdx) == rows(fresh2))
   }
 }
