@@ -86,7 +86,8 @@ object SearchIndex {
     */
   def serve(spark: SparkSession, indexDir: String, queryTerms: DataFrame,
             k: Int = 10, probeLimit: Long = AnnIndex.BroadcastQueryLimit,
-            pushdownTerms: Int = TermPushdownLimit): DataFrame = {
+            pushdownTerms: Int = TermPushdownLimit,
+            maxDfPermille: Long = 1000L): DataFrame = {
     val (n, sdl) = readMeta(spark, indexDir)
     val qterms = SearchOps.cleanTerms(queryTerms)
     val bounded = SearchOps.isBounded(qterms, probeLimit)
@@ -104,7 +105,8 @@ object SearchIndex {
       case None => postings.join(
         if (bounded) broadcast(termSet) else termSet, Seq("term"), "left_semi")
     }
-    SearchOps.bm25From(gated, n, sdl * 1000L / n, qterms, k, bounded)
+    SearchOps.bm25From(gated, n, sdl * 1000L / n, qterms, k, bounded,
+      maxDfPermille)
   }
 
   /** Append newly-arrived documents WITHOUT touching existing rows:

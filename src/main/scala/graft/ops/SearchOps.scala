@@ -80,14 +80,29 @@ object SearchOps {
     */
   private[graft] def bm25From(gatedPostings: DataFrame, nDocs: Long,
                               avgdlMilli: Long, qterms: DataFrame, k: Int,
-                              broadcastProbes: Boolean): DataFrame = {
+                              broadcastProbes: Boolean,
+                              maxDfPermille: Long = 1000L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(nDocs > 0 && avgdlMilli > 0,
       s"corpus stats must be positive: n=$nDocs avgdl_milli=$avgdlMilli")
     def hint(df: DataFrame): DataFrame =
       if (broadcastProbes) broadcast(df) else df
-    val dfRel = gatedPostings.groupBy(col("term"))
+    // Hot-term cap — the lexical skew lever (the near-dup hot-bucket
+    // cap's analog): a stopword-like query term matches a constant
+    // fraction of the CORPUS, so its posting fan-in to the score
+    // aggregation is O(N) rows per term regardless of how selective
+    // the rest of the query is. Terms with df > maxDfPermille‰ of the
+    // corpus are dropped AFTER the df census (the census itself is one
+    // count per term — cheap) and BEFORE the wide score join; their
+    // score contribution is bounded by idf ≈ 1000/permille milli
+    // (≈1.4 of a rare term's clamped 10^7), so ranking is dominated by
+    // the surviving terms. Default 1000 = off (oracle-exact); the
+    // 100 TB deployment dials it to ~100-300.
+    val dfAll = gatedPostings.groupBy(col("term"))
       .agg(count(lit(1)).as("dfc"))
+    val dfRel =
+      if (maxDfPermille >= 1000L) dfAll
+      else dfAll.filter(col("dfc") * 1000L <= lit(maxDfPermille * nDocs))
     val scored = gatedPostings
       .join(hint(dfRel), Seq("term"))
       .join(hint(qterms), Seq("term"))
@@ -182,7 +197,8 @@ object SearchOps {
   }
 
   def bm25Search(docs: DataFrame, queryTerms: DataFrame, k: Int = 10,
-                 probeLimit: Long = AnnIndex.BroadcastQueryLimit): DataFrame = {
+                 probeLimit: Long = AnnIndex.BroadcastQueryLimit,
+                 maxDfPermille: Long = 1000L): DataFrame = {
     val (nDocs, sumDl) = corpusStats(docs)
     val qterms = cleanTerms(queryTerms)
     val bounded = isBounded(qterms, probeLimit)
@@ -192,6 +208,7 @@ object SearchOps {
       .join(if (bounded) broadcast(termSet) else termSet, Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    bm25From(gated, nDocs, sumDl * 1000L / nDocs, qterms, k, bounded)
+    bm25From(gated, nDocs, sumDl * 1000L / nDocs, qterms, k, bounded,
+      maxDfPermille)
   }
 }

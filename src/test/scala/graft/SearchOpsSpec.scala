@@ -109,6 +109,41 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SearchOps.bm25Search(docs, empty).count() == 0L)
   }
 
+  test("hot-term df cap drops stopword-like terms, equals the query with them removed") {
+    val sp = spark; import sp.implicits._
+    // 200 docs, every one carrying the stopword; each doc also has a
+    // unique rare term and a 10%-df medium term
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"the rare$i med${i % 10} pad${i}a pad${i}b")).toDF("doc_id", "text")
+    val qterms = (0 until 5).flatMap(q => Seq(
+      (1000L + q, "the"), (1000L + q, s"rare${q * 7}"), (1000L + q, s"med$q")))
+      .toDF("query_id", "term")
+    // "the" has df=200 (1000 permille), med* df=20 (100 permille),
+    // rare* df=1 — a 500-permille cap must drop exactly "the"
+    val capped = SearchOps.bm25Search(docs, qterms, maxDfPermille = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val removed = SearchOps.bm25Search(docs, qterms.filter(col("term") =!= "the"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(capped.nonEmpty && capped == removed)
+    // each query's top hit is the doc carrying its rare term
+    capped.filter(_._2 == 1L).foreach { case (qid, _, doc, _) =>
+      assert(doc == (qid - 1000L) * 7L)
+    }
+    // default 1000 = off: identical to the uncapped call
+    val off = SearchOps.bm25Search(docs, qterms, maxDfPermille = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val default = SearchOps.bm25Search(docs, qterms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(off == default)
+    // the served path honors the same cap
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-dfcap").toString
+    SearchIndex.build(spark, docs, dir)
+    val servedCap = SearchIndex.serve(spark, dir, qterms, maxDfPermille = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(servedCap == capped)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("hybridRrf equals integer RRF recomputed from the collected legs") {
     val docs = TextOps.readDocs(spark, sfDir)
     val lex = Queries.bm25SearchQ(spark, sfDir).collect()
