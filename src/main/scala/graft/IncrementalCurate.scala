@@ -443,7 +443,8 @@ object IncrementalCurate {
     // path the appends above invalidated
     lexIndexDir.foreach { idx =>
       val docs = staged.select(col("doc_id"), col("text"))
-      if (exists(spark, s"$idx/lex_meta")) graft.ops.SearchIndex.append(spark, docs, idx)
+      if (graft.ops.SearchIndex.hasCommittedIndex(spark, idx))
+        graft.ops.SearchIndex.append(spark, docs, idx)
       else if (nAdmitted > 0) graft.ops.SearchIndex.build(spark, docs, idx)
     }
     new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -511,12 +512,7 @@ object IncrementalCurate {
       if (listDataNames(spark, stateDir, "canonical").nonEmpty)
         spark.read.parquet(canonicalDir(stateDir)).count()
       else 0L
-    val indexed =
-      if (exists(spark, s"$lexIndexDir/lex_meta"))
-        spark.read.parquet(s"$lexIndexDir/lex_meta")
-          .select(col("n_docs")).collect()(0).getLong(0)
-      else 0L
-    canonical - indexed
+    canonical - graft.ops.SearchIndex.indexedDocs(spark, lexIndexDir)
   }
 
   /** Rebuild the lexical serving index from the curated state — the

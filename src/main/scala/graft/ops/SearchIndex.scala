@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,9 +18,19 @@ import org.apache.spark.sql.functions._
   *    index, not all of it). Dictionary encoding stays ON here —
   *    unlike urls/text (near-unique, see BENCH.md), terms repeat
   *    massively and dictionary-encode well.
-  *  - `lex_meta`  — one row (n_docs, sum_dl): the corpus stats BM25
-  *    needs. The stats travel WITH the index (the AnnIndex geometry
-  *    discipline) so serving cannot drift from the built corpus.
+  *  - `lex_meta`  — append-only (n_docs, sum_dl) DELTA rows, one per
+  *    build/append; readers SUM them. Deltas make the meta leg
+  *    append-only like the postings leg, so one commit manifest can
+  *    cover both (below) — the overwrite-a-stats-row design had an
+  *    unfixable crash window between the two writes.
+  *  - `_lexlog/`  — per-mutation commit manifests (`m-*.list`, one
+  *    `table/filename` line per file the mutation added; written via
+  *    temp + atomic rename AFTER both appends — the single commit
+  *    point, the IncrementalCurate `_drops` protocol). Writers
+  *    reconcile unlisted debris at entry; READERS resolve the
+  *    committed file set and read exactly those files, so a crashed
+  *    append is invisible to serving even before the next writer
+  *    cleans it up. Pre-manifest (legacy) dirs are genesis-adopted.
   *
   * Serving composes the SAME scoring kernel as the in-memory search
   * (SearchOps.bm25From), so a served result is bit-identical to
@@ -29,9 +40,8 @@ import org.apache.spark.sql.functions._
   * Appends are EXACT: postings rows are per-document independent and
   * the meta stats are associative sums, so append-then-serve equals a
   * full rebuild over the union (stronger than PQ's frozen-codebook
-  * trade; spec-asserted). A crash between the postings append and the
-  * meta overwrite leaves stats excluding the appended docs — rerun
-  * [[build]] (idempotent at the overwrite level) to recover.
+  * trade; spec-asserted). Single-writer discipline: one build/append/
+  * compact at a time (serves are safe concurrent readers).
   */
 object SearchIndex {
 
@@ -41,8 +51,13 @@ object SearchIndex {
     */
   val TermPushdownLimit = 1024
 
+  private val Tables = Seq("postings", "lex_meta")
   private def postingsDir(indexDir: String) = s"$indexDir/postings"
   private def metaDir(indexDir: String) = s"$indexDir/lex_meta"
+  private def logPath(indexDir: String) = new Path(s"$indexDir/_lexlog")
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Term-hash clustering + in-file term sort: co-locates a term's
     * postings and gives parquet row-group min/max stats the serve-time
@@ -55,34 +70,159 @@ object SearchIndex {
   private def write(df: DataFrame, dir: String, mode: SaveMode): Unit =
     df.write.mode(mode).option("compression", "zstd").parquet(dir)
 
-  /** Materialize the inverted index: one tokenize+aggregate pass for
-    * the postings, one scalar pass for the stats.
+  // ---- commit manifests (`_lexlog/m-*.list`) --------------------------
+
+  private def listDataNames(spark: SparkSession, indexDir: String,
+                            table: String): Seq[String] = {
+    val p = new Path(s"$indexDir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => s"$table/${st.getPath.getName}").toSeq
+  }
+
+  private def allDataNames(spark: SparkSession, indexDir: String): Seq[String] =
+    Tables.flatMap(listDataNames(spark, indexDir, _))
+
+  /** `table/filename` entries committed manifests record; None when the
+    * index predates the log (legacy: trust the directories).
     */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  private def committedEntries(spark: SparkSession,
+                               indexDir: String): Option[Set[String]] = {
+    val lp = logPath(indexDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp)) None
+    else Some(fs.listStatus(lp).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty).toSet)
+  }
+
+  /** Has a mutation with this caller-chosen id already committed?
+    * The manifest IS the commit marker — streaming retries key their
+    * idempotence off it (no separate marker file, no window between
+    * "append committed" and "marker written").
+    */
+  def mutationCommitted(spark: SparkSession, indexDir: String,
+                        mutationId: String): Boolean = {
+    val m = new Path(logPath(indexDir), s"m-$mutationId.list")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  private def writeManifest(spark: SparkSession, indexDir: String,
+                            entries: Seq[String],
+                            mutationId: Option[String] = None): Unit = {
+    if (entries.isEmpty) return
+    val lp = logPath(indexDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lp)
+    val id = mutationId.getOrElse(java.util.UUID.randomUUID().toString)
+    val tmp = new Path(lp, s".tmp-$id")
+    val fin = new Path(lp, s"m-$id.list")
+    val out = fs.create(tmp, true)
+    try out.write((entries.sorted.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmp, fin)
+  }
+
+  /** Writer-side rollback of a crashed mutation: delete index data
+    * files no manifest lists. Legacy dirs are genesis-adopted first.
+    * Returns the deleted entries.
+    */
+  def reconcile(spark: SparkSession, indexDir: String): Seq[String] =
+    committedEntries(spark, indexDir) match {
+      case None =>
+        val current = allDataNames(spark, indexDir)
+        if (current.nonEmpty) writeManifest(spark, indexDir, current)
+        Seq.empty
+      case Some(ok) =>
+        val debris = allDataNames(spark, indexDir).filterNot(ok.contains)
+        val fs = fsOf(spark, indexDir)
+        debris.foreach(e => fs.delete(new Path(s"$indexDir/$e"), false))
+        debris
+    }
+
+  /** The committed view of an index table: exactly the files manifests
+    * record (legacy log-less dirs read whole). A crashed append's
+    * debris never reaches a reader through here.
+    */
+  private def readCommitted(spark: SparkSession, indexDir: String,
+                            table: String): DataFrame =
+    committedEntries(spark, indexDir) match {
+      case None => spark.read.parquet(s"$indexDir/$table")
+      case Some(ok) =>
+        val files = listDataNames(spark, indexDir, table)
+          .filter(ok.contains).map(e => s"$indexDir/$e")
+        require(files.nonEmpty, s"no committed $table files at $indexDir")
+        spark.read.parquet(files: _*)
+    }
+
+  // ---- build / append / serve ----------------------------------------
+
+  /** Materialize the inverted index: one tokenize+aggregate pass for
+    * the postings, one scalar pass for the stats. Overwrites any
+    * existing index at `indexDir` (rebuilds are idempotent at the
+    * overwrite level); the commit log restarts with a fresh genesis.
+    */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
+            mutationId: Option[String] = None): Unit = {
     import spark.implicits._
     val (n, sdl) = SearchOps.corpusStats(docs)
     require(n > 0, "cannot build a lexical index over an empty corpus")
+    // stale manifests must never outlive the files they name
+    fsOf(spark, indexDir).delete(logPath(indexDir), true)
     write(clustered(SearchOps.postingsOf(docs)), postingsDir(indexDir),
       SaveMode.Overwrite)
     write(Seq((n, sdl)).toDF("n_docs", "sum_dl").coalesce(1),
       metaDir(indexDir), SaveMode.Overwrite)
+    writeManifest(spark, indexDir, allDataNames(spark, indexDir), mutationId)
   }
 
-  /** Rehydrate the stored corpus stats (one tiny row). */
+  /** True iff the index has a COMMITTED build (a manifest recording a
+    * lex_meta file). A crash mid-build leaves dirs but no manifest —
+    * callers deciding build-vs-append must key off this, not dir
+    * existence, or a partial build gets genesis-adopted as the base.
+    */
+  def hasCommittedIndex(spark: SparkSession, indexDir: String): Boolean =
+    committedEntries(spark, indexDir)
+      .exists(_.exists(_.startsWith("lex_meta/")))
+
+  /** Summed stored corpus stats (delta rows over all committed
+    * builds/appends).
+    */
   private def readMeta(spark: SparkSession, indexDir: String): (Long, Long) = {
-    val rows = spark.read.parquet(metaDir(indexDir))
-      .select(col("n_docs"), col("sum_dl")).collect()
-    require(rows.length == 1, s"malformed lex_meta at $indexDir")
+    val rows = readCommitted(spark, indexDir, "lex_meta")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).collect()
+    require(rows.length == 1 && !rows(0).isNullAt(0),
+      s"malformed lex_meta at $indexDir")
     (rows(0).getLong(0), rows(0).getLong(1))
+  }
+
+  /** Total docs the index covers (0 for a missing index) — the
+    * freshness denominator callers like IncrementalCurate.lexStaleness
+    * compare against their corpus count.
+    */
+  def indexedDocs(spark: SparkSession, indexDir: String): Long = {
+    val p = new Path(metaDir(indexDir))
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
+    else readMeta(spark, indexDir)._1
   }
 
   /** Top-k BM25 against the PREBUILT index: bit-identical to
     * SearchOps.bm25Search over the indexed corpus, but the corpus is
     * never rescanned — serve cost is the postings probe (row-group
-    * pruned for small batches) + the score aggregation. Null-term
-    * request rows are dropped at entry; probe relations ride
-    * broadcasts only under the bounded-batch guard (shuffle fallback
-    * with identical results).
+    * pruned for small batches) + the score aggregation. Reads only
+    * COMMITTED index files (crash debris invisible). Null-term request
+    * rows are dropped at entry; probe relations ride broadcasts only
+    * under the bounded-batch guard (shuffle fallback with identical
+    * results); `maxDfPermille` dials the hot-term cap (default off).
     */
   def serve(spark: SparkSession, indexDir: String, queryTerms: DataFrame,
             k: Int = 10, probeLimit: Long = AnnIndex.BroadcastQueryLimit,
@@ -91,7 +231,7 @@ object SearchIndex {
     val (n, sdl) = readMeta(spark, indexDir)
     val qterms = SearchOps.cleanTerms(queryTerms)
     val bounded = SearchOps.isBounded(qterms, probeLimit)
-    val postings = spark.read.parquet(postingsDir(indexDir))
+    val postings = readCommitted(spark, indexDir, "postings")
     val termSet = qterms.select("term").distinct()
     // small bounded batch → literal IN predicate (pushes into the
     // parquet scan, prunes term-sorted row groups); larger → semi-join
@@ -111,31 +251,49 @@ object SearchIndex {
 
   /** Append newly-arrived documents WITHOUT touching existing rows:
     * their postings are per-document independent and the meta stats
-    * are sums, so append-then-serve is EXACTLY a rebuild over the
-    * union (spec-asserted). Caller contract: `newDocs` doc_ids are
-    * disjoint from the indexed set (the engine's ids are
-    * xxhash64-derived; a revisit should rebuild instead).
+    * are delta rows, so append-then-serve is EXACTLY a rebuild over
+    * the union (spec-asserted). Crash-atomic: unlisted debris from a
+    * previous crash is reconciled at entry, the postings and meta
+    * delta appends publish through ONE manifest (atomic rename — the
+    * commit point), so a crash anywhere mid-append rolls back wholly
+    * and a RETRY of the same batch is exact, never doubled. Caller
+    * contract: `newDocs` doc_ids are disjoint from the indexed set
+    * (the engine's ids are xxhash64-derived; a revisit should rebuild
+    * instead). Returns the number of docs appended.
     */
-  def append(spark: SparkSession, newDocs: DataFrame, indexDir: String): Unit = {
+  def append(spark: SparkSession, newDocs: DataFrame, indexDir: String,
+             mutationId: Option[String] = None): Long = {
     import spark.implicits._
+    if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return 0L
     val (dn, dsdl) = SearchOps.corpusStats(newDocs)
-    if (dn == 0L) return
-    // stats first collected to the driver — the meta overwrite below
-    // must not read a dir its own plan lineage depends on
-    val (n, sdl) = readMeta(spark, indexDir)
+    if (dn == 0L) return 0L
+    reconcile(spark, indexDir)
+    val before = allDataNames(spark, indexDir).toSet
     write(clustered(SearchOps.postingsOf(newDocs)), postingsDir(indexDir),
       SaveMode.Append)
-    write(Seq((n + dn, sdl + dsdl)).toDF("n_docs", "sum_dl").coalesce(1),
-      metaDir(indexDir), SaveMode.Overwrite)
+    write(Seq((dn, dsdl)).toDF("n_docs", "sum_dl").coalesce(1),
+      metaDir(indexDir), SaveMode.Append)
+    writeManifest(spark, indexDir,
+      allDataNames(spark, indexDir).filterNot(before.contains), mutationId)
+    dn
   }
 
   /** Compact append-accumulated small postings files (thousands of
     * daily drops leave the relation file-open-bound, exactly like the
     * output table). Digest-verified atomic swap, re-clustered on term;
-    * served results are bit-identical before and after (spec).
+    * served results are bit-identical before and after (spec). The
+    * commit log is deleted BEFORE the swap (a stale manifest naming
+    * replaced files would make the next reconcile delete the compacted
+    * postings) and the compacted index re-adopts into a fresh genesis
+    * after — the compactState discipline.
     */
   def compact(spark: SparkSession, indexDir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): graft.CompactJob.CompactReport =
-    graft.CompactJob.run(spark, postingsDir(indexDir), targetFileBytes,
-      clusterKey = "term")
+              targetFileBytes: Long = 128L * 1024 * 1024): graft.CompactJob.CompactReport = {
+    reconcile(spark, indexDir)
+    fsOf(spark, indexDir).delete(logPath(indexDir), true)
+    val report = graft.CompactJob.run(spark, postingsDir(indexDir),
+      targetFileBytes, clusterKey = "term")
+    writeManifest(spark, indexDir, allDataNames(spark, indexDir))
+    report
+  }
 }

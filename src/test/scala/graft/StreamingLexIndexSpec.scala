@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SearchIndex
+import graft.streaming.StreamingLexIndex
+
+/** Streaming lexical-index maintenance: checkpointed drains keep a
+  * stored index bit-identical to a fresh rebuild, replays and
+  * duplicate deliveries are no-ops, and the commit-manifest protocol
+  * makes crash debris invisible to serving and reconciled by the next
+  * writer.
+  */
+class StreamingLexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-lex-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+  private def docsOf(ids: Range): Seq[(Long, String)] =
+    ids.map(i => (i.toLong, (0 until 12).map(k => s"d${i}w$k").mkString(" ") + s" shared$i"))
+  private def land(rows: Seq[(Long, String)], dir: String): Unit = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+  private def qtermsOf(ids: Seq[Long]) = {
+    val sp = spark; import sp.implicits._
+    ids.map(i => (i, s"shared$i")).toDF("query_id", "term")
+  }
+  private def served(idx: String, q: org.apache.spark.sql.DataFrame) =
+    SearchIndex.serve(spark, idx, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("drains track the landing zone; served results == fresh rebuild; re-drain is a no-op") {
+    val landDir = tmp("slex-land"); val idx = tmp("slex-idx")
+    val ckpt = tmp("slex-ckpt")
+    val q = qtermsOf(Seq(0L, 5L, 12L))
+
+    land(docsOf(0 until 8), landDir)
+    land(docsOf(8 until 10), landDir)
+    StreamingLexIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+    assert(SearchIndex.indexedDocs(spark, idx) == 10L)
+
+    // second drain picks up ONLY the new arrivals (file-source
+    // exactly-once), appends them, and the result is bit-identical to
+    // an index built fresh over everything
+    land(docsOf(10 until 15), landDir)
+    StreamingLexIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+    assert(SearchIndex.indexedDocs(spark, idx) == 15L)
+    val sp = spark; import sp.implicits._
+    val fresh = tmp("slex-fresh")
+    SearchIndex.build(spark, docsOf(0 until 15).toDF("doc_id", "text"), fresh)
+    assert(served(idx, q).nonEmpty && served(idx, q) == served(fresh, q))
+
+    // nothing new: drain is a no-op
+    StreamingLexIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+    assert(SearchIndex.indexedDocs(spark, idx) == 15L)
+    assert(served(idx, q) == served(fresh, q))
+  }
+
+  test("duplicate delivery of a committed batch id is a no-op (manifest IS the marker)") {
+    val sp = spark; import sp.implicits._
+    val idx = tmp("slex-dup-idx")
+    val q = qtermsOf(Seq(1L, 3L))
+    val b0 = docsOf(0 until 6).toDF("doc_id", "text")
+    val b1 = docsOf(6 until 9).toDF("doc_id", "text")
+    StreamingLexIndex.ingestBatch(spark, b0, 0L, idx)
+    StreamingLexIndex.ingestBatch(spark, b1, 1L, idx)
+    val before = served(idx, q)
+    assert(SearchIndex.indexedDocs(spark, idx) == 9L)
+    // at-least-once replay: same batch id, same payload
+    StreamingLexIndex.ingestBatch(spark, b1, 1L, idx)
+    assert(SearchIndex.indexedDocs(spark, idx) == 9L)
+    assert(served(idx, q) == before)
+  }
+
+  test("uncommitted debris is invisible to serving and reconciled by the next append") {
+    val sp = spark; import sp.implicits._
+    val idx = tmp("slex-debris-idx")
+    val q = qtermsOf(Seq(2L))
+    SearchIndex.build(spark, docsOf(0 until 6).toDF("doc_id", "text"), idx)
+    val clean = served(idx, q)
+    // simulate a crash mid-append: postings rows land with NO manifest
+    // (a poisoned doc that would hijack the query if read)
+    Seq((999L, "shared2 shared2 shared2")).toDF("doc_id", "text")
+      .createOrReplaceTempView("poison")
+    graft.ops.SearchOps.postingsOf(spark.table("poison"))
+      .write.mode("append").parquet(s"$idx/postings")
+    // serving reads only committed files — debris invisible
+    assert(served(idx, q) == clean)
+    // the next writer rolls the debris back, then appends exactly once
+    val n = SearchIndex.append(spark, docsOf(6 until 8).toDF("doc_id", "text"), idx)
+    assert(n == 2L)
+    val fresh = tmp("slex-debris-fresh")
+    SearchIndex.build(spark, docsOf(0 until 8).toDF("doc_id", "text"), fresh)
+    assert(served(idx, q) == served(fresh, q))
+    assert(SearchIndex.indexedDocs(spark, idx) == 8L)
+  }
+
+  test("a crashed FIRST build (no manifest) is rebuilt, not adopted") {
+    val sp = spark; import sp.implicits._
+    val idx = tmp("slex-halfbuild-idx")
+    // partial build: postings + meta dirs exist but the log does not
+    // (the crash-before-manifest state of build())
+    val partial = docsOf(0 until 3).toDF("doc_id", "text")
+    graft.ops.SearchOps.postingsOf(partial)
+      .write.mode("overwrite").parquet(s"$idx/postings")
+    Seq((2L, 10L)).toDF("n_docs", "sum_dl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idx/lex_meta")
+    assert(!SearchIndex.hasCommittedIndex(spark, idx))
+    // the replayed first batch REBUILDS over the partial dirs
+    val b0 = docsOf(0 until 6).toDF("doc_id", "text")
+    StreamingLexIndex.ingestBatch(spark, b0, 0L, idx)
+    assert(SearchIndex.indexedDocs(spark, idx) == 6L)
+    val fresh = tmp("slex-halfbuild-fresh")
+    SearchIndex.build(spark, b0, fresh)
+    val q = qtermsOf(Seq(1L, 4L))
+    assert(served(idx, q) == served(fresh, q))
+  }
+}
