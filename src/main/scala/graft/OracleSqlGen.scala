@@ -326,7 +326,12 @@ private[graft] object OracleSqlGen {
     * table (xor masks 0,1,2,…,256); candidates are the DISTINCT
     * (query, neighbor) id pairs over all tables, scored once.
     */
-  val annLsh: String = {
+  /** Multi-probe LSH mirror parameterized on the query-set predicate
+    * (over `b.vec_id`) and k — hybrid_serve's vector leg re-keys it to
+    * the shared id % 101 slice at depth 10; the default rows keep the
+    * vec_id-prefix convention at 5.
+    */
+  def annLshWith(queryPred: String, k: Int): String = {
     val masks = (0 +: (0 until 9).map(1 << _)).mkString(", ")
     s"""WITH ${bandedCte(VectorOps.hyperplanes(16 * 9, 64), 9)},
        |normed AS (
@@ -335,7 +340,7 @@ private[graft] object OracleSqlGen {
        |qp AS (
        |  SELECT b.vec_id AS query_id, b.band, xor(b.bucket, CAST(m.mask AS BIGINT)) AS bucket
        |  FROM banded b, UNNEST([$masks]) AS m(mask)
-       |  WHERE b.vec_id < 10),
+       |  WHERE $queryPred),
        |cand AS (
        |  SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id
        |  FROM banded n JOIN qp q ON n.band = q.band AND n.bucket = q.bucket
@@ -350,8 +355,10 @@ private[graft] object OracleSqlGen {
        |        CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
        |      FROM scored)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
-       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  val annLsh: String = annLshWith("b.vec_id < 10", 5)
 
   /** IVF oracle: the deterministic integer k-means of VectorOps
     * .kmeansMilli UNROLLED (fixed iteration count, no RNG) — all

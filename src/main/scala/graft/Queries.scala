@@ -293,6 +293,36 @@ object Queries {
     graft.ops.SearchOps.hybridRrf(lex, vec)
   }
 
+  /** Hybrid retrieval over STORED indexes end-to-end — the production
+    * serving composition: the lexical leg answers from a built
+    * SearchIndex, the vector leg from a built LSH AnnIndex (so this
+    * leg is the APPROXIMATE ranking, unlike hybrid_rrf's exact
+    * baseline), and the fusion is the same integer RRF. The oracle
+    * composes the bm25 mirror with the multi-probe LSH mirror re-keyed
+    * to the shared id % 101 query slice at depth 10.
+    */
+  def hybridServeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val emb = graft.ops.VectorOps.readEmbeddings(s, d)
+    val lexDir = java.nio.file.Files.createTempDirectory("graft-hyb-lex").toString
+    val annDir = java.nio.file.Files.createTempDirectory("graft-hyb-ann").toString
+    graft.ops.SearchIndex.build(s, docs, lexDir)
+    graft.ops.AnnIndex.buildLsh(s, emb, annDir)
+    val lex = graft.ops.SearchIndex.serve(s, lexDir, bm25QueryTerms(docs))
+    val vec = graft.ops.AnnIndex.serveLshQueries(s, emb,
+      emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("q_emb")),
+      annDir, k = 10)
+    val fused = materializeAndDelete(s,
+      graft.ops.SearchOps.hybridRrf(lex, vec), lexDir)
+    val p = java.nio.file.Paths.get(annDir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    fused
+  }
+
   /** Build/serve split for the lexical leg: materialize the inverted
     * index (postings + corpus stats) to parquet, then answer the SAME
     * request batch from the STORED index — bit-identical to

@@ -40,6 +40,7 @@ object SparkEntry {
     "bm25_search" -> (Queries.bm25SearchQ _),
     "bm25_serve" -> (Queries.bm25ServeQ _),
     "hybrid_rrf" -> (Queries.hybridRrfQ _),
+    "hybrid_serve" -> (Queries.hybridServeQ _),
     "strat_sample" -> (Queries.stratSample _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "host_parse" -> (Queries.hostParseQ _),
@@ -625,6 +626,28 @@ object SparkEntry {
     "hybrid_rrf" ->
       s"""WITH lex AS ($bm25Sql),
          |vec AS (${OracleSqlGen.annCosineWith("vec_id % 101 = 0", 10)}),
+         |u AS (
+         |  SELECT query_id, doc_id, rank FROM lex
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id AS doc_id, rank FROM vec),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+         |  FROM u GROUP BY query_id, doc_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rrf_micro
+         |FROM f
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    // Hybrid over STORED indexes: same fusion, but the vector leg is
+    // the APPROXIMATE multi-probe LSH mirror (what a serving
+    // deployment actually answers from), re-keyed to the shared query
+    // slice at depth 10.
+    "hybrid_serve" ->
+      s"""WITH lex AS ($bm25Sql),
+         |vec AS (${OracleSqlGen.annLshWith("b.vec_id % 101 = 0", 10)}),
          |u AS (
          |  SELECT query_id, doc_id, rank FROM lex
          |  UNION ALL

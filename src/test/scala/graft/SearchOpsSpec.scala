@@ -171,6 +171,37 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs.count() > 0)
   }
 
+  test("hybrid_serve equals integer RRF over the two served legs") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val emb = graft.ops.VectorOps.readEmbeddings(spark, sfDir)
+    val lexDir = java.nio.file.Files.createTempDirectory("hybserve-lex").toString
+    val annDir = java.nio.file.Files.createTempDirectory("hybserve-ann").toString
+    graft.ops.SearchIndex.build(spark, docs, lexDir)
+    graft.ops.AnnIndex.buildLsh(spark, emb, annDir)
+    val qterms = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").cast("long").as("query_id"),
+        explode(expr("array_distinct(slice(split(text, ' '), 2, 5))")).as("term"))
+    val lex = graft.ops.SearchIndex.serve(spark, lexDir, qterms).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val vec = graft.ops.AnnIndex.serveLshQueries(spark, emb,
+      emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("q_emb")), annDir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fused = (lex ++ vec).groupBy(t => (t._1, t._2))
+      .map { case ((qid, doc), rows) =>
+        (qid, doc, rows.map(t => 1000000L / (60L + t._3)).sum)
+      }.toSeq
+    val want = fused.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, doc, s) => (-s, doc) }.take(10).zipWithIndex
+        .map { case ((_, doc, s), i) => (qid, (i + 1).toLong, doc, s) }
+    }.sortBy(t => (t._1, t._2))
+    val got = collectRows(Queries.hybridServeQ(spark, sfDir))
+    assert(got.nonEmpty && got == want)
+    Seq(lexDir, annDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   // -------------------------------------------------------------------
   // stored-index lifecycle (ops/SearchIndex)
   // -------------------------------------------------------------------
