@@ -129,10 +129,7 @@ object Bench {
       if (pipelineOnly) "null"
       else try {
         val docs = graft.ops.TextOps.readDocs(spark, sfDir)
-        val qterms = docs.filter(col("doc_id") % 101 === 0)
-          .select(col("doc_id").cast("long").as("query_id"),
-            explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
-              .as("term"))
+        val qterms = Queries.bm25QueryTerms(docs)
         val dir = java.nio.file.Files.createTempDirectory("bench-lex-index").toString
         def time(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

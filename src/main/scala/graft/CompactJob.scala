@@ -42,10 +42,13 @@ object CompactJob {
     (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
-  /** @param clusterKey column hashed for the rewrite clustering —
+  /** @param clusterKey column(s) hashed for the rewrite clustering —
     *   `url` for the output table; index tables (ops.AnnIndex) pass
-    *   `vec_id`. Any uniformly-hashed column keeps the rewrite
-    *   balanced without a sampling pass.
+    *   `vec_id`. Comma-separated names hash together (ops.SearchIndex
+    *   passes `term,salt` so a Zipf-hot term's postings spread across
+    *   its bounded salt buckets instead of one straggler partition).
+    *   Any uniformly-hashed combination keeps the rewrite balanced
+    *   without a sampling pass.
     */
   def run(
       spark: SparkSession,
@@ -104,7 +107,8 @@ object CompactJob {
     val (digest, rows) = (srcStats.getLong(0), srcStats.getLong(1))
 
     val tmp = tableDir + ".compacting"
-    src.repartition(nParts, xxhash64(col(clusterKey)))
+    src.repartition(nParts,
+        xxhash64(clusterKey.split(',').toIndexedSeq.map(n => col(n.trim)): _*))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.enable.dictionary", "false")

@@ -442,10 +442,16 @@ object IncrementalCurate {
     // derives from the staged read-back, so its plan reads no state
     // path the appends above invalidated
     lexIndexDir.foreach { idx =>
-      val docs = staged.select(col("doc_id"), col("text"))
       if (graft.ops.SearchIndex.hasCommittedIndex(spark, idx))
-        graft.ops.SearchIndex.append(spark, docs, idx)
-      else if (nAdmitted > 0) graft.ops.SearchIndex.build(spark, docs, idx)
+        graft.ops.SearchIndex.append(spark, staged.select(col("doc_id"), col("text")), idx)
+      else if (listDataNames(spark, stateDir, "canonical").nonEmpty)
+        // no committed index: first drop, a crashed build, or a fresh
+        // index dir pointed at existing state — build over the FULL
+        // canonical set (it already includes this drop's admissions),
+        // so a committed-drop REPLAY repairs a crashed build instead of
+        // skipping on nAdmitted == 0
+        graft.ops.SearchIndex.build(spark,
+          spark.read.parquet(canonicalDir(stateDir)).select(col("doc_id"), col("text")), idx)
     }
     new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(staging), true)

@@ -81,16 +81,13 @@ object PlanAudit {
     }
     // lexical serve from a stored inverted index: the postings scan
     // must carry the literal In(term,...) pushed filter
+    val lexPlanDir = java.nio.file.Files.createTempDirectory("plan-lex").toString
     dump("bm25_serve") {
       val docs = graft.ops.TextOps.readDocs(spark, sfDir)
-      val qterms = docs.filter(col("doc_id") % 101 === 0)
-        .select(col("doc_id").cast("long").as("query_id"),
-          explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
-            .as("term"))
-      val dir = java.nio.file.Files.createTempDirectory("plan-lex").toString
-      graft.ops.SearchIndex.build(spark, docs, dir)
-      graft.ops.SearchIndex.serve(spark, dir, qterms)
+      graft.ops.SearchIndex.build(spark, docs, lexPlanDir)
+      graft.ops.SearchIndex.serve(spark, lexPlanDir, Queries.bm25QueryTerms(docs))
     }
+    Queries.deleteDir(lexPlanDir)
     spark.stop()
   }
 }

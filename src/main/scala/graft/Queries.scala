@@ -264,7 +264,7 @@ object Queries {
     * probe with (and the oracle re-derives with the same slice): every
     * doc_id % 101 == 0 doc queries with its distinct words 2..6.
     */
-  private def bm25QueryTerms(docs: DataFrame): DataFrame =
+  private[graft] def bm25QueryTerms(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 101 === 0)
       .select(col("doc_id").cast("long").as("query_id"),
         explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
@@ -316,10 +316,7 @@ object Queries {
       annDir, k = 10)
     val fused = materializeAndDelete(s,
       graft.ops.SearchOps.hybridRrf(lex, vec), lexDir)
-    val p = java.nio.file.Paths.get(annDir)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    deleteDir(annDir)
     fused
   }
 
@@ -540,13 +537,21 @@ object Queries {
     */
   private def materializeAndDelete(s: SparkSession, df: DataFrame, dir: String): DataFrame = {
     val rows = df.collect()
+    deleteDir(dir)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Recursive local-temp-dir cleanup (driver-local harness dirs only —
+    * production tables live on the lakehouse FS and are never deleted
+    * this way).
+    */
+  private[graft] def deleteDir(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Same split for SQ8: the quantizer + byte codes persist, serving

@@ -59,12 +59,24 @@ object SearchIndex {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Term-hash clustering + in-file term sort: co-locates a term's
-    * postings and gives parquet row-group min/max stats the serve-time
+  /** Bounded salt for the postings clustering: a Zipf-hot term's
+    * posting list is O(corpus) rows — hashing on term alone would sink
+    * it all into ONE straggler task/file (the skew class CLAUDE.md's
+    * uniform url-hash rule exists to avoid). Salting by doc_id mod 16
+    * bounds a term's spread to 16 partitions/files: build and compact
+    * stay balanced, while the serve-time IN predicate still prunes to
+    * at most 16 term-sorted slivers per term. The salt persists as a
+    * postings column so compaction can re-cluster on (term, salt).
+    */
+  private[graft] val SaltBuckets = 16
+
+  /** (term, salt)-hash clustering + in-file term sort: bounded-skew
+    * co-location with parquet row-group min/max stats the serve-time
     * IN predicate can prune on.
     */
   private def clustered(postings: DataFrame): DataFrame = postings
-    .repartition(xxhash64(col("term")))
+    .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(SaltBuckets)).cast("int"))
+    .repartition(xxhash64(col("term"), col("salt")))
     .sortWithinPartitions("term", "doc_id")
 
   private def write(df: DataFrame, dir: String, mode: SaveMode): Unit =
@@ -129,7 +141,10 @@ object SearchIndex {
     try out.write((entries.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmp, fin)
+    // rename returns false (not an exception) on several filesystems —
+    // an unchecked failure here would let the caller report a commit
+    // whose files the next reconcile deletes as debris
+    require(fs.rename(tmp, fin), s"manifest commit failed: $tmp -> $fin")
   }
 
   /** Writer-side rollback of a crashed mutation: delete index data
@@ -149,20 +164,28 @@ object SearchIndex {
         debris
     }
 
+  /** Full paths of the table's committed-AND-present data files
+    * (legacy log-less dirs: every data file).
+    */
+  private def committedFiles(spark: SparkSession, indexDir: String,
+                             table: String): Seq[String] =
+    (committedEntries(spark, indexDir) match {
+      case None => listDataNames(spark, indexDir, table)
+      case Some(ok) => listDataNames(spark, indexDir, table).filter(ok.contains)
+    }).map(e => s"$indexDir/$e")
+
   /** The committed view of an index table: exactly the files manifests
     * record (legacy log-less dirs read whole). A crashed append's
-    * debris never reaches a reader through here.
+    * debris never reaches a reader through here; a crashed REBUILD
+    * (committed entries but files overwritten away) fails loudly.
     */
   private def readCommitted(spark: SparkSession, indexDir: String,
-                            table: String): DataFrame =
-    committedEntries(spark, indexDir) match {
-      case None => spark.read.parquet(s"$indexDir/$table")
-      case Some(ok) =>
-        val files = listDataNames(spark, indexDir, table)
-          .filter(ok.contains).map(e => s"$indexDir/$e")
-        require(files.nonEmpty, s"no committed $table files at $indexDir")
-        spark.read.parquet(files: _*)
-    }
+                            table: String): DataFrame = {
+    val files = committedFiles(spark, indexDir, table)
+    require(files.nonEmpty,
+      s"no committed $table files at $indexDir (crashed build? re-run build)")
+    spark.read.parquet(files: _*)
+  }
 
   // ---- build / append / serve ----------------------------------------
 
@@ -176,13 +199,29 @@ object SearchIndex {
     import spark.implicits._
     val (n, sdl) = SearchOps.corpusStats(docs)
     require(n > 0, "cannot build a lexical index over an empty corpus")
-    // stale manifests must never outlive the files they name
-    fsOf(spark, indexDir).delete(logPath(indexDir), true)
+    // The log is NOT deleted up front: a crash mid-rebuild must never
+    // leave a log-less mixed state a reader would legacy-adopt (new
+    // postings scored with old stats). Instead the overwrites run
+    // under the OLD manifests — their entries then name files the
+    // overwrite deleted, so readers fail LOUDLY ("no committed files",
+    // recovery = re-run build) rather than silently mis-score — the
+    // new manifest is the commit point, and only then are the old
+    // manifests retired.
+    val lp = logPath(indexDir)
+    val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldManifests =
+      if (!lfs.exists(lp)) Seq.empty[Path]
+      else lfs.listStatus(lp).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+        .map(_.getPath).toSeq
     write(clustered(SearchOps.postingsOf(docs)), postingsDir(indexDir),
       SaveMode.Overwrite)
     write(Seq((n, sdl)).toDF("n_docs", "sum_dl").coalesce(1),
       metaDir(indexDir), SaveMode.Overwrite)
     writeManifest(spark, indexDir, allDataNames(spark, indexDir), mutationId)
+    // retired entries name already-deleted files — removing them is
+    // cleanup, not a commit step (a crash here is harmless)
+    oldManifests.foreach(m => lfs.delete(m, false))
   }
 
   /** True iff the index has a COMMITTED build (a manifest recording a
@@ -209,11 +248,9 @@ object SearchIndex {
     * freshness denominator callers like IncrementalCurate.lexStaleness
     * compare against their corpus count.
     */
-  def indexedDocs(spark: SparkSession, indexDir: String): Long = {
-    val p = new Path(metaDir(indexDir))
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
+  def indexedDocs(spark: SparkSession, indexDir: String): Long =
+    if (committedFiles(spark, indexDir, "lex_meta").isEmpty) 0L
     else readMeta(spark, indexDir)._1
-  }
 
   /** Top-k BM25 against the PREBUILT index: bit-identical to
     * SearchOps.bm25Search over the indexed corpus, but the corpus is
@@ -291,8 +328,10 @@ object SearchIndex {
               targetFileBytes: Long = 128L * 1024 * 1024): graft.CompactJob.CompactReport = {
     reconcile(spark, indexDir)
     fsOf(spark, indexDir).delete(logPath(indexDir), true)
+    // (term, salt) keeps the rewrite balanced under Zipf-hot terms —
+    // same bounded-spread trade as the build clustering
     val report = graft.CompactJob.run(spark, postingsDir(indexDir),
-      targetFileBytes, clusterKey = "term")
+      targetFileBytes, clusterKey = "term,salt")
     writeManifest(spark, indexDir, allDataNames(spark, indexDir))
     report
   }

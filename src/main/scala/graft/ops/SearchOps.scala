@@ -138,27 +138,6 @@ object SearchOps {
   private[graft] def isBounded(qterms: DataFrame, probeLimit: Long): Boolean =
     qterms.limit(probeLimit.toInt + 1).count() <= probeLimit
 
-  /** Top-k BM25-variant search: `queryTerms` is a request relation
-    * (query_id BIGINT, term STRING) — one row per distinct query term
-    * (deduped defensively here).
-    *
-    * Scale shape (the 100 TB plan):
-    *  - the corpus is scanned twice: a scalar pass for N/avgdl (one
-    *    2-long row to the driver) and the postings pass;
-    *  - the query-term set semi-joins the exploded token stream BEFORE
-    *    any shuffle — only matched postings (a vanishing fraction of
-    *    corpus tokens) reach the (doc, term) tf aggregation, so
-    *    shuffle bytes are O(matches), not O(corpus tokens);
-    *  - df is computed from those matched postings — term-cardinality
-    *    rows; no corpus-wide df pass is ever needed;
-    *  - top-k is a per-query row_number window — partitions are
-    *    per-query, never global.
-    * Probe relations (query terms, per-term df) are broadcast only
-    * under the bounded-batch guard (`probeLimit`); postings and text
-    * never are (the near-dup broadcast invariant). For repeated query
-    * batches over a stable corpus, build once and serve from
-    * ops/SearchIndex instead — same kernel, no corpus rescan.
-    */
   /** RRF (reciprocal-rank fusion) constant — the standard k=60. */
   val RrfKMilli = 60L
 
@@ -196,10 +175,32 @@ object SearchOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Top-k BM25-variant search: `queryTerms` is a request relation
+    * (query_id BIGINT, term STRING) — one row per distinct query term
+    * (deduped defensively here).
+    *
+    * Scale shape (the 100 TB plan):
+    *  - the corpus is scanned twice: a scalar pass for N/avgdl (one
+    *    2-long row to the driver) and the postings pass;
+    *  - the query-term set semi-joins the exploded token stream BEFORE
+    *    any shuffle — only matched postings (a vanishing fraction of
+    *    corpus tokens) reach the (doc, term) tf aggregation, so
+    *    shuffle bytes are O(matches), not O(corpus tokens);
+    *  - df is computed from those matched postings — term-cardinality
+    *    rows; no corpus-wide df pass is ever needed;
+    *  - top-k is a per-query row_number window — partitions are
+    *    per-query, never global.
+    * Probe relations (query terms, per-term df) are broadcast only
+    * under the bounded-batch guard (`probeLimit`); postings and text
+    * never are (the near-dup broadcast invariant). For repeated query
+    * batches over a stable corpus, build once and serve from
+    * ops/SearchIndex instead — same kernel, no corpus rescan.
+    */
   def bm25Search(docs: DataFrame, queryTerms: DataFrame, k: Int = 10,
                  probeLimit: Long = AnnIndex.BroadcastQueryLimit,
                  maxDfPermille: Long = 1000L): DataFrame = {
     val (nDocs, sumDl) = corpusStats(docs)
+    require(nDocs > 0, "cannot search an empty corpus")
     val qterms = cleanTerms(queryTerms)
     val bounded = isBounded(qterms, probeLimit)
     val termSet = qterms.select("term").distinct()

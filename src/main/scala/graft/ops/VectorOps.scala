@@ -49,7 +49,10 @@ object VectorOps {
 
   /** Same exact baseline with an arbitrary query predicate over
     * vec_id (the hybrid_rrf vector leg keys its query set off the
-    * shared doc_id slice, not an id prefix).
+    * shared doc_id slice, not an id prefix). The query side carries
+    * embeddings, so it rides a broadcast only under the bounded-batch
+    * guard — a corpus-proportional predicate falls back to a plain
+    * join (AQE decides) instead of forcing a multi-GB vector broadcast.
     */
   def annBruteBy(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val normed = emb.select(col("vec_id"), col("embedding"),
@@ -57,9 +60,12 @@ object VectorOps {
     val queries = normed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
+    val small = queries.limit(AnnIndex.BroadcastQueryLimit.toInt + 1).count() <=
+      AnnIndex.BroadcastQueryLimit
     val scored = normed
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"))
-      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .join(if (small) broadcast(queries) else queries,
+        col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

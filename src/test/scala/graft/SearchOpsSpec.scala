@@ -178,9 +178,7 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val annDir = java.nio.file.Files.createTempDirectory("hybserve-ann").toString
     graft.ops.SearchIndex.build(spark, docs, lexDir)
     graft.ops.AnnIndex.buildLsh(spark, emb, annDir)
-    val qterms = docs.filter(col("doc_id") % 101 === 0)
-      .select(col("doc_id").cast("long").as("query_id"),
-        explode(expr("array_distinct(slice(split(text, ' '), 2, 5))")).as("term"))
+    val qterms = Queries.bm25QueryTerms(docs)
     val lex = graft.ops.SearchIndex.serve(spark, lexDir, qterms).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
     val vec = graft.ops.AnnIndex.serveLshQueries(spark, emb,
@@ -212,11 +210,7 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def docsAndTerms() = {
     val docs = TextOps.readDocs(spark, sfDir)
-    val qterms = docs.filter(col("doc_id") % 101 === 0)
-      .select(col("doc_id").cast("long").as("query_id"),
-        explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
-          .as("term"))
-    (docs, qterms)
+    (docs, Queries.bm25QueryTerms(docs))
   }
 
   test("SearchIndex build->serve is bit-identical to the in-memory search") {
@@ -278,6 +272,34 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = collectRows(SearchIndex.serve(spark, dir, qterms))
     assert(report.filesAfter < report.filesBefore)
     assert(before.nonEmpty && after == before)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("build clustering bounds a hot term's spread (Zipf skew lever)") {
+    val sp = spark; import sp.implicits._
+    // 400 docs all containing the stopword + a unique term each
+    val docs = (0 until 400).map(i => (i.toLong, s"the uniq$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-salt").toString
+    SearchIndex.build(spark, docs, dir)
+    // the hot term's postings carry >1 distinct persisted salt keys
+    // (the partitioning key is xxhash64(term, salt), so at corpus
+    // scale its rows land on that many distinct shuffle partitions —
+    // at toy scale AQE legitimately coalesces them into fewer files,
+    // so FILE count is not the observable here), bounded by the
+    // salt-bucket count
+    val hotSalts = spark.read.parquet(s"$dir/postings")
+      .filter(col("term") === "the")
+      .select(col("salt")).distinct().count()
+    assert(hotSalts > 1, s"hot term all in one salt bucket (straggler): $hotSalts")
+    assert(hotSalts <= SearchIndex.SaltBuckets,
+      s"hot term spread unbounded: $hotSalts salts")
+    // salting is transparent to results
+    val q = Seq((7L, "the"), (7L, "uniq7")).toDF("query_id", "term")
+    val got = SearchIndex.serve(spark, dir, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val direct = SearchOps.bm25Search(docs, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == direct)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
