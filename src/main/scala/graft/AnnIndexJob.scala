@@ -13,19 +13,19 @@ import graft.ops.AnnIndex
   * rerunning after a crash just rewrites the same artifacts.
   *
   * CLI: spark-submit --class graft.AnnIndexJob app.jar \
-  *        <embeddingsParquet> <indexDir> [lsh|pq|sq|both|all]
-  * ("both" = lsh+pq, kept for compatibility; "all" adds the SQ8 leg)
+  *        <embeddingsParquet> <indexDir> [lsh|pq|sq|ivf|both|all]
+  * ("both" = lsh+pq, kept for compatibility; "all" adds SQ8 and IVF)
   */
 object AnnIndexJob {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.AnnIndexJob <embeddingsParquet> <indexDir> [lsh|pq|sq|both|all]")
+        "usage: graft.AnnIndexJob <embeddingsParquet> <indexDir> [lsh|pq|sq|ivf|both|all]")
       sys.exit(2)
     }
     val what = if (args.length > 2) args(2) else "both"
-    require(Set("lsh", "pq", "sq", "both", "all").contains(what),
+    require(Set("lsh", "pq", "sq", "ivf", "both", "all").contains(what),
       s"unknown index kind: $what")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -44,6 +44,7 @@ object AnnIndexJob {
     if (what == "pq" || what == "both" || what == "all")
       AnnIndex.buildPq(spark, emb, args(1))
     if (what == "sq" || what == "all") AnnIndex.buildSq(spark, emb, args(1))
+    if (what == "ivf" || what == "all") AnnIndex.buildIvf(spark, emb, args(1))
     val tAll = (System.nanoTime() - t0) / 1e9
     val nVecs = emb.count()
     println(

@@ -17,7 +17,7 @@ import graft.ops.AnnIndex
   * and enforces the same ceiling, so chunk larger SQ batches.
   *
   * CLI: spark-submit --class graft.AnnServeJob app.jar \
-  *        <indexDir> <embeddingsParquet> <queriesParquet> <outDir> [lsh|pq|sq] [k]
+  *        <indexDir> <embeddingsParquet> <queriesParquet> <outDir> [lsh|pq|sq|ivf] [k]
   */
 object AnnServeJob {
 
@@ -28,7 +28,7 @@ object AnnServeJob {
   def run(spark: SparkSession, indexDir: String, embPath: String,
           queriesPath: String, outDir: String, kind: String = "lsh",
           k: Int = 5): (Long, Long) = {
-    require(Set("lsh", "pq", "sq").contains(kind), s"unknown index kind: $kind")
+    require(Set("lsh", "pq", "sq", "ivf").contains(kind), s"unknown index kind: $kind")
     val emb = spark.read.parquet(embPath)
     val queries = spark.read.parquet(queriesPath)
     val nQueries = queries.count()
@@ -36,6 +36,7 @@ object AnnServeJob {
       case "lsh" => AnnIndex.serveLshQueries(spark, emb, queries, indexDir, k)
       case "pq" => AnnIndex.servePqQueries(spark, emb, queries, indexDir, k)
       case "sq" => AnnIndex.serveSqQueries(spark, emb, queries, indexDir, k)
+      case "ivf" => AnnIndex.serveIvfQueries(spark, emb, queries, indexDir, k)
     }
     result.write.mode("overwrite")
       .option("compression", "zstd")
@@ -48,7 +49,7 @@ object AnnServeJob {
     if (args.length < 4) {
       System.err.println(
         "usage: graft.AnnServeJob <indexDir> <embeddingsParquet> " +
-          "<queriesParquet> <outDir> [lsh|pq|sq] [k]")
+          "<queriesParquet> <outDir> [lsh|pq|sq|ivf] [k]")
       sys.exit(2)
     }
     val kind = if (args.length > 4) args(4) else "lsh"

@@ -94,6 +94,8 @@ object Bench {
         val pqServe = time(graft.ops.AnnIndex.servePq(spark, emb, dir).count())
         val sqBuild = time(graft.ops.AnnIndex.buildSq(spark, emb, dir))
         val sqServe = time(graft.ops.AnnIndex.serveSq(spark, emb, dir).count())
+        val ivfBuild = time(graft.ops.AnnIndex.buildIvf(spark, emb, dir))
+        val ivfServe = time(graft.ops.AnnIndex.serveIvf(spark, emb, dir).count())
         // maintenance leg: an append drop, then the compaction sweep,
         // then serve-from-compacted — the steady-state serving cost
         // after the daily-drop lifecycle (VERDICT r4 item 4)
@@ -103,16 +105,20 @@ object Bench {
         graft.ops.AnnIndex.appendLsh(spark, drop, dir)
         graft.ops.AnnIndex.appendPq(spark, drop, dir)
         graft.ops.AnnIndex.appendSq(spark, drop, dir)
+        graft.ops.AnnIndex.appendIvf(spark, drop, dir)
         val compactSec = time(graft.ops.AnnIndex.compact(spark, dir))
         val lshServeC = time(graft.ops.AnnIndex.serveLsh(spark, emb, dir).count())
         val pqServeC = time(graft.ops.AnnIndex.servePq(spark, emb, dir).count())
         val sqServeC = time(graft.ops.AnnIndex.serveSq(spark, emb, dir).count())
+        val ivfServeC = time(graft.ops.AnnIndex.serveIvf(spark, emb, dir).count())
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         s"""{"lsh_build_sec":$lshBuild,"lsh_serve_sec":$lshServe,""" +
           s""""pq_build_sec":$pqBuild,"pq_serve_sec":$pqServe,""" +
           s""""sq_build_sec":$sqBuild,"sq_serve_sec":$sqServe,""" +
+          s""""ivf_build_sec":$ivfBuild,"ivf_serve_sec":$ivfServe,""" +
           s""""compact_sec":$compactSec,"lsh_serve_compacted_sec":$lshServeC,""" +
-          s""""pq_serve_compacted_sec":$pqServeC,"sq_serve_compacted_sec":$sqServeC}"""
+          s""""pq_serve_compacted_sec":$pqServeC,"sq_serve_compacted_sec":$sqServeC,""" +
+          s""""ivf_serve_compacted_sec":$ivfServeC}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ann_index_split FAILED: ${e.getMessage}")

@@ -564,6 +564,18 @@ object Queries {
     materializeAndDelete(s, graft.ops.AnnIndex.serveSq(s, emb, dir), dir)
   }
 
+  /** Same split for IVF: centroid table + (cell, salt)-clustered
+    * inverted-file relation persist, serving probes the stored lists —
+    * bit-identical to ann_ivf (same DuckDB mirror, same deterministic
+    * k-means training).
+    */
+  def annIvfServe(s: SparkSession, d: String): DataFrame = {
+    val emb = VectorOps.readEmbeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+    graft.ops.AnnIndex.buildIvf(s, emb, dir)
+    materializeAndDelete(s, graft.ops.AnnIndex.serveIvf(s, emb, dir), dir)
+  }
+
   def embedClusterQ(s: SparkSession, d: String): DataFrame =
     VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
 

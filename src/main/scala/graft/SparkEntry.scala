@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_lsh" -> (Queries.annLsh _),
     "ann_lsh_serve" -> (Queries.annLshServe _),
     "ann_ivf" -> (Queries.annIvf _),
+    "ann_ivf_serve" -> (Queries.annIvfServe _),
     "ann_pq" -> (Queries.annPq _),
     "ann_sq" -> (Queries.annSq _),
     "ann_sq_serve" -> (Queries.annSqServe _),
@@ -771,6 +772,7 @@ object SparkEntry {
     // bit-identical to the in-memory operators — SAME mirrors
     "ann_lsh_serve" -> OracleSqlGen.annLsh,
     "ann_ivf" -> OracleSqlGen.annIvf,
+    "ann_ivf_serve" -> OracleSqlGen.annIvf,
     "ann_pq" -> OracleSqlGen.annPq,
     "ann_sq" -> OracleSqlGen.annSq,
     "ann_sq_serve" -> OracleSqlGen.annSq,

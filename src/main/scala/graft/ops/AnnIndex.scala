@@ -142,14 +142,19 @@ object AnnIndex {
   def compact(spark: SparkSession, indexDir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.CompactJob.CompactReport)] = {
     val fsConf = spark.sparkContext.hadoopConfiguration
-    Seq("lsh_buckets" -> lshDir(indexDir), "pq_codes" -> pqCodesDir(indexDir),
-        "sq_codes" -> sqCodesDir(indexDir))
-      .filter { case (_, d) =>
+    // ivf_cells re-clusters on (cell, salt) — the inverted-list
+    // locality serving's IN-predicate pruning depends on (the postings
+    // discipline); the id-keyed relations cluster on vec_id
+    Seq(("lsh_buckets", lshDir(indexDir), "vec_id"),
+        ("pq_codes", pqCodesDir(indexDir), "vec_id"),
+        ("sq_codes", sqCodesDir(indexDir), "vec_id"),
+        ("ivf_cells", ivfCellsDir(indexDir), "cell,salt"))
+      .filter { case (_, d, _) =>
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(fsConf).exists(p)
       }
-      .map { case (name, d) =>
-        name -> graft.CompactJob.run(spark, d, targetFileBytes, clusterKey = "vec_id")
+      .map { case (name, d, key) =>
+        name -> graft.CompactJob.run(spark, d, targetFileBytes, clusterKey = key)
       }
   }
 
@@ -273,6 +278,121 @@ object AnnIndex {
     val (mins, _) = readSqMeta(spark, indexDir)
     buildSq(spark, emb, indexDir, dim = mins.length)
   }
+
+  // -------------------------------------------------------------------
+  // IVF index — coarse k-means cells + probed search (VectorOps.annIvf)
+  // -------------------------------------------------------------------
+
+  private def ivfCentroidsDir(indexDir: String) = s"$indexDir/ivf_centroids"
+  private def ivfCellsDir(indexDir: String) = s"$indexDir/ivf_cells"
+
+  /** Bounded salt for the cell clustering — the SearchIndex postings
+    * discipline: a hot cell (real corpora cluster!) spreads over at
+    * most this many cell-sorted slivers instead of one straggler file,
+    * and serving's IN(cell,...) predicate still prunes row groups. The
+    * salt persists as a column so compaction re-clusters on it.
+    */
+  private val IvfSaltBuckets = 16
+
+  /** (cell, salt)-clustered write for the inverted-file relation.
+    * Dictionary ON — cells and salts repeat heavily (the postings rule,
+    * the opposite of the near-unique id/code tables).
+    */
+  private def writeIvfCells(df: DataFrame, dir: String, mode: SaveMode): Unit =
+    df.withColumn("salt",
+        pmod(xxhash64(col("vec_id")), lit(IvfSaltBuckets)).cast("int"))
+      .repartition(xxhash64(col("cell"), col("salt")))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode(mode)
+      .option("compression", "zstd")
+      .parquet(dir)
+
+  /** Train the coarse quantizer and materialize the IVF artifacts: a
+    * tiny centroid table (cid, centroid ARRAY<BIGINT> — the geometry
+    * travels WITH the index) and the (vec_id, cell, salt) inverted-file
+    * relation. Training is the expensive step (iters passes); the
+    * assignment one more. Serving probes nProbe cells per query and —
+    * for bounded batches — reads ONLY those inverted lists off the
+    * cell-clustered files.
+    */
+  def buildIvf(spark: SparkSession, emb: DataFrame, indexDir: String,
+               k: Int = 16, iters: Int = 3): Unit = {
+    import spark.implicits._
+    val centroids = VectorOps.kmeansMilli(spark, emb, k, iters)
+    write(centroids.zipWithIndex
+      .map { case (c, cid) => (cid, c.toSeq) }.toSeq
+      .toDF("cid", "centroid").coalesce(1), ivfCentroidsDir(indexDir))
+    writeIvfCells(
+      VectorOps.ivfAssign(spark, emb, centroids)
+        .withColumn("from_append", lit(false)),
+      ivfCellsDir(indexDir), SaveMode.Overwrite)
+  }
+
+  /** Rehydrate the stored centroid array (cid-dense, hole-checked). */
+  private def readIvfCentroids(spark: SparkSession, indexDir: String): Array[Array[Long]] = {
+    val rows = spark.read.parquet(ivfCentroidsDir(indexDir))
+      .select(col("cid"), col("centroid")).collect()
+    require(rows.nonEmpty, s"malformed ivf_centroids at $indexDir")
+    val out = new Array[Array[Long]](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => out(r.getInt(0)) = r.getSeq[Long](1).toArray)
+    out.map(c => { require(c != null, "ivf_centroids table has holes"); c })
+  }
+
+  /** Probed top-k against a PREBUILT IVF index — identical results to
+    * VectorOps.annIvf with the index's build parameters (same centroid
+    * training, same assignment rule, same probe rule, same re-rank
+    * contract), but the base is never re-trained or re-assigned: serve
+    * cost is the probed-list join plus the exact re-rank of candidates.
+    */
+  def serveIvf(spark: SparkSession, emb: DataFrame, indexDir: String,
+               nQueries: Int = 10, topK: Int = 5, nProbe: Int = 2): DataFrame =
+    VectorOps.annIvfFromQ(spark, spark.read.parquet(ivfCellsDir(indexDir)),
+      readIvfCentroids(spark, indexDir), emb,
+      VectorOps.queriesByIdPrefix(emb, nQueries), topK, nProbe)
+
+  /** Arbitrary-query IVF serving (query_id, q_emb) — broadcast probes
+    * + IN-pruned index scan for bounded batches, shuffle fallback
+    * otherwise (same guard as the LSH/PQ serve paths).
+    */
+  def serveIvfQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+                      indexDir: String, topK: Int = 5, nProbe: Int = 2): DataFrame = {
+    val (q, small) = cleanQueries(queries)
+    VectorOps.annIvfFromQ(spark, spark.read.parquet(ivfCellsDir(indexDir)),
+      readIvfCentroids(spark, indexDir), emb, q, topK, nProbe,
+      broadcastProbes = small)
+  }
+
+  /** Append newly-arrived vectors assigned under the FROZEN stored
+    * centroids (assignment is per-vector independent given the
+    * centroids, so append-then-serve equals serving the union assigned
+    * under the same frozen centroids — spec-asserted and
+    * batch-associative). [[ivfStaleness]] is the retrain signal; same
+    * disjoint-ids contract as [[appendLsh]].
+    */
+  def appendIvf(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit =
+    writeIvfCells(
+      VectorOps.ivfAssign(spark, newEmb, readIvfCentroids(spark, indexDir))
+        .withColumn("from_append", lit(true)),
+      ivfCellsDir(indexDir), SaveMode.Append)
+
+  /** Permille of stored cell rows assigned after the centroids'
+    * training (mirrors [[pqStaleness]]).
+    */
+  def ivfStaleness(spark: SparkSession, indexDir: String): Long = {
+    val r = spark.read.parquet(ivfCellsDir(indexDir)).agg(
+      sum(when(col("from_append"), 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("n")).collect()(0)
+    if (r.getLong(1) == 0L) 0L else r.getLong(0) * 1000L / r.getLong(1)
+  }
+
+  /** Retrain the coarse quantizer on the CURRENT corpus and re-assign —
+    * bit-identical to a fresh [[buildIvf]] (k from the stored centroid
+    * table); staleness reads 0 after.
+    */
+  def rebuildIvf(spark: SparkSession, emb: DataFrame, indexDir: String,
+                 iters: Int = 3): Unit =
+    buildIvf(spark, emb, indexDir,
+      k = readIvfCentroids(spark, indexDir).length, iters = iters)
 
   // -------------------------------------------------------------------
   // arbitrary-query serving — the real request shape

@@ -173,7 +173,8 @@ object VectorOps {
     * (a matching base vec_id is excluded as the trivial self-hit).
     */
   private[ops] def rerankExactQ(cand: DataFrame, emb: DataFrame,
-                                queries: DataFrame, k: Int): DataFrame = {
+                                queries: DataFrame, k: Int,
+                                broadcastQ: Boolean = true): DataFrame = {
     val normed = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     val q = queries
@@ -183,7 +184,7 @@ object VectorOps {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     cand
       .join(normed.toDF("neighbor_id", "embedding", "norm"), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(if (broadcastQ) broadcast(q) else q, Seq("query_id"))
       .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -248,7 +249,7 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    rerankExactQ(cand, emb, queries, k)
+    rerankExactQ(cand, emb, queries, k, broadcastQ = broadcastProbes)
   }
 
   def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
@@ -307,18 +308,7 @@ object VectorOps {
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val sums = vecs
-        .map { case (_, vm) =>
-          val cs = bc.value
-          var best = 0
-          var bestD = Long.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            val d = dist2(vm, cs(c))
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (best, (vm.clone(), 1L))
-        }
+        .map { case (_, vm) => (nearestCell(bc.value, vm), (vm.clone(), 1L)) }
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
           val (va, na) = a._2; val (vb, nb) = b._2
@@ -345,6 +335,33 @@ object VectorOps {
     centroids
   }
 
+  /** Argmin centroid id for a milli vector — THE assignment rule every
+    * IVF surface shares (training, in-memory search, the stored cell
+    * relation, serve-time probes): exact integer squared-L2, ties to
+    * the smaller centroid id by the strict `<` comparison.
+    */
+  private[graft] def nearestCell(cs: Array[Array[Long]], vm: Array[Long]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = dist2(vm, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe coarse cells nearest a query — annIvf's probe rule as
+    * a shared function: ascending (distance, cid), so ties go to the
+    * smaller cell id. Distinct cells by construction.
+    */
+  private[graft] def probeCells(cs: Array[Array[Long]], nProbe: Int)
+                               (v: Seq[Float]): Seq[Int] = {
+    val vm = milli(v)
+    cs.indices.map(c => (dist2(vm, cs(c)), c)).sorted.take(nProbe).map(_._2)
+  }
+
   /** IVF probed search: assign base vectors to their coarse cell, probe
     * the nProbe cells nearest each query, exact cosine top-k WITHIN the
     * probed cells — the classic inverted-file recall/latency dial (at
@@ -365,17 +382,7 @@ object VectorOps {
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val cs = bc.value
-        rows.map { case (id, v) =>
-          val vm = milli(v)
-          var best = 0; var bestD = Long.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            val d = dist2(vm, cs(c))
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (id, v, best)
-        }
+        rows.map { case (id, v) => (id, v, nearestCell(cs, milli(v))) }
       }
       .toDF("vec_id", "embedding", "cell")
       .withColumn("norm", l2norm(col("embedding")))
@@ -384,11 +391,8 @@ object VectorOps {
       .filter(col("vec_id") < nQueries)
       .as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
-        val cs = bc.value
-        val vm = milli(v)
-        cs.indices.map(c => (dist2(vm, cs(c)), c))
-          .sorted.take(nProbe) // (distance, cid): ties to smaller cid
-          .map { case (_, c) => (id, v, c) }
+        // (distance, cid) ascending: ties to the smaller cid
+        probeCells(bc.value, nProbe)(v).map(c => (id, v, c))
       }
       .toDF("query_id", "q_emb", "cell")
       .withColumn("q_norm", l2norm(col("q_emb")))
@@ -405,6 +409,69 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         floor(col("sim") * 1000000.0).cast("long").as("sim_micro"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** (vec_id, cell) rows of the IVF coarse-cell assignment — the
+    * STORED inverted-file relation (AnnIndex.buildIvf persists it; the
+    * in-memory annIvf computes the same assignment inline, carrying the
+    * embedding to skip a join). Assignment is [[nearestCell]] verbatim,
+    * so a stored cell can never disagree with the in-memory one.
+    */
+  private[graft] def ivfAssign(spark: SparkSession, emb: DataFrame,
+                               centroids: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) => (id, nearestCell(cs, milli(v))) }
+      }
+      .toDF("vec_id", "cell")
+  }
+
+  /** Query a STORED IVF cell relation (vec_id, cell, ...) with an
+    * arbitrary (query_id, q_emb) relation: probe each query's nProbe
+    * nearest cells ([[probeCells]] — the annIvf rule), equi-join the
+    * cell relation ids-only, then the ONE shared exact re-rank
+    * (rerankExactQ) — identical results to annIvf over the same
+    * centroids (spec + the shared ann_ivf DuckDB mirror pin it).
+    *
+    * Serve-time scan pruning: for a BOUNDED request batch the distinct
+    * probed cells are collected (≤ the centroid count, tiny) and pushed
+    * into the stored relation's scan as an IN predicate — on the
+    * (cell, salt)-clustered index files this prunes row groups exactly
+    * like the lexical postings' IN(term,...) path, so a small batch
+    * reads only its probed inverted lists, not the whole assignment
+    * table. The filter only removes rows the equi-join would drop, so
+    * results are identical with it on or off. The unbounded fallback
+    * shuffle-joins with no driver-side collect and no IN filter.
+    */
+  private[graft] def annIvfFromQ(spark: SparkSession, cells: DataFrame,
+                                 centroids: Array[Array[Long]], emb: DataFrame,
+                                 queries: DataFrame, topK: Int, nProbe: Int,
+                                 broadcastProbes: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probes = queries
+      .select(col("query_id").cast("long"), col("q_emb"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) => probeCells(cs, nProbe)(v).map(c => (id, c)) }
+      }
+      .toDF("query_id", "cell")
+    val stored = cells.select(col("vec_id").cast("long"), col("cell"))
+    val pruned =
+      if (broadcastProbes) {
+        val probed = probes.select(col("cell")).distinct().as[Int].collect()
+        stored.filter(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
+      } else stored
+    val cand = pruned
+      .join(if (broadcastProbes) broadcast(probes) else probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExactQ(cand, emb, queries, topK, broadcastQ = broadcastProbes)
   }
 
   /** Cluster census over the embedding space (the domain-discovery /
@@ -426,18 +493,7 @@ object VectorOps {
       .as[(Long, Seq[Float], Long)]
       .mapPartitions { rows =>
         val cs = bc.value
-        rows.map { case (id, v, label) =>
-          val vm = milli(v)
-          var best = 0
-          var bestD = Long.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            val d = dist2(vm, cs(c))
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (id, best, label)
-        }
+        rows.map { case (id, v, label) => (id, nearestCell(cs, milli(v)), label) }
       }
       .toDF("vec_id", "cell", "label")
     val perLabel = assigned.groupBy(col("cell"), col("label"))
@@ -626,7 +682,7 @@ object VectorOps {
     val short = adc.withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    rerankExactQ(short, emb, queries, k)
+    rerankExactQ(short, emb, queries, k, broadcastQ = broadcastProbes)
   }
 
   def annPq(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,

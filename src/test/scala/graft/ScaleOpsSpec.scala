@@ -515,6 +515,87 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SQ serve changed across compaction")
   }
 
+  test("AnnIndex IVF leg: serve bit-identity, frozen-centroid appends, staleness, rebuild, compaction") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ann-index-ivf").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    import org.apache.spark.sql.functions.col
+
+    AnnIndex.buildIvf(spark, emb, dir)
+    for (sub <- Seq("ivf_centroids", "ivf_cells"))
+      assert(new java.io.File(s"$dir/$sub").listFiles()
+        .exists(_.getName.endsWith(".parquet")), s"$sub not written")
+    assert(rows(AnnIndex.serveIvf(spark, emb, dir)) ==
+      rows(VectorOps.annIvf(spark, emb)), "IVF serve != in-memory")
+    assert(AnnIndex.ivfStaleness(spark, dir) == 0L)
+
+    // both gating paths answer identically (IN-pruned broadcast vs
+    // shuffle fallback) and equal the in-memory operator
+    val cs = VectorOps.kmeansMilli(spark, emb)
+    val cells = VectorOps.ivfAssign(spark, emb, cs)
+    val q10 = emb.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_emb")).filter(col("query_id") < 10)
+    assert(rows(VectorOps.annIvfFromQ(spark, cells, cs, emb, q10, 5, 2,
+        broadcastProbes = true)) ==
+      rows(VectorOps.annIvfFromQ(spark, cells, cs, emb, q10, 5, 2,
+        broadcastProbes = false)),
+      "broadcast+IN-pruned path != shuffle fallback")
+
+    // the scale claim: a bounded batch's probed cells reach the STORED
+    // relation's parquet scan as an IN predicate (row-group pruning on
+    // the (cell, salt)-clustered files — the postings-pruning shape)
+    val servePlan = AnnIndex.serveIvf(spark, emb, dir)
+      .queryExecution.executedPlan.toString
+    assert(servePlan.contains("ivf_cells") &&
+      servePlan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(cell.*"),
+      s"probed-cell IN predicate not pushed to the ivf_cells scan:\n$servePlan")
+
+    // frozen-centroid append: build on the even half, append the odd
+    // half; serve over the union must equal the KERNEL composition
+    // (union assigned under the even half's centroids)
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val dir2 = tmp("ann-index-ivf-app")
+    AnnIndex.buildIvf(spark, evens, dir2)
+    AnnIndex.appendIvf(spark, odds, dir2)
+    val csE = VectorOps.kmeansMilli(spark, evens)
+    val want = rows(VectorOps.annIvfFromQ(spark,
+      VectorOps.ivfAssign(spark, emb, csE), csE, emb, q10, 5, 2))
+    assert(rows(AnnIndex.serveIvf(spark, emb, dir2)) == want,
+      "append-then-serve must equal frozen-centroid assignment of the union")
+    val stale = AnnIndex.ivfStaleness(spark, dir2)
+    assert(stale > 0L && stale < 1000L, s"staleness permille = $stale")
+
+    // rebuild retrains on the full corpus with the stored k: staleness
+    // resets, results equal a fresh build at that k
+    AnnIndex.rebuildIvf(spark, emb, dir2)
+    assert(AnnIndex.ivfStaleness(spark, dir2) == 0L)
+    val freshDir = tmp("ann-index-ivf-fresh")
+    AnnIndex.buildIvf(spark, emb, freshDir, k = csE.length)
+    assert(rows(AnnIndex.serveIvf(spark, emb, dir2)) ==
+      rows(AnnIndex.serveIvf(spark, emb, freshDir)),
+      "rebuild != fresh build at the stored k")
+
+    // compaction covers ivf_cells ((cell, salt) re-cluster); serve is
+    // bit-identical after
+    AnnIndex.appendIvf(spark,
+      emb.limit(20).withColumn("vec_id", col("vec_id") + 10000000L), dir)
+    val before = rows(AnnIndex.serveIvf(spark, emb, dir))
+    val reports = AnnIndex.compact(spark, dir).toMap
+    assert(reports.contains("ivf_cells"))
+    assert(rows(AnnIndex.serveIvf(spark, emb, dir)) == before,
+      "IVF serve changed across compaction")
+
+    // serving READS the store: an emptied cell relation starves
+    // candidate generation to zero rows
+    val sp = spark; import sp.implicits._
+    Seq.empty[(Long, Int)].toDF("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$dir/ivf_cells")
+    assert(AnnIndex.serveIvf(spark, emb, dir).count() == 0L,
+      "serve result must flow from the stored index")
+  }
+
   test("corpus lifecycle: extract -> embed -> index -> serve ARBITRARY query vectors") {
     val sp = spark; import sp.implicits._
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
@@ -743,7 +824,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.TextOps.hostCap(docs, 1000, 8).count() == rows.size.toLong)
   }
 
-  test("AnnServeJob: batch serving from a stored index == library serve, all three kinds") {
+  test("AnnServeJob: batch serving from a stored index == library serve, all four kinds") {
     val sp = spark; import sp.implicits._
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
@@ -751,6 +832,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     AnnIndex.buildLsh(spark, emb, idxDir)
     AnnIndex.buildPq(spark, emb, idxDir)
     AnnIndex.buildSq(spark, emb, idxDir)
+    AnnIndex.buildIvf(spark, emb, idxDir)
 
     // request batch = three corpus vectors under fresh negative ids,
     // plus one null-embedding row (must be dropped, not an NPE)
@@ -767,7 +849,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def sortedRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
-    for (kind <- Seq("lsh", "pq", "sq")) {
+    for (kind <- Seq("lsh", "pq", "sq", "ivf")) {
       val outDir = tmp(s"serve-job-out-$kind")
       val (nQ, nR) = AnnServeJob.run(spark, idxDir, embPath, qPath, outDir, kind, k = 3)
       assert(nQ == 4L, s"$kind: nQueries")
@@ -775,6 +857,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case "lsh" => AnnIndex.serveLshQueries(spark, emb, queries, idxDir, 3)
         case "pq" => AnnIndex.servePqQueries(spark, emb, queries, idxDir, 3)
         case "sq" => AnnIndex.serveSqQueries(spark, emb, queries, idxDir, 3)
+        case "ivf" => AnnIndex.serveIvfQueries(spark, emb, queries, idxDir, 3)
       }
       val got = spark.read.parquet(outDir)
       assert(nR == got.count(), s"$kind: reported result count != written rows")
