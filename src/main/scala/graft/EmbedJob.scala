@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus → embeddings bridge: turn an extracted-pages table
@@ -24,6 +24,32 @@ object EmbedJob {
 
   val Dim = 64
 
+  /** THE embedding kernel: (vec_id, text) → (vec_id, embedding, label),
+    * one row-local map, no shuffle. Shared by the batch job and the
+    * incremental-curation ANN-freshness leg, so a drop's appended
+    * vectors are bit-identical to what a batch re-embed would produce.
+    * A real model swaps in a batched encoder inside the same
+    * mapPartitions; nothing else changes.
+    */
+  def embedDocs(spark: SparkSession,
+                keyed: DataFrame): DataFrame = {
+    import spark.implicits._
+    keyed
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val payload =
+            if (text == null) Array.empty[Byte]
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val feats = graft.ops.Multimodal.featureStub(payload, Dim)
+          // milli-exact floats: v in [0,1000) → v/1000 ∈ [0,1); the
+          // index kernels floor(x·1000) back to the same integers
+          (id, feats.map(_ / 1000.0f), (feats(0) % 16L).toInt)
+        }
+      }
+      .toDF("vec_id", "embedding", "label")
+  }
+
   /** @param normalizeUrls key vectors by xxhash64(url_norm) instead of
     *   xxhash64(url) — the id convention CurateJob's doc_id uses, so
     *   the output feeds straight into the funnel's optional semantic
@@ -46,20 +72,7 @@ object EmbedJob {
             Window.partitionBy(col("vec_id")).orderBy(sha2(col("text"), 256))))
           .filter(col("rn") === 1).drop("rn")
       } else src.select(xxhash64(col("url")).as("vec_id"), col("text"))
-    keyed
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, text) =>
-          val payload =
-            if (text == null) Array.empty[Byte]
-            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val feats = graft.ops.Multimodal.featureStub(payload, Dim)
-          // milli-exact floats: v in [0,1000) → v/1000 ∈ [0,1); the
-          // index kernels floor(x·1000) back to the same integers
-          (id, feats.map(_ / 1000.0f), (feats(0) % 16L).toInt)
-        }
-      }
-      .toDF("vec_id", "embedding", "label")
+    embedDocs(spark, keyed)
       .repartition(numParts, col("vec_id"))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")

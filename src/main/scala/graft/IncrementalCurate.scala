@@ -253,6 +253,17 @@ object IncrementalCurate {
     *   Disjoint-ids contract holds by construction: doc_id =
     *   xxhash64(url_norm) and first-writer-wins admission means a
     *   url_norm is admitted at most once across all drops.
+    * @param annIndexDir when set, the drop's ADMITTED docs are embedded
+    *   (EmbedJob.embedDocs keyed by doc_id — the funnel's id space) and
+    *   appended to the LSH ANN serving index there (ops/AnnIndex;
+    *   built over the full canonical set on first use) — the VECTOR
+    *   twin of the lexical freshness leg. Same crash contract: the
+    *   append runs AFTER the drop's manifest commit, so a crash in
+    *   between leaves the index BEHIND state (surfaced by
+    *   [[annStaleness]], recovered by [[rebuildAnnIndex]]) and a
+    *   replayed drop never double-appends (first-writer-wins admission
+    *   re-admits 0 docs); AnnIndex's own `_annlog` protocol keeps a
+    *   crashed append's partial files invisible to serving meanwhile.
     */
   def ingestDrop(
       spark: SparkSession,
@@ -264,7 +275,8 @@ object IncrementalCurate {
       maxBucket: Int = 4096,
       prefilterFpp: Double = 0.001,
       prefilterMaxBytes: Long = 256L << 20,
-      lexIndexDir: Option[String] = None
+      lexIndexDir: Option[String] = None,
+      annIndexDir: Option[String] = None
   ): DropReport = {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
@@ -441,10 +453,17 @@ object IncrementalCurate {
     // param doc: behind-by-one-drop on crash, never double-appended);
     // derives from the staged read-back, so its plan reads no state
     // path the appends above invalidated
+    // build-vs-append gates need canonical ROWS, not just files: an
+    // all-rejected first drop commits EMPTY canonical part files, and
+    // building an index over zero docs fails loudly AFTER the drop
+    // committed (caught by a CLI smoke with an all-repetitive drop)
+    def canonicalNonEmpty() =
+      listDataNames(spark, stateDir, "canonical").nonEmpty &&
+        spark.read.parquet(canonicalDir(stateDir)).head(1).nonEmpty
     lexIndexDir.foreach { idx =>
       if (graft.ops.SearchIndex.hasCommittedIndex(spark, idx))
         graft.ops.SearchIndex.append(spark, staged.select(col("doc_id"), col("text")), idx)
-      else if (listDataNames(spark, stateDir, "canonical").nonEmpty)
+      else if (canonicalNonEmpty())
         // no committed index: first drop, a crashed build, or a fresh
         // index dir pointed at existing state — build over the FULL
         // canonical set (it already includes this drop's admissions),
@@ -452,6 +471,27 @@ object IncrementalCurate {
         // skipping on nAdmitted == 0
         graft.ops.SearchIndex.build(spark,
           spark.read.parquet(canonicalDir(stateDir)).select(col("doc_id"), col("text")), idx)
+    }
+    // vector-index freshness leg — same position and crash contract as
+    // the lexical leg above; embeddings derive from the staged
+    // read-back through the ONE embedding kernel (EmbedJob.embedDocs),
+    // so the appended vectors are bit-identical to a batch re-embed
+    annIndexDir.foreach { idx =>
+      if (graft.ops.AnnIndex.hasCommittedIndex(spark, idx, "lsh")) {
+        // an all-rejected drop appends nothing (and a committed-drop
+        // REPLAY admits nothing — no double-append possible)
+        if (nAdmitted > 0)
+          graft.ops.AnnIndex.appendLsh(spark,
+            graft.EmbedJob.embedDocs(spark,
+              staged.select(col("doc_id"), col("text"))), idx)
+      } else if (canonicalNonEmpty())
+        // no committed index: first drop, a crashed build, or a fresh
+        // index dir pointed at existing state — build over the FULL
+        // canonical set (the lexical leg's repair-on-replay shape)
+        graft.ops.AnnIndex.buildLsh(spark,
+          graft.EmbedJob.embedDocs(spark,
+            spark.read.parquet(canonicalDir(stateDir))
+              .select(col("doc_id"), col("text"))), idx)
     }
     new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(staging), true)
@@ -532,10 +572,39 @@ object IncrementalCurate {
       spark.read.parquet(canonicalDir(stateDir)).select(col("doc_id"), col("text")),
       lexIndexDir)
 
+  /** Docs the ANN serving index is BEHIND the curated state (0 =
+    * fresh) — the vector twin of [[lexStaleness]]: canonical rows
+    * minus indexed vector count. Nonzero only after a crash between a
+    * drop's state commit and its index append.
+    */
+  def annStaleness(spark: SparkSession, stateDir: String,
+                   annIndexDir: String): Long = {
+    val canonical =
+      if (listDataNames(spark, stateDir, "canonical").nonEmpty)
+        spark.read.parquet(canonicalDir(stateDir)).count()
+      else 0L
+    canonical - graft.ops.AnnIndex.indexedVectors(spark, annIndexDir)
+  }
+
+  /** Rebuild the ANN serving index from the curated state — the
+    * recovery path when [[annStaleness]] is nonzero (LSH appends are
+    * exact, so the rebuilt index serves bit-identically to the
+    * never-crashed append chain over the same canonical set;
+    * spec-asserted).
+    */
+  def rebuildAnnIndex(spark: SparkSession, stateDir: String,
+                      annIndexDir: String): Unit =
+    graft.ops.AnnIndex.buildLsh(spark,
+      graft.EmbedJob.embedDocs(spark,
+        spark.read.parquet(canonicalDir(stateDir))
+          .select(col("doc_id"), col("text"))),
+      annIndexDir)
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.IncrementalCurate <dropPath> <stateDir> [lexIndexDir] | --compact <stateDir>")
+        "usage: graft.IncrementalCurate <dropPath> <stateDir> [lexIndexDir] " +
+          "[annIndexDir] | --compact <stateDir>")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -556,13 +625,17 @@ object IncrementalCurate {
       }.mkString("{", ",", "}"))
     } else {
       val lexIdx = args.lift(2)
-      val r = ingestDrop(spark, args(0), args(1), lexIndexDir = lexIdx)
+      val annIdx = args.lift(3)
+      val r = ingestDrop(spark, args(0), args(1), lexIndexDir = lexIdx,
+        annIndexDir = annIdx)
       val lexJson = lexIdx.map(idx =>
         s""","lex_staleness":${lexStaleness(spark, args(1), idx)}""").getOrElse("")
+      val annJson = annIdx.map(idx =>
+        s""","ann_staleness":${annStaleness(spark, args(1), idx)}""").getOrElse("")
       println(
         s"""{"n_drop":${r.nDrop},"n_new_urls":${r.nNewUrls},"n_gated":${r.nGated},""" +
         s""""n_state_linked":${r.nStateLinked},"n_admitted":${r.nAdmitted},""" +
-        s""""n_canonical_total":${r.nCanonicalTotal}$lexJson}""")
+        s""""n_canonical_total":${r.nCanonicalTotal}$lexJson$annJson}""")
     }
     spark.stop()
   }

@@ -1,14 +1,15 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ANN index materialization — the build/serve split a 10^10-vector
   * corpus actually needs. The in-memory operators (VectorOps.annLsh /
-  * annPq) recompute buckets, codebooks and codes from the raw
-  * embeddings on every invocation; at scale the index build is the
-  * expensive OFFLINE job (one full pass + training), and serving must
-  * join against a STORED index:
+  * annPq / annSq / annIvf) recompute buckets, codebooks and codes from
+  * the raw embeddings on every invocation; at scale the index build is
+  * the expensive OFFLINE job (one full pass + training), and serving
+  * must join against a STORED index:
   *
   *  - LSH: the (vec_id, band, bucket) relation persists as parquet.
   *    Serving buckets only the query batch, explodes its probe masks,
@@ -19,30 +20,219 @@ import org.apache.spark.sql.functions._
   *    collects the codebook to the driver (m·k tiny rows), broadcasts
   *    per-query ADC tables, and scans only the stored codes; raw
   *    vectors are read once for the shortlist re-rank.
+  *  - SQ8: a one-row quantizer (per-dim min/max) plus byte-per-dim
+  *    codes; ADC scan + exact re-rank.
+  *  - IVF: a tiny centroid table plus the (vec_id, cell, salt)
+  *    inverted-file relation, (cell, salt)-clustered so a bounded
+  *    batch's probed cells prune row groups via an IN predicate.
   *
   * Build and serve compose the SAME private kernels as the in-memory
   * operators (VectorOps.lshBucketize / annLshFrom / pqEncode /
-  * annPqFrom), so a served result is bit-identical to the in-memory
-  * one — the ann_lsh_serve / ann_pq_serve queries are checked against
-  * the very same DuckDB mirrors as ann_lsh / ann_pq.
+  * annPqFrom / sqEncode / annSqFromQ / ivfAssign / annIvfFromQ), so a
+  * served result is bit-identical to the in-memory one — the
+  * ann_*_serve queries are checked against the very same DuckDB
+  * mirrors as their in-memory counterparts.
   *
-  * Write discipline matches the engine's tables: zstd, dictionary off
-  * (ids and codes are near-unique; see BENCH.md), one overwrite per
-  * build (rebuilds are idempotent at the overwrite level).
+  * Crash atomicity — the SearchIndex `_lexlog` protocol: every
+  * mutation (build, append, compact re-adoption) publishes the files
+  * it added through ONE commit manifest (`_annlog/m-*.list`, written
+  * via temp + atomic rename AFTER the data writes — the single commit
+  * point). READERS resolve the committed file set and read exactly
+  * those files, so a crashed append's partial bucket/code files are
+  * invisible to serving even before the next writer reconciles them
+  * away; a crashed REBUILD (manifest entries naming overwritten-away
+  * files) fails loudly instead of silently serving a mixed index.
+  * Pre-manifest (legacy) dirs are genesis-adopted. Single-writer
+  * discipline: one build/append/compact at a time (serves are safe
+  * concurrent readers).
+  *
+  * Write discipline matches the engine's tables: zstd; dictionary off
+  * for the near-unique id/code relations (see BENCH.md), ON for the
+  * heavily-repeating ivf cell column (the postings rule).
   */
 object AnnIndex {
 
   private def lshDir(indexDir: String) = s"$indexDir/lsh_buckets"
+  private def lshMetaDir(indexDir: String) = s"$indexDir/lsh_meta"
   private def pqCodebookDir(indexDir: String) = s"$indexDir/pq_codebook"
   private def pqCodesDir(indexDir: String) = s"$indexDir/pq_codes"
+  private def sqMetaDir(indexDir: String) = s"$indexDir/sq_meta"
+  private def sqCodesDir(indexDir: String) = s"$indexDir/sq_codes"
+  private def ivfCentroidsDir(indexDir: String) = s"$indexDir/ivf_centroids"
+  private def ivfCellsDir(indexDir: String) = s"$indexDir/ivf_cells"
 
-  private def write(df: DataFrame, dir: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+  private val Tables = Seq("lsh_buckets", "lsh_meta", "pq_codebook",
+    "pq_codes", "sq_meta", "sq_codes", "ivf_centroids", "ivf_cells")
+
+  /** The tables each index kind owns — a build overwrites exactly its
+    * own leg, never a sibling's.
+    */
+  private val LegTables: Map[String, Set[String]] = Map(
+    "lsh" -> Set("lsh_buckets", "lsh_meta"),
+    "pq" -> Set("pq_codebook", "pq_codes"),
+    "sq" -> Set("sq_meta", "sq_codes"),
+    "ivf" -> Set("ivf_centroids", "ivf_cells"))
+
+  private def write(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
       .option("compression", "zstd")
       .option("parquet.enable.dictionary", "false")
       .parquet(dir)
 
-  private def lshMetaDir(indexDir: String) = s"$indexDir/lsh_meta"
+  // ---- commit manifests (`_annlog/m-*.list`) --------------------------
+
+  private def logPath(indexDir: String) = new Path(s"$indexDir/_annlog")
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listDataNames(spark: SparkSession, indexDir: String,
+                            table: String): Seq[String] = {
+    val p = new Path(s"$indexDir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => s"$table/${st.getPath.getName}").toSeq
+  }
+
+  private def allDataNames(spark: SparkSession, indexDir: String): Seq[String] =
+    Tables.flatMap(listDataNames(spark, indexDir, _))
+
+  private def manifestPaths(spark: SparkSession, indexDir: String): Seq[Path] = {
+    val lp = logPath(indexDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp)) Seq.empty
+    else fs.listStatus(lp).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+      .map(_.getPath).toSeq
+  }
+
+  /** `table/filename` entries committed manifests record; None when the
+    * index predates the log (legacy: trust the directories).
+    */
+  private def committedEntries(spark: SparkSession,
+                               indexDir: String): Option[Set[String]] = {
+    val lp = logPath(indexDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp)) None
+    else Some(manifestPaths(spark, indexDir).iterator
+      .flatMap { p =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty).toSet)
+  }
+
+  /** Has a mutation with this caller-chosen id already committed? The
+    * manifest IS the commit marker — retrying callers key idempotence
+    * off it (the SearchIndex convention).
+    */
+  def mutationCommitted(spark: SparkSession, indexDir: String,
+                        mutationId: String): Boolean = {
+    val m = new Path(logPath(indexDir), s"m-$mutationId.list")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  private def writeManifest(spark: SparkSession, indexDir: String,
+                            entries: Seq[String],
+                            mutationId: Option[String] = None): Unit = {
+    if (entries.isEmpty) return
+    val lp = logPath(indexDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lp)
+    val id = mutationId.getOrElse(java.util.UUID.randomUUID().toString)
+    val tmp = new Path(lp, s".tmp-$id")
+    val fin = new Path(lp, s"m-$id.list")
+    val out = fs.create(tmp, true)
+    try out.write((entries.sorted.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, fin), s"manifest commit failed: $tmp -> $fin")
+  }
+
+  /** Writer-side rollback of a crashed mutation: delete index data
+    * files no manifest lists. Legacy dirs are genesis-adopted first.
+    * Returns the deleted entries.
+    */
+  def reconcile(spark: SparkSession, indexDir: String): Seq[String] =
+    committedEntries(spark, indexDir) match {
+      case None =>
+        val current = allDataNames(spark, indexDir)
+        if (current.nonEmpty) writeManifest(spark, indexDir, current)
+        Seq.empty
+      case Some(ok) =>
+        val debris = allDataNames(spark, indexDir).filterNot(ok.contains)
+        val fs = fsOf(spark, indexDir)
+        debris.foreach(e => fs.delete(new Path(s"$indexDir/$e"), false))
+        debris
+    }
+
+  private def committedFiles(spark: SparkSession, indexDir: String,
+                             table: String): Seq[String] =
+    (committedEntries(spark, indexDir) match {
+      case None => listDataNames(spark, indexDir, table)
+      case Some(ok) => listDataNames(spark, indexDir, table).filter(ok.contains)
+    }).map(e => s"$indexDir/$e")
+
+  /** The committed view of an index table: exactly the files manifests
+    * record (legacy log-less dirs read whole). A crashed append's
+    * debris never reaches a reader through here; a crashed REBUILD
+    * (committed entries but files overwritten away) fails loudly.
+    */
+  private def readCommitted(spark: SparkSession, indexDir: String,
+                            table: String): DataFrame = {
+    val files = committedFiles(spark, indexDir, table)
+    require(files.nonEmpty,
+      s"no committed $table files at $indexDir (crashed build? re-run build)")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Commit a leg's freshly-overwritten tables: ONE consolidated
+    * manifest naming every still-present committed file of the OTHER
+    * legs plus all present files of THIS leg (its dirs were just
+    * overwritten, so everything present is the new build; a crashed
+    * earlier append to a sibling leg stays uncommitted). The new
+    * manifest is the commit point; the old manifests — whose entries
+    * now either name overwritten-away files or are re-listed — retire
+    * after (a crash mid-cleanup is harmless: manifests union).
+    */
+  private def commitLegBuild(spark: SparkSession, indexDir: String,
+                             leg: String, mutationId: Option[String]): Unit = {
+    val legT = LegTables(leg)
+    val old = manifestPaths(spark, indexDir)
+    val entries = committedEntries(spark, indexDir) match {
+      case None => allDataNames(spark, indexDir)
+      case Some(ok) => allDataNames(spark, indexDir)
+        .filter(e => ok.contains(e) || legT.contains(e.takeWhile(_ != '/')))
+    }
+    writeManifest(spark, indexDir, entries, mutationId)
+    val fs = fsOf(spark, indexDir)
+    old.foreach(m => fs.delete(m, false))
+  }
+
+  /** True iff the kind has a COMMITTED build (a manifest recording its
+    * meta/centroid/codebook table). A crash mid-build leaves dirs but
+    * no manifest — callers deciding build-vs-append must key off this,
+    * not dir existence.
+    */
+  def hasCommittedIndex(spark: SparkSession, indexDir: String,
+                        kind: String): Boolean = {
+    val marker = kind match {
+      case "lsh" => "lsh_meta/"
+      case "pq" => "pq_codebook/"
+      case "sq" => "sq_meta/"
+      case "ivf" => "ivf_centroids/"
+      case other => throw new IllegalArgumentException(s"unknown kind: $other")
+    }
+    committedEntries(spark, indexDir).exists(_.exists(_.startsWith(marker)))
+  }
+
+  // -------------------------------------------------------------------
+  // LSH index
+  // -------------------------------------------------------------------
 
   /** Materialize the multi-table sign-LSH bucket relation. One pass
     * over the base; the stored rows are (vec_id, band, bucket) — 20
@@ -52,7 +242,8 @@ object AnnIndex {
     * produce wrong buckets on the query side.
     */
   def buildLsh(spark: SparkSession, emb: DataFrame, indexDir: String,
-               nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64): Unit = {
+               nTables: Int = 16, planesPerTable: Int = 9, dim: Int = 64,
+               mutationId: Option[String] = None): Unit = {
     import spark.implicits._
     val planes = VectorOps.hyperplanes(nTables * planesPerTable, dim)
     write(VectorOps.lshBucketize(spark, emb, planes, nTables, planesPerTable),
@@ -60,6 +251,14 @@ object AnnIndex {
     write(Seq((nTables, planesPerTable, dim))
       .toDF("n_tables", "planes_per_table", "dim").coalesce(1),
       lshMetaDir(indexDir))
+    commitLegBuild(spark, indexDir, "lsh", mutationId)
+  }
+
+  private def readLshMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
+    val meta = readCommitted(spark, indexDir, "lsh_meta")
+      .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
+    require(meta.length == 1, s"malformed lsh_meta at $indexDir")
+    (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
   }
 
   /** Approximate top-k against a PREBUILT LSH index: identical results
@@ -72,13 +271,26 @@ object AnnIndex {
   def serveLsh(spark: SparkSession, emb: DataFrame, indexDir: String,
                nQueries: Int = 10, k: Int = 5,
                probeHamming: Int = 1): DataFrame = {
-    val meta = spark.read.parquet(lshMetaDir(indexDir))
-      .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
-    require(meta.length == 1, s"malformed lsh_meta at $indexDir")
-    VectorOps.annLshFrom(spark, spark.read.parquet(lshDir(indexDir)), emb,
-      nQueries, k, meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2),
-      probeHamming)
+    val (nTables, planesPerTable, dim) = readLshMeta(spark, indexDir)
+    VectorOps.annLshFrom(spark, readCommitted(spark, indexDir, "lsh_buckets"),
+      emb, nQueries, k, nTables, planesPerTable, dim, probeHamming)
   }
+
+  /** Vectors the committed LSH leg covers (bucket rows are exactly
+    * nTables per vector by construction) — the freshness denominator
+    * incremental callers compare their corpus count against. 0 for a
+    * missing/uncommitted leg.
+    */
+  def indexedVectors(spark: SparkSession, indexDir: String): Long =
+    if (committedFiles(spark, indexDir, "lsh_meta").isEmpty) 0L
+    else {
+      val (nTables, _, _) = readLshMeta(spark, indexDir)
+      readCommitted(spark, indexDir, "lsh_buckets").count() / nTables
+    }
+
+  // -------------------------------------------------------------------
+  // PQ index
+  // -------------------------------------------------------------------
 
   /** Train PQ codebooks and materialize both index artifacts: the
     * codebook table (subspace, cid, centroid ARRAY<BIGINT>) and the
@@ -86,7 +298,8 @@ object AnnIndex {
     * iters passes over the base; encoding is one more.
     */
   def buildPq(spark: SparkSession, emb: DataFrame, indexDir: String,
-              m: Int = 8, kCode: Int = 64, iters: Int = 3, dim: Int = 64): Unit = {
+              m: Int = 8, kCode: Int = 64, iters: Int = 3, dim: Int = 64,
+              mutationId: Option[String] = None): Unit = {
     import spark.implicits._
     val codebooks = VectorOps.pqTrain(spark, emb, m, kCode, iters, dim)
     val cbRows = for {
@@ -98,6 +311,7 @@ object AnnIndex {
     // training set — the staleness metric counts the complement
     write(VectorOps.pqEncode(spark, emb, codebooks, dim)
       .withColumn("from_append", lit(false)), pqCodesDir(indexDir))
+    commitLegBuild(spark, indexDir, "pq", mutationId)
   }
 
   /** Retrain the PQ codebook on the CURRENT corpus and re-encode —
@@ -123,44 +337,21 @@ object AnnIndex {
     * built before the flag existed read as fully trained (0).
     */
   def pqStaleness(spark: SparkSession, indexDir: String): Long = {
-    val codes = spark.read.parquet(pqCodesDir(indexDir))
+    val codes = readCommitted(spark, indexDir, "pq_codes")
     if (!codes.columns.contains("from_append")) return 0L
+    stalenessOf(codes)
+  }
+
+  private def stalenessOf(codes: DataFrame): Long = {
     val r = codes.agg(
       sum(when(col("from_append"), 1L).otherwise(0L)).as("na"),
       count(lit(1)).as("n")).collect()(0)
     if (r.getLong(1) == 0L) 0L else r.getLong(0) * 1000L / r.getLong(1)
   }
 
-  /** Compact the index's append-accumulated small files (thousands of
-    * [[appendLsh]]/[[appendPq]] drops leave the bucket/code relations
-    * file-open-bound, exactly like the output table CompactJob exists
-    * for). Reuses CompactJob's digest-verified atomic swap, clustered
-    * on vec_id; served results are bit-identical before and after (the
-    * spec asserts it). Returns (table, report) for each relation
-    * present.
-    */
-  def compact(spark: SparkSession, indexDir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.CompactJob.CompactReport)] = {
-    val fsConf = spark.sparkContext.hadoopConfiguration
-    // ivf_cells re-clusters on (cell, salt) — the inverted-list
-    // locality serving's IN-predicate pruning depends on (the postings
-    // discipline); the id-keyed relations cluster on vec_id
-    Seq(("lsh_buckets", lshDir(indexDir), "vec_id"),
-        ("pq_codes", pqCodesDir(indexDir), "vec_id"),
-        ("sq_codes", sqCodesDir(indexDir), "vec_id"),
-        ("ivf_cells", ivfCellsDir(indexDir), "cell,salt"))
-      .filter { case (_, d, _) =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(fsConf).exists(p)
-      }
-      .map { case (name, d, key) =>
-        name -> graft.CompactJob.run(spark, d, targetFileBytes, clusterKey = key)
-      }
-  }
-
   /** Rehydrate the driver-side codebook array from the stored table. */
   private def readCodebooks(spark: SparkSession, indexDir: String): Array[Array[Array[Long]]] = {
-    val rows = spark.read.parquet(pqCodebookDir(indexDir))
+    val rows = readCommitted(spark, indexDir, "pq_codebook")
       .select(col("s"), col("cid"), col("centroid"))
       .collect()
     val m = rows.map(_.getInt(0)).max + 1
@@ -187,7 +378,7 @@ object AnnIndex {
   def servePq(spark: SparkSession, emb: DataFrame, indexDir: String,
               nQueries: Int = 10, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val codebooks = readCodebooks(spark, indexDir)
-    VectorOps.annPqFrom(spark, spark.read.parquet(pqCodesDir(indexDir)),
+    VectorOps.annPqFrom(spark, readCommitted(spark, indexDir, "pq_codes"),
       codebooks, emb, nQueries, k, shortlist, dimOf(codebooks))
   }
 
@@ -195,29 +386,27 @@ object AnnIndex {
   // SQ8 index — per-dimension scalar quantization (see VectorOps.annSq)
   // -------------------------------------------------------------------
 
-  private def sqMetaDir(indexDir: String) = s"$indexDir/sq_meta"
-  private def sqCodesDir(indexDir: String) = s"$indexDir/sq_codes"
-
   /** Train per-dimension (min, max) and materialize the SQ8 artifacts:
     * a one-row quantizer table (mins, maxs ARRAY<BIGINT>) and the
     * byte-per-dimension code relation. Training is one
     * partial-aggregate pass; encoding one more.
     */
   def buildSq(spark: SparkSession, emb: DataFrame, indexDir: String,
-              dim: Int = 64): Unit = {
+              dim: Int = 64, mutationId: Option[String] = None): Unit = {
     import spark.implicits._
     val (mins, maxs) = VectorOps.sqTrain(spark, emb, dim)
     write(Seq((mins.toSeq, maxs.toSeq)).toDF("mins", "maxs").coalesce(1),
       sqMetaDir(indexDir))
     write(VectorOps.sqEncode(spark, emb, mins, maxs)
       .withColumn("from_append", lit(false)), sqCodesDir(indexDir))
+    commitLegBuild(spark, indexDir, "sq", mutationId)
   }
 
   /** Rehydrate the stored quantizer (the geometry travels WITH the
     * index — serve/append cannot drift from build parameters).
     */
   private def readSqMeta(spark: SparkSession, indexDir: String): (Array[Long], Array[Long]) = {
-    val rows = spark.read.parquet(sqMetaDir(indexDir))
+    val rows = readCommitted(spark, indexDir, "sq_meta")
       .select(col("mins"), col("maxs")).collect()
     require(rows.length == 1, s"malformed sq_meta at $indexDir")
     (rows(0).getSeq[Long](0).toArray, rows(0).getSeq[Long](1).toArray)
@@ -230,7 +419,7 @@ object AnnIndex {
   def serveSq(spark: SparkSession, emb: DataFrame, indexDir: String,
               nQueries: Int = 10, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val (mins, maxs) = readSqMeta(spark, indexDir)
-    VectorOps.annSqFromQ(spark, spark.read.parquet(sqCodesDir(indexDir)),
+    VectorOps.annSqFromQ(spark, readCommitted(spark, indexDir, "sq_codes"),
       mins, maxs, emb, VectorOps.queriesByIdPrefix(emb, nQueries), k, shortlist)
   }
 
@@ -243,7 +432,7 @@ object AnnIndex {
   def serveSqQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                      indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val (mins, maxs) = readSqMeta(spark, indexDir)
-    VectorOps.annSqFromQ(spark, spark.read.parquet(sqCodesDir(indexDir)),
+    VectorOps.annSqFromQ(spark, readCommitted(spark, indexDir, "sq_codes"),
       mins, maxs, emb, queries.filter(col("q_emb").isNotNull), k, shortlist)
   }
 
@@ -254,22 +443,22 @@ object AnnIndex {
     * values clamp to 0/255; [[sqStaleness]] is the retrain signal.
     * Same disjoint-ids contract as [[appendLsh]].
     */
-  def appendSq(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit = {
+  def appendSq(spark: SparkSession, newEmb: DataFrame, indexDir: String,
+               mutationId: Option[String] = None): Unit = {
+    if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return
     val (mins, maxs) = readSqMeta(spark, indexDir)
-    append(VectorOps.sqEncode(spark, newEmb, mins, maxs)
-      .withColumn("from_append", lit(true)), sqCodesDir(indexDir))
+    appendCommitted(spark, indexDir, mutationId) {
+      write(VectorOps.sqEncode(spark, newEmb, mins, maxs)
+        .withColumn("from_append", lit(true)), sqCodesDir(indexDir),
+        SaveMode.Append)
+    }
   }
 
   /** Permille of stored SQ code rows encoded after the quantizer's
     * training (mirrors [[pqStaleness]]).
     */
-  def sqStaleness(spark: SparkSession, indexDir: String): Long = {
-    val codes = spark.read.parquet(sqCodesDir(indexDir))
-    val r = codes.agg(
-      sum(when(col("from_append"), 1L).otherwise(0L)).as("na"),
-      count(lit(1)).as("n")).collect()(0)
-    if (r.getLong(1) == 0L) 0L else r.getLong(0) * 1000L / r.getLong(1)
-  }
+  def sqStaleness(spark: SparkSession, indexDir: String): Long =
+    stalenessOf(readCommitted(spark, indexDir, "sq_codes"))
 
   /** Retrain the quantizer on the CURRENT corpus and re-encode —
     * bit-identical to a fresh [[buildSq]]; staleness reads 0 after.
@@ -282,9 +471,6 @@ object AnnIndex {
   // -------------------------------------------------------------------
   // IVF index — coarse k-means cells + probed search (VectorOps.annIvf)
   // -------------------------------------------------------------------
-
-  private def ivfCentroidsDir(indexDir: String) = s"$indexDir/ivf_centroids"
-  private def ivfCellsDir(indexDir: String) = s"$indexDir/ivf_cells"
 
   /** Bounded salt for the cell clustering — the SearchIndex postings
     * discipline: a hot cell (real corpora cluster!) spreads over at
@@ -316,7 +502,8 @@ object AnnIndex {
     * cell-clustered files.
     */
   def buildIvf(spark: SparkSession, emb: DataFrame, indexDir: String,
-               k: Int = 16, iters: Int = 3): Unit = {
+               k: Int = 16, iters: Int = 3,
+               mutationId: Option[String] = None): Unit = {
     import spark.implicits._
     val centroids = VectorOps.kmeansMilli(spark, emb, k, iters)
     write(centroids.zipWithIndex
@@ -326,11 +513,12 @@ object AnnIndex {
       VectorOps.ivfAssign(spark, emb, centroids)
         .withColumn("from_append", lit(false)),
       ivfCellsDir(indexDir), SaveMode.Overwrite)
+    commitLegBuild(spark, indexDir, "ivf", mutationId)
   }
 
   /** Rehydrate the stored centroid array (cid-dense, hole-checked). */
   private def readIvfCentroids(spark: SparkSession, indexDir: String): Array[Array[Long]] = {
-    val rows = spark.read.parquet(ivfCentroidsDir(indexDir))
+    val rows = readCommitted(spark, indexDir, "ivf_centroids")
       .select(col("cid"), col("centroid")).collect()
     require(rows.nonEmpty, s"malformed ivf_centroids at $indexDir")
     val out = new Array[Array[Long]](rows.map(_.getInt(0)).max + 1)
@@ -346,7 +534,7 @@ object AnnIndex {
     */
   def serveIvf(spark: SparkSession, emb: DataFrame, indexDir: String,
                nQueries: Int = 10, topK: Int = 5, nProbe: Int = 2): DataFrame =
-    VectorOps.annIvfFromQ(spark, spark.read.parquet(ivfCellsDir(indexDir)),
+    VectorOps.annIvfFromQ(spark, readCommitted(spark, indexDir, "ivf_cells"),
       readIvfCentroids(spark, indexDir), emb,
       VectorOps.queriesByIdPrefix(emb, nQueries), topK, nProbe)
 
@@ -357,7 +545,7 @@ object AnnIndex {
   def serveIvfQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                       indexDir: String, topK: Int = 5, nProbe: Int = 2): DataFrame = {
     val (q, small) = cleanQueries(queries)
-    VectorOps.annIvfFromQ(spark, spark.read.parquet(ivfCellsDir(indexDir)),
+    VectorOps.annIvfFromQ(spark, readCommitted(spark, indexDir, "ivf_cells"),
       readIvfCentroids(spark, indexDir), emb, q, topK, nProbe,
       broadcastProbes = small)
   }
@@ -369,21 +557,23 @@ object AnnIndex {
     * batch-associative). [[ivfStaleness]] is the retrain signal; same
     * disjoint-ids contract as [[appendLsh]].
     */
-  def appendIvf(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit =
-    writeIvfCells(
-      VectorOps.ivfAssign(spark, newEmb, readIvfCentroids(spark, indexDir))
-        .withColumn("from_append", lit(true)),
-      ivfCellsDir(indexDir), SaveMode.Append)
+  def appendIvf(spark: SparkSession, newEmb: DataFrame, indexDir: String,
+                mutationId: Option[String] = None): Unit = {
+    if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return
+    val centroids = readIvfCentroids(spark, indexDir)
+    appendCommitted(spark, indexDir, mutationId) {
+      writeIvfCells(
+        VectorOps.ivfAssign(spark, newEmb, centroids)
+          .withColumn("from_append", lit(true)),
+        ivfCellsDir(indexDir), SaveMode.Append)
+    }
+  }
 
   /** Permille of stored cell rows assigned after the centroids'
     * training (mirrors [[pqStaleness]]).
     */
-  def ivfStaleness(spark: SparkSession, indexDir: String): Long = {
-    val r = spark.read.parquet(ivfCellsDir(indexDir)).agg(
-      sum(when(col("from_append"), 1L).otherwise(0L)).as("na"),
-      count(lit(1)).as("n")).collect()(0)
-    if (r.getLong(1) == 0L) 0L else r.getLong(0) * 1000L / r.getLong(1)
-  }
+  def ivfStaleness(spark: SparkSession, indexDir: String): Long =
+    stalenessOf(readCommitted(spark, indexDir, "ivf_cells"))
 
   /** Retrain the coarse quantizer on the CURRENT corpus and re-assign —
     * bit-identical to a fresh [[buildIvf]] (k from the stored centroid
@@ -393,6 +583,45 @@ object AnnIndex {
                  iters: Int = 3): Unit =
     buildIvf(spark, emb, indexDir,
       k = readIvfCentroids(spark, indexDir).length, iters = iters)
+
+  // -------------------------------------------------------------------
+  // maintenance
+  // -------------------------------------------------------------------
+
+  /** Compact the index's append-accumulated small files (thousands of
+    * append drops leave the bucket/code relations file-open-bound,
+    * exactly like the output table CompactJob exists for). Reuses
+    * CompactJob's digest-verified atomic swap; served results are
+    * bit-identical before and after (the spec asserts it). The commit
+    * log is deleted BEFORE the swaps (a stale manifest naming replaced
+    * files would make the next reconcile delete the compacted tables)
+    * and the compacted index re-adopts into a fresh genesis after —
+    * the SearchIndex/compactState discipline. Returns (table, report)
+    * for each relation present.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.CompactJob.CompactReport)] = {
+    reconcile(spark, indexDir)
+    fsOf(spark, indexDir).delete(logPath(indexDir), true)
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    // ivf_cells re-clusters on (cell, salt) — the inverted-list
+    // locality serving's IN-predicate pruning depends on (the postings
+    // discipline); the id-keyed relations cluster on vec_id
+    val reports = Seq(("lsh_buckets", lshDir(indexDir), "vec_id"),
+        ("pq_codes", pqCodesDir(indexDir), "vec_id"),
+        ("sq_codes", sqCodesDir(indexDir), "vec_id"),
+        ("ivf_cells", ivfCellsDir(indexDir), "cell,salt"))
+      .filter { case (_, d, _) =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(fsConf).exists(p)
+      }
+      .map { case (name, d, key) =>
+        name -> graft.CompactJob.run(spark, d, targetFileBytes, clusterKey = key)
+      }
+    val current = allDataNames(spark, indexDir)
+    if (current.nonEmpty) writeManifest(spark, indexDir, current)
+    reports
+  }
 
   // -------------------------------------------------------------------
   // arbitrary-query serving — the real request shape
@@ -427,13 +656,11 @@ object AnnIndex {
 
   def serveLshQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                       indexDir: String, k: Int = 5, probeHamming: Int = 1): DataFrame = {
-    val meta = spark.read.parquet(lshMetaDir(indexDir))
-      .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
-    require(meta.length == 1, s"malformed lsh_meta at $indexDir")
+    val (nTables, planesPerTable, dim) = readLshMeta(spark, indexDir)
     val (q, small) = cleanQueries(queries)
-    VectorOps.annLshFromQ(spark, spark.read.parquet(lshDir(indexDir)), emb,
-      q, k, meta(0).getInt(0), meta(0).getInt(1),
-      meta(0).getInt(2), probeHamming, broadcastProbes = small)
+    VectorOps.annLshFromQ(spark, readCommitted(spark, indexDir, "lsh_buckets"),
+      emb, q, k, nTables, planesPerTable, dim, probeHamming,
+      broadcastProbes = small)
   }
 
   /** Same for a stored PQ index. */
@@ -441,7 +668,7 @@ object AnnIndex {
                      indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val codebooks = readCodebooks(spark, indexDir)
     val (q, small) = cleanQueries(queries)
-    VectorOps.annPqFromQ(spark, spark.read.parquet(pqCodesDir(indexDir)),
+    VectorOps.annPqFromQ(spark, readCommitted(spark, indexDir, "pq_codes"),
       codebooks, emb, q, k, shortlist, dimOf(codebooks),
       broadcastProbes = small)
   }
@@ -450,11 +677,20 @@ object AnnIndex {
   // incremental append — the daily-drop serving lifecycle
   // -------------------------------------------------------------------
 
-  private def append(df: DataFrame, dir: String): Unit =
-    df.write.mode(SaveMode.Append)
-      .option("compression", "zstd")
-      .option("parquet.enable.dictionary", "false")
-      .parquet(dir)
+  /** Run one append mutation crash-atomically: reconcile prior debris,
+    * run the append(s), publish the added files through ONE manifest
+    * (atomic rename — the commit point). A crash anywhere mid-append
+    * rolls back wholly at the next writer's entry, and readers never
+    * see the debris meanwhile.
+    */
+  private def appendCommitted(spark: SparkSession, indexDir: String,
+                              mutationId: Option[String])(appendOp: => Unit): Unit = {
+    reconcile(spark, indexDir)
+    val before = allDataNames(spark, indexDir).toSet
+    appendOp
+    writeManifest(spark, indexDir,
+      allDataNames(spark, indexDir).filterNot(before.contains), mutationId)
+  }
 
   /** Append newly-arrived vectors to a stored LSH index WITHOUT
     * touching the existing rows (one pass over the new batch only,
@@ -465,14 +701,15 @@ object AnnIndex {
     * set (the engine's ids are xxhash64-derived; a revisit should
     * compact/rebuild instead).
     */
-  def appendLsh(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit = {
-    val meta = spark.read.parquet(lshMetaDir(indexDir))
-      .select(col("n_tables"), col("planes_per_table"), col("dim")).collect()
-    require(meta.length == 1, s"malformed lsh_meta at $indexDir")
-    val (nTables, planesPerTable) = (meta(0).getInt(0), meta(0).getInt(1))
-    val planes = VectorOps.hyperplanes(nTables * planesPerTable, meta(0).getInt(2))
-    append(VectorOps.lshBucketize(spark, newEmb, planes, nTables, planesPerTable),
-      lshDir(indexDir))
+  def appendLsh(spark: SparkSession, newEmb: DataFrame, indexDir: String,
+                mutationId: Option[String] = None): Unit = {
+    if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return
+    val (nTables, planesPerTable, dim) = readLshMeta(spark, indexDir)
+    val planes = VectorOps.hyperplanes(nTables * planesPerTable, dim)
+    appendCommitted(spark, indexDir, mutationId) {
+      write(VectorOps.lshBucketize(spark, newEmb, planes, nTables, planesPerTable),
+        lshDir(indexDir), SaveMode.Append)
+    }
   }
 
   /** Append newly-arrived vectors to a stored PQ index: encode them
@@ -482,18 +719,22 @@ object AnnIndex {
     * serving union codes under the old codebook by construction).
     * Same disjoint-ids contract as [[appendLsh]].
     */
-  def appendPq(spark: SparkSession, newEmb: DataFrame, indexDir: String): Unit = {
+  def appendPq(spark: SparkSession, newEmb: DataFrame, indexDir: String,
+               mutationId: Option[String] = None): Unit = {
+    if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return
     val codebooks = readCodebooks(spark, indexDir)
     val encoded = VectorOps.pqEncode(spark, newEmb, codebooks, dimOf(codebooks))
     // match the stored schema: indexes built before the staleness flag
     // existed have no from_append column — appending a wider row would
     // leave the relation schema-split (plain parquet reads pick one
     // file's schema)
-    val stored = spark.read.parquet(pqCodesDir(indexDir))
-    append(
-      if (stored.columns.contains("from_append"))
-        encoded.withColumn("from_append", lit(true))
-      else encoded,
-      pqCodesDir(indexDir))
+    val stored = readCommitted(spark, indexDir, "pq_codes")
+    appendCommitted(spark, indexDir, mutationId) {
+      write(
+        if (stored.columns.contains("from_append"))
+          encoded.withColumn("from_append", lit(true))
+        else encoded,
+        pqCodesDir(indexDir), SaveMode.Append)
+    }
   }
 }

@@ -405,4 +405,69 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     SearchIndex.build(spark, canonical2, fresh2)
     assert(rows(lexIdx) == rows(fresh2))
   }
+
+  test("ANN serving index stays fresh across drops; staleness + rebuild recover a crash gap") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.AnnIndex
+    val state = tmp("inc-ann-state")
+    val annIdx = tmp("inc-ann-idx")
+
+    // same three-drop protocol as the lexical twin: the middle drop's
+    // exact duplicate must never be embedded into the index
+    val d1 = (0 until 6).map(i => (s"https://ann.example/p/$i", textOf(s"va$i")))
+    val d2 = Seq(
+      ("https://ann.example/q/0", textOf("vb0")),
+      ("https://ann.example/q/exact", textOf("va1")), // rejected: exact dup
+      ("https://ann.example/q/1", textOf("vb1")))
+    val d3 = Seq(("https://ann.example/r/0", textOf("vc0")))
+    val dirs = Seq(d1, d2, d3).map { rows =>
+      val d = tmp("inc-ann-d"); write(rows, d); d
+    }
+    dirs.foreach(d =>
+      IncrementalCurate.ingestDrop(spark, d, state, annIndexDir = Some(annIdx)))
+    assert(IncrementalCurate.annStaleness(spark, state, annIdx) == 0L)
+
+    // the per-drop-appended index serves bit-identically to one built
+    // fresh over the canonical state (LSH appends are exact); queries
+    // = every canonical vector (self-hits excluded by the serve path)
+    val canonical = spark.read.parquet(s"$state/canonical")
+      .select(col("doc_id"), col("text"))
+    val emb = EmbedJob.embedDocs(spark, canonical)
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val freshIdx = tmp("inc-ann-fresh")
+    AnnIndex.buildLsh(spark, emb, freshIdx)
+    def rows(idx: String) = AnnIndex.serveLshQueries(spark, emb, queries, idx, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val served = rows(annIdx)
+    assert(served == rows(freshIdx),
+      "drop-appended index != fresh build over canonical")
+    // only admitted docs were embedded: 9 of the 10 drop rows
+    assert(canonical.count() == 9L)
+    assert(AnnIndex.indexedVectors(spark, annIdx) == 9L)
+
+    // idempotent re-drop appends nothing to the index
+    IncrementalCurate.ingestDrop(spark, dirs(1), state, annIndexDir = Some(annIdx))
+    assert(IncrementalCurate.annStaleness(spark, state, annIdx) == 0L)
+    assert(rows(annIdx) == served)
+
+    // crash gap: a drop commits to state but the index append is lost
+    // -> staleness surfaces it, rebuild recovers bit-identity
+    val d4 = Seq(("https://ann.example/s/0", textOf("vd0")))
+    val d4Dir = tmp("inc-ann-d4"); write(d4, d4Dir)
+    IncrementalCurate.ingestDrop(spark, d4Dir, state) // no annIndexDir = the "crash"
+    assert(IncrementalCurate.annStaleness(spark, state, annIdx) == 1L)
+    IncrementalCurate.rebuildAnnIndex(spark, state, annIdx)
+    assert(IncrementalCurate.annStaleness(spark, state, annIdx) == 0L)
+    val canonical2 = spark.read.parquet(s"$state/canonical")
+      .select(col("doc_id"), col("text"))
+    val emb2 = EmbedJob.embedDocs(spark, canonical2)
+    val q2 = emb2.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val fresh2 = tmp("inc-ann-fresh2")
+    AnnIndex.buildLsh(spark, emb2, fresh2)
+    def rows2(idx: String) = AnnIndex.serveLshQueries(spark, emb2, q2, idx, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows2(annIdx) == rows2(fresh2))
+  }
 }

@@ -458,13 +458,18 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(VectorOps.annLsh(spark, emb, nTables = 4, planesPerTable = 7)),
       "serve must read plane geometry from the stored metadata")
 
-    // serving READS the store (not a hidden recompute): emptying the
-    // bucket relation must starve candidate generation to zero rows
+    // serving READS the store (not a hidden recompute), and only its
+    // COMMITTED view: an out-of-band overwrite (= a crashed rebuild —
+    // committed entries now name deleted files, the new files carry no
+    // manifest) must fail LOUDLY, not silently serve a mixed index
     val sp = spark; import sp.implicits._
     Seq.empty[(Long, Int, Int)].toDF("vec_id", "band", "bucket")
       .write.mode("overwrite").parquet(s"$dir/lsh_buckets")
-    assert(AnnIndex.serveLsh(spark, emb, dir).count() == 0L,
-      "serve result must flow from the stored index")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.serveLsh(spark, emb, dir).count()
+    }
+    assert(e.getMessage.contains("no committed lsh_buckets"),
+      s"unexpected failure: ${e.getMessage}")
   }
 
   test("AnnIndex SQ8 leg: serve bit-identity, frozen-quantizer appends, staleness, compaction") {
@@ -587,13 +592,71 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(AnnIndex.serveIvf(spark, emb, dir)) == before,
       "IVF serve changed across compaction")
 
-    // serving READS the store: an emptied cell relation starves
-    // candidate generation to zero rows
+    // serving reads only the COMMITTED store: an out-of-band overwrite
+    // (= crashed rebuild) fails loudly instead of serving mixed state
     val sp = spark; import sp.implicits._
     Seq.empty[(Long, Int)].toDF("vec_id", "cell")
       .write.mode("overwrite").parquet(s"$dir/ivf_cells")
-    assert(AnnIndex.serveIvf(spark, emb, dir).count() == 0L,
-      "serve result must flow from the stored index")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.serveIvf(spark, emb, dir).count()
+    }
+    assert(e.getMessage.contains("no committed ivf_cells"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
+  test("AnnIndex crash protocol: debris invisible to serving, reconcile rolls back, mutationId idempotent") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ann-crashlog").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    def manifests() = new java.io.File(s"$dir/_annlog").listFiles()
+      .filter(_.getName.endsWith(".list")).map(_.getName).toSet
+    import org.apache.spark.sql.functions.col
+
+    AnnIndex.buildLsh(spark, emb, dir)
+    val baseline = rows(AnnIndex.serveLsh(spark, emb, dir))
+    val baseVecs = AnnIndex.indexedVectors(spark, dir)
+    val committed = manifests()
+
+    // simulate a crash between an append's data writes and its commit:
+    // run the append, then delete its manifest — the bucket files are
+    // on disk but unlisted
+    val drop = emb.limit(25).withColumn("vec_id", col("vec_id") + 20000000L)
+    AnnIndex.appendLsh(spark, drop, dir)
+    val appendManifest = (manifests() -- committed).head
+    assert(new java.io.File(s"$dir/_annlog/$appendManifest").delete())
+
+    // readers never see the debris: serve and the freshness counter
+    // both equal the pre-append state
+    assert(rows(AnnIndex.serveLsh(spark, emb, dir)) == baseline,
+      "crashed-append debris leaked into serving")
+    assert(AnnIndex.indexedVectors(spark, dir) == baseVecs)
+
+    // the next writer rolls the debris back wholly, and the RETRY of
+    // the same batch lands exactly once
+    assert(AnnIndex.reconcile(spark, dir).nonEmpty, "debris not reconciled")
+    AnnIndex.appendLsh(spark, drop, dir, mutationId = Some("drop-1"))
+    val afterRetry = rows(AnnIndex.serveLsh(spark, emb.unionByName(drop), dir))
+    val fullDir = java.nio.file.Files.createTempDirectory("ann-crashlog-full").toString
+    AnnIndex.buildLsh(spark, emb.unionByName(drop), fullDir)
+    assert(afterRetry == rows(AnnIndex.serveLsh(spark, emb.unionByName(drop), fullDir)),
+      "reconcile+retry != full rebuild over the union")
+
+    // committed mutationId makes a re-delivery a no-op (exactly-once
+    // EFFECT under at-least-once callers)
+    val filesBefore = new java.io.File(s"$dir/lsh_buckets").listFiles().length
+    AnnIndex.appendLsh(spark, drop, dir, mutationId = Some("drop-1"))
+    assert(new java.io.File(s"$dir/lsh_buckets").listFiles().length == filesBefore,
+      "re-delivered mutation re-appended")
+    assert(rows(AnnIndex.serveLsh(spark, emb.unionByName(drop), dir)) == afterRetry)
+
+    // a build on one leg must not orphan a committed sibling leg: the
+    // consolidated manifest carries the LSH entries across a PQ build
+    AnnIndex.buildPq(spark, emb, dir)
+    assert(rows(AnnIndex.serveLsh(spark, emb.unionByName(drop), dir)) == afterRetry,
+      "sibling-leg build lost the LSH leg's committed files")
+    assert(AnnIndex.hasCommittedIndex(spark, dir, "lsh") &&
+      AnnIndex.hasCommittedIndex(spark, dir, "pq") &&
+      !AnnIndex.hasCommittedIndex(spark, dir, "ivf"))
   }
 
   test("corpus lifecycle: extract -> embed -> index -> serve ARBITRARY query vectors") {
