@@ -149,9 +149,19 @@ object Bench {
         val compactSec = time(graft.ops.SearchIndex.compact(spark, dir))
         val serveC = time(graft.ops.SearchIndex.serve(spark, dir, qterms).count())
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        // positional variant: the O(tokens)-row artifact exact-phrase
+        // serving reads — build premium vs postings-only is the number
+        // the index-time positions trade is made on
+        val posDir = java.nio.file.Files.createTempDirectory("bench-lex-pos").toString
+        val posBuild = time(graft.ops.SearchIndex.build(spark, docs, posDir,
+          withPositions = true))
+        val phraseServe = time(graft.ops.SearchIndex.servePhrase(spark, posDir,
+          Queries.phraseQueriesOf(docs)).count())
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(posDir))
         s"""{"build_sec":$build,"serve_sec":$serve,""" +
           s""""append_sec":$appendSec,"compact_sec":$compactSec,""" +
-          s""""serve_compacted_sec":$serveC}"""
+          s""""serve_compacted_sec":$serveC,""" +
+          s""""pos_build_sec":$posBuild,"phrase_serve_sec":$phraseServe}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] lex_index_split FAILED: ${e.getMessage}")

@@ -270,6 +270,24 @@ object Queries {
         explode(expr("array_distinct(slice(split(text, ' '), 2, 5))"))
           .as("term"))
 
+  /** The deterministic phrase request batch (and the oracle's
+    * re-derivation, same slice): every doc_id % 97 == 0 doc queries
+    * with its own tokens 3..5 as a 3-word phrase — offsets from
+    * posexplode, so the source doc itself is a guaranteed match.
+    */
+  private[graft] def phraseQueriesOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").cast("long").as("query_id"),
+        posexplode(expr("slice(split(text, ' '), 3, 3)")).as(Seq("off", "term")))
+
+  /** Exact phrase retrieval (positional anchor join, ops.SearchOps) —
+    * the literal-quote search of a contamination audit.
+    */
+  def phraseSearchQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    graft.ops.SearchOps.phraseSearch(docs, phraseQueriesOf(docs))
+  }
+
   /** Lexical top-k retrieval (integer-exact BM25 variant,
     * ops.SearchOps). */
   def bm25SearchQ(s: SparkSession, d: String): DataFrame = {
@@ -332,6 +350,20 @@ object Queries {
     graft.ops.SearchIndex.build(s, docs, dir)
     materializeAndDelete(s,
       graft.ops.SearchIndex.serve(s, dir, bm25QueryTerms(docs)), dir)
+  }
+
+  /** Build/serve split for exact-phrase retrieval: the POSITIONAL
+    * artifact persists with the index (withPositions=true) and the
+    * same phrase batch answers from it — bit-identical to
+    * phrase_search (the anchor-join kernel is shared verbatim, SAME
+    * DuckDB mirror). Temp dir lifecycle as annLshServe.
+    */
+  def phraseServeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex-pos").toString
+    graft.ops.SearchIndex.build(s, docs, dir, withPositions = true)
+    materializeAndDelete(s,
+      graft.ops.SearchIndex.servePhrase(s, dir, phraseQueriesOf(docs)), dir)
   }
 
   /** URL canonicalization over deterministically-messied urls: every

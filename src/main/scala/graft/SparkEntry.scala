@@ -38,7 +38,9 @@ object SparkEntry {
     "shard_pack" -> (Queries.shardPack _),
     "seq_pack" -> (Queries.seqPack _),
     "bm25_search" -> (Queries.bm25SearchQ _),
+    "phrase_search" -> (Queries.phraseSearchQ _),
     "bm25_serve" -> (Queries.bm25ServeQ _),
+    "phrase_serve" -> (Queries.phraseServeQ _),
     "hybrid_rrf" -> (Queries.hybridRrfQ _),
     "hybrid_serve" -> (Queries.hybridServeQ _),
     "strat_sample" -> (Queries.stratSample _),
@@ -253,6 +255,48 @@ object SparkEntry {
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
       |  doc_id, score_micro
+      |FROM sc
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Exact-phrase retrieval mirror: the positional anchor join
+    * replayed over the same whitespace token stream — every phrase =
+    * tokens 3..5 of each doc_id % 97 == 0 doc (Queries.phraseQueriesOf
+    * slice); a token at pos matching phrase offset off votes anchor
+    * pos-off, an anchor with every distinct offset voting is one
+    * occurrence; all integer arithmetic, rank ties (n_occ DESC,
+    * doc_id). SHARED by phrase_search (in-memory, tokens exploded from
+    * text) and phrase_serve (stored positional artifact) — the
+    * anchor-join kernel (SearchOps.phraseFrom) is the same code on
+    * both paths, so a kernel change hits TWO oracle rows.
+    */
+  private val phraseSql: String =
+    """WITH toks AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         string_split(text, ' ')[i.i + 1] AS term,
+      |         CAST(i.i AS BIGINT) AS pos
+      |  FROM documents, UNNEST(range(len(string_split(text, ' ')))) AS i(i)),
+      |phr AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS query_id, CAST(j.j AS BIGINT) AS off,
+      |         string_split(text, ' ')[3:5][j.j + 1] AS term
+      |  FROM documents,
+      |    UNNEST(range(len(string_split(text, ' ')[3:5]))) AS j(j)
+      |  WHERE doc_id % 97 = 0),
+      |plen AS (SELECT query_id, CAST(count(DISTINCT off) AS BIGINT) AS plen
+      |         FROM phr GROUP BY query_id),
+      |occ AS (
+      |  SELECT a.query_id, a.doc_id, a.anchor
+      |  FROM (SELECT p.query_id, t.doc_id, t.pos - p.off AS anchor, p.off
+      |        FROM toks t JOIN phr p USING (term)) a
+      |  JOIN plen USING (query_id)
+      |  GROUP BY a.query_id, a.doc_id, a.anchor, plen.plen
+      |  HAVING count(DISTINCT a.off) = plen.plen),
+      |sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      |       FROM occ GROUP BY query_id, doc_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY n_occ DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, n_occ
       |FROM sc
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
@@ -618,6 +662,12 @@ object SparkEntry {
     // serving path composes the same scoring kernel over persisted
     // postings, so bit-identity is what the gate proves.
     "bm25_search" -> bm25Sql,
+    // exact phrase retrieval + its stored-positional-index serving
+    // twin: ONE shared mirror (see phraseSql) — the anchor-join kernel
+    // is the same code on both paths, so bit-identity is what the
+    // gate proves
+    "phrase_search" -> phraseSql,
+    "phrase_serve" -> phraseSql,
     "bm25_serve" -> bm25Sql,
     // Hybrid retrieval: RRF fusion of the two mirrors above/below —
     // the lexical leg IS bm25Sql, the vector leg IS the exact-cosine

@@ -51,9 +51,10 @@ object SearchIndex {
     */
   val TermPushdownLimit = 1024
 
-  private val Tables = Seq("postings", "lex_meta")
+  private val Tables = Seq("postings", "lex_meta", "positions")
   private def postingsDir(indexDir: String) = s"$indexDir/postings"
   private def metaDir(indexDir: String) = s"$indexDir/lex_meta"
+  private def positionsDir(indexDir: String) = s"$indexDir/positions"
   private def logPath(indexDir: String) = new Path(s"$indexDir/_lexlog")
 
   private def fsOf(spark: SparkSession, dir: String) =
@@ -194,8 +195,19 @@ object SearchIndex {
     * existing index at `indexDir` (rebuilds are idempotent at the
     * overwrite level); the commit log restarts with a fresh genesis.
     */
+  /** @param withPositions also materialize the POSITIONAL postings
+    *   table (doc_id, pos, term — one row per token, not per distinct
+    *   term) so [[servePhrase]] can answer exact-phrase queries from
+    *   the stored index. Same (term, salt) clustering + in-file term
+    *   sort as the postings, so a phrase batch's IN predicate prunes
+    *   its row groups too. Off by default: positions cost O(tokens)
+    *   rows vs postings' O(distinct terms) — the standard Lucene-style
+    *   index-time trade, chosen per deployment. Appends follow the
+    *   stored index's shape automatically.
+    */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-            mutationId: Option[String] = None): Unit = {
+            mutationId: Option[String] = None,
+            withPositions: Boolean = false): Unit = {
     import spark.implicits._
     val (n, sdl) = SearchOps.corpusStats(docs)
     require(n > 0, "cannot build a lexical index over an empty corpus")
@@ -218,6 +230,14 @@ object SearchIndex {
       SaveMode.Overwrite)
     write(Seq((n, sdl)).toDF("n_docs", "sum_dl").coalesce(1),
       metaDir(indexDir), SaveMode.Overwrite)
+    if (withPositions)
+      write(clustered(SearchOps.positionsOf(docs)), positionsDir(indexDir),
+        SaveMode.Overwrite)
+    else
+      // a rebuild WITHOUT positions over a previously-positional index
+      // must not genesis-adopt the stale positional files (they'd
+      // disagree with the new postings) — drop the dir outright
+      fsOf(spark, indexDir).delete(new Path(positionsDir(indexDir)), true)
     writeManifest(spark, indexDir, allDataNames(spark, indexDir), mutationId)
     // retired entries name already-deleted files — removing them is
     // cleanup, not a commit step (a crash here is harmless)
@@ -232,6 +252,14 @@ object SearchIndex {
   def hasCommittedIndex(spark: SparkSession, indexDir: String): Boolean =
     committedEntries(spark, indexDir)
       .exists(_.exists(_.startsWith("lex_meta/")))
+
+  /** True iff the committed index carries the positional artifact
+    * (appends follow the stored shape off this, and [[servePhrase]]
+    * requires it). Legacy log-less indexes predate positions — false.
+    */
+  def hasPositions(spark: SparkSession, indexDir: String): Boolean =
+    committedEntries(spark, indexDir)
+      .exists(_.exists(_.startsWith("positions/")))
 
   /** Summed stored corpus stats (delta rows over all committed
     * builds/appends).
@@ -270,20 +298,51 @@ object SearchIndex {
     val bounded = SearchOps.isBounded(qterms, probeLimit)
     val postings = readCommitted(spark, indexDir, "postings")
     val termSet = qterms.select("term").distinct()
-    // small bounded batch → literal IN predicate (pushes into the
-    // parquet scan, prunes term-sorted row groups); larger → semi-join
+    val gated = gateByTerms(postings, termSet, bounded, pushdownTerms)
+    SearchOps.bm25From(gated, n, sdl * 1000L / n, qterms, k, bounded,
+      maxDfPermille)
+  }
+
+  /** Term gate shared by BM25 and phrase serving: a small bounded
+    * batch inlines a literal IN predicate (pushes into the parquet
+    * scan, prunes term-sorted row groups); larger batches gate via a
+    * semi-join — broadcast when bounded, shuffle otherwise. Identical
+    * result rows on every path.
+    */
+  private def gateByTerms(rel: DataFrame, termSet: DataFrame,
+                          bounded: Boolean, pushdownTerms: Int): DataFrame = {
     val inlined: Option[Seq[String]] =
       if (bounded && pushdownTerms > 0) {
         val ts = termSet.limit(pushdownTerms + 1).collect().map(_.getString(0))
         if (ts.length <= pushdownTerms) Some(ts.toSeq) else None
       } else None
-    val gated = inlined match {
-      case Some(ts) => postings.filter(col("term").isin(ts: _*))
-      case None => postings.join(
+    inlined match {
+      case Some(ts) => rel.filter(col("term").isin(ts: _*))
+      case None => rel.join(
         if (bounded) broadcast(termSet) else termSet, Seq("term"), "left_semi")
     }
-    SearchOps.bm25From(gated, n, sdl * 1000L / n, qterms, k, bounded,
-      maxDfPermille)
+  }
+
+  /** Exact-phrase top-k against the PREBUILT positional artifact —
+    * bit-identical to SearchOps.phraseSearch over the indexed corpus
+    * (the anchor-join kernel phraseFrom is shared verbatim, so
+    * phrase_serve checks against phrase_search's oracle SQL), but the
+    * corpus text is never rescanned: the phrase batch's term IN
+    * predicate prunes the term-sorted positional row groups exactly
+    * like BM25 serving. Requires an index built withPositions=true.
+    */
+  def servePhrase(spark: SparkSession, indexDir: String, phrases: DataFrame,
+                  k: Int = 10, probeLimit: Long = AnnIndex.BroadcastQueryLimit,
+                  pushdownTerms: Int = TermPushdownLimit): DataFrame = {
+    require(hasPositions(spark, indexDir),
+      s"no committed positional artifact at $indexDir (build withPositions=true)")
+    val q = phrases.filter(col("term").isNotNull)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("off").cast("long").as("off"), col("term"))
+    val bounded = SearchOps.isBounded(q, probeLimit)
+    val gated = gateByTerms(readCommitted(spark, indexDir, "positions"),
+      q.select("term").distinct(), bounded, pushdownTerms)
+    SearchOps.phraseFrom(gated, q, k, bounded)
   }
 
   /** Append newly-arrived documents WITHOUT touching existing rows:
@@ -304,12 +363,18 @@ object SearchIndex {
     if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return 0L
     val (dn, dsdl) = SearchOps.corpusStats(newDocs)
     if (dn == 0L) return 0L
+    // appends follow the stored index's shape: a positional index gets
+    // the drop's positions too, inside the SAME commit manifest
+    val positional = hasPositions(spark, indexDir)
     reconcile(spark, indexDir)
     val before = allDataNames(spark, indexDir).toSet
     write(clustered(SearchOps.postingsOf(newDocs)), postingsDir(indexDir),
       SaveMode.Append)
     write(Seq((dn, dsdl)).toDF("n_docs", "sum_dl").coalesce(1),
       metaDir(indexDir), SaveMode.Append)
+    if (positional)
+      write(clustered(SearchOps.positionsOf(newDocs)), positionsDir(indexDir),
+        SaveMode.Append)
     writeManifest(spark, indexDir,
       allDataNames(spark, indexDir).filterNot(before.contains), mutationId)
     dn
@@ -332,6 +397,11 @@ object SearchIndex {
     // same bounded-spread trade as the build clustering
     val report = graft.CompactJob.run(spark, postingsDir(indexDir),
       targetFileBytes, clusterKey = "term,salt")
+    // a positional index compacts its positions under the same key
+    // (and the same fresh genesis below)
+    if (fsOf(spark, indexDir).exists(new Path(positionsDir(indexDir))))
+      graft.CompactJob.run(spark, positionsDir(indexDir),
+        targetFileBytes, clusterKey = "term,salt")
     writeManifest(spark, indexDir, allDataNames(spark, indexDir))
     report
   }

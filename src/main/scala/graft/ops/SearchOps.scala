@@ -54,6 +54,15 @@ object SearchOps {
     .groupBy(col("doc_id"), col("term"), col("dl"))
     .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings (doc_id, pos, term) — one row per token
+    * occurrence (not per distinct term): the artifact exact-phrase
+    * serving reads. Same tokenizer as [[postingsOf]], so the two
+    * tables can never disagree about a document's terms.
+    */
+  def positionsOf(docs: DataFrame): DataFrame = tokenized(docs)
+    .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "term")))
+    .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
+
   /** Corpus scalar stats (nDocs, sumDl) — one 2-long row to the
     * driver; the only driver-side state BM25 needs.
     */
@@ -196,6 +205,70 @@ object SearchOps {
     * batches over a stable corpus, build once and serve from
     * ops/SearchIndex instead — same kernel, no corpus rescan.
     */
+  /** Exact PHRASE retrieval — the literal-quote search an audit or
+    * contamination triage actually issues ("find every training doc
+    * containing this exact sentence"), which term-bag BM25 cannot
+    * express: a phrase match requires the query's terms at CONSECUTIVE
+    * token positions. Request relation: (query_id, off, term) — one
+    * row per phrase token with its 0-based offset.
+    *
+    * Algorithm (the classic positional-postings anchor join): a token
+    * at position `pos` matching the phrase's term at offset `off`
+    * votes for anchor `pos - off` (the would-be phrase start); an
+    * anchor where every distinct offset voted is one occurrence.
+    * Score = occurrence count, top-k by (n_occ DESC, doc_id) — all
+    * integer arithmetic, replayed bit-for-bit by the DuckDB oracle.
+    *
+    * Scale shape: the corpus token stream joins the BROADCAST phrase
+    * relation (bounded request batches — the AnnIndex guard, shuffle
+    * fallback otherwise), so only phrase-term tokens ever shuffle; the
+    * anchor aggregate is keyed (query, doc, anchor) — cardinality
+    * bounded by matched tokens, not the corpus. Repeated duplicate
+    * request rows collapse via the distinct-offset count. For repeated
+    * batches over a stable corpus, serve from the SearchIndex
+    * positional artifact instead (same kernel tail, no corpus rescan).
+    */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame, k: Int = 10,
+                   probeLimit: Long = AnnIndex.BroadcastQueryLimit): DataFrame = {
+    val q = phrases.filter(col("term").isNotNull)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("off").cast("long").as("off"), col("term"))
+    val bounded = isBounded(q, probeLimit)
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    phraseFrom(toks, q, k, bounded)
+  }
+
+  /** The anchor-join scoring tail over an ALREADY positional token
+    * relation (doc_id, pos, term) — shared verbatim by the in-memory
+    * search (tokens exploded from text) and the stored-index serving
+    * path (tokens read from the positional postings artifact), so both
+    * check against the same oracle SQL.
+    */
+  private[graft] def phraseFrom(toks: DataFrame, q: DataFrame, k: Int,
+                                broadcastProbes: Boolean): DataFrame = {
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastProbes) broadcast(df) else df
+    val plen = q.groupBy(col("query_id"))
+      .agg(countDistinct(col("off")).as("plen"))
+    val occ = toks
+      .join(hint(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"), col("off"))
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .join(hint(plen), Seq("query_id"))
+      .filter(col("n_off") === col("plen"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+    occ.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_occ"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def bm25Search(docs: DataFrame, queryTerms: DataFrame, k: Int = 10,
                  probeLimit: Long = AnnIndex.BroadcastQueryLimit,
                  maxDfPermille: Long = 1000L): DataFrame = {

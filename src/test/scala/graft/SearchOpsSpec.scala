@@ -303,6 +303,126 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  // -------------------------------------------------------------------
+  // exact-phrase retrieval (positional anchor join)
+  // -------------------------------------------------------------------
+
+  /** Sequential phrase reference: sliding-window scan over raw token
+    * arrays — deliberately NOT the anchor-join algorithm, so the two
+    * implementations can only agree by computing the same semantics.
+    */
+  private def phraseReference(
+      docs: Seq[(Long, Array[String])],
+      phrases: Seq[(Long, Seq[String])],
+      k: Int): Seq[(Long, Long, Long, Long)] =
+    phrases.filter(_._2.nonEmpty).flatMap { case (qid, ph) =>
+      val scored = docs.flatMap { case (did, ws) =>
+        val n = (0 to ws.length - ph.length)
+          .count(i => ph.indices.forall(j => ws(i + j) == ph(j)))
+        if (n > 0) Some((did, n.toLong)) else None
+      }
+      scored.sortBy { case (did, c) => (-c, did) }
+        .take(k).zipWithIndex
+        .map { case ((did, c), i) => (qid, (i + 1).toLong, did, c) }
+    }.sortBy(t => (t._1, t._2))
+
+  test("phraseSearch equals a sequential sliding-window reference") {
+    val raw = TextOps.readDocs(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .toSeq.sortBy(_._1)
+    val phrases = raw.filter(_._1 % 97 == 0)
+      .map { case (id, ws) => (id, ws.slice(2, 5).toSeq) }
+    val want = phraseReference(raw, phrases, k = 10)
+    val got = collectRows(Queries.phraseSearchQ(spark, sfDir))
+    assert(phrases.nonEmpty && got.nonEmpty)
+    assert(got == want)
+    // a phrase sliced from a doc's own tokens must rank that doc
+    phrases.filter(_._2.size == 3).foreach { case (qid, _) =>
+      assert(got.exists(r => r._1 == qid && r._3 == qid),
+        s"query $qid does not match its own source doc")
+    }
+  }
+
+  test("phraseSearch handles repeated phrase terms and overlapping occurrences") {
+    val sp = spark; import sp.implicits._
+    // doc 1: "a b a b a" — phrase "a b a" occurs at positions 0 and 2
+    // (overlapping); doc 2 has one occurrence; doc 3 has the terms but
+    // never consecutively
+    val docs = Seq((1L, "a b a b a"), (2L, "x a b a y"), (3L, "a a b b a x a"))
+      .toDF("doc_id", "text")
+    val q = Seq((7L, 0L, "a"), (7L, 1L, "b"), (7L, 2L, "a"))
+      .toDF("query_id", "off", "term")
+    val got = collectRows(SearchOps.phraseSearch(docs, q))
+    assert(got == Seq((7L, 1L, 1L, 2L), (7L, 2L, 2L, 1L)))
+  }
+
+  test("servePhrase from the positional artifact is bit-identical to phraseSearch") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val q = Queries.phraseQueriesOf(docs)
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-pos").toString
+    SearchIndex.build(spark, docs, dir, withPositions = true)
+    assert(SearchIndex.hasPositions(spark, dir))
+    val direct = collectRows(SearchOps.phraseSearch(docs, q))
+    val servedDf = SearchIndex.servePhrase(spark, dir, q)
+    // the bounded batch's terms must reach the positions scan as a
+    // literal IN predicate (row-group pruning over the term-sorted
+    // positional files — the layout the build pays for)
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), plan.take(2000))
+    val served = collectRows(servedDf)
+    assert(served.nonEmpty && served == direct)
+    // all three gating paths agree (IN pushdown / semi-join / shuffle)
+    val semi = collectRows(SearchIndex.servePhrase(spark, dir, q,
+      pushdownTerms = 0))
+    val shuffled = collectRows(SearchIndex.servePhrase(spark, dir, q,
+      probeLimit = 1L))
+    assert(semi == direct && shuffled == direct)
+    // the BM25 leg of the same index is unaffected by positions
+    val qterms = Queries.bm25QueryTerms(docs)
+    assert(collectRows(SearchIndex.serve(spark, dir, qterms)) ==
+      collectRows(SearchOps.bm25Search(docs, qterms)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("positional appends follow the stored shape; rebuild without positions drops them") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val q = Queries.phraseQueriesOf(docs)
+    val incDir = java.nio.file.Files.createTempDirectory("lexpos-inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("lexpos-full").toString
+    SearchIndex.build(spark, docs.filter(col("doc_id") % 2 === 0), incDir,
+      withPositions = true)
+    SearchIndex.append(spark, docs.filter(col("doc_id") % 2 === 1), incDir)
+    SearchIndex.build(spark, docs, fullDir, withPositions = true)
+    val inc = collectRows(SearchIndex.servePhrase(spark, incDir, q))
+    val full = collectRows(SearchIndex.servePhrase(spark, fullDir, q))
+    assert(inc.nonEmpty && inc == full)
+    // compaction preserves phrase serving too
+    val report = SearchIndex.compact(spark, incDir)
+    assert(report.filesAfter < report.filesBefore)
+    assert(collectRows(SearchIndex.servePhrase(spark, incDir, q)) == full)
+    // a rebuild WITHOUT positions retires the positional artifact:
+    // servePhrase must fail loud, not answer from stale files
+    SearchIndex.build(spark, docs, incDir)
+    assert(!SearchIndex.hasPositions(spark, incDir))
+    intercept[IllegalArgumentException] {
+      SearchIndex.servePhrase(spark, incDir, q)
+    }
+    Seq(incDir, fullDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("servePhrase on a non-positional index fails loud") {
+    val (docs, _) = docsAndTerms()
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-nopos").toString
+    SearchIndex.build(spark, docs, dir)
+    assert(!SearchIndex.hasPositions(spark, dir))
+    intercept[IllegalArgumentException] {
+      SearchIndex.servePhrase(spark, dir, Queries.phraseQueriesOf(docs))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("LexServeJob answers a parquet request batch from a stored index") {
     val (docs, qterms) = docsAndTerms()
     val dir = java.nio.file.Files.createTempDirectory("lexidx-cli").toString
