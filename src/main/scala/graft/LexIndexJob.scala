@@ -14,19 +14,23 @@ import graft.ops.SearchIndex
   * same id convention EmbedJob uses for the ANN leg.
   *
   * CLI: spark-submit --class graft.LexIndexJob app.jar \
-  *        <docsParquet> <indexDir> [build|append|compact]
-  * (compact ignores <docsParquet> but the slot is still required)
+  *        <docsParquet> <indexDir> [build|build-positions|append|compact]
+  * (compact ignores <docsParquet> but the slot is still required;
+  * build-positions additionally materializes the positional artifact
+  * for exact-phrase serving — appends then follow the stored shape
+  * automatically)
   */
 object LexIndexJob {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.LexIndexJob <docsParquet> <indexDir> [build|append|compact]")
+        "usage: graft.LexIndexJob <docsParquet> <indexDir> " +
+          "[build|build-positions|append|compact]")
       sys.exit(2)
     }
     val what = if (args.length > 2) args(2) else "build"
-    require(Set("build", "append", "compact").contains(what),
+    require(Set("build", "build-positions", "append", "compact").contains(what),
       s"unknown action: $what")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -39,9 +43,10 @@ object LexIndexJob {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val extra = what match {
-      case "build" =>
+      case "build" | "build-positions" =>
         val docs = spark.read.parquet(args(0))
-        SearchIndex.build(spark, docs, args(1))
+        SearchIndex.build(spark, docs, args(1),
+          withPositions = what == "build-positions")
         s""""n_docs":${docs.count()}"""
       case "append" =>
         val docs = spark.read.parquet(args(0))

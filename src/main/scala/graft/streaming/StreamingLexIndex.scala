@@ -44,22 +44,33 @@ object StreamingLexIndex {
     * mutation id. Exposed for the duplicate-delivery spec.
     */
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
-                                     batchId: Long, indexDir: String): Unit = {
+                                     batchId: Long, indexDir: String,
+                                     withPositions: Boolean = false): Unit = {
     val mid = s"batch-$batchId"
     if (SearchIndex.mutationCommitted(spark, indexDir, mid)) return
     val docs = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
     if (SearchIndex.hasCommittedIndex(spark, indexDir))
+      // appends follow the STORED index's shape (a positional index
+      // gets the batch's positions too) — the flag only steers the
+      // first-batch build
       SearchIndex.append(spark, docs, indexDir, Some(mid))
     else if (docs.limit(1).count() > 0)
-      SearchIndex.build(spark, docs, indexDir, Some(mid))
+      SearchIndex.build(spark, docs, indexDir, Some(mid),
+        withPositions = withPositions)
   }
 
+  /** @param withPositions build the FIRST batch's index with the
+    *   positional artifact (exact-phrase serving); subsequent batches
+    *   follow the stored shape regardless of this flag, so a restarted
+    *   drain cannot fork the index's geometry.
+    */
   def start(
       spark: SparkSession,
       docsDir: String,
       indexDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 8
+      maxFilesPerTrigger: Int = 8,
+      withPositions: Boolean = false
   ): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
@@ -70,7 +81,7 @@ object StreamingLexIndex {
       .parquet(docsDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, batchId, indexDir)
+        ingestBatch(spark, batch, batchId, indexDir, withPositions)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -133,4 +133,33 @@ class StreamingLexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = qtermsOf(Seq(1L, 4L))
     assert(served(idx, q) == served(fresh, q))
   }
+
+  test("positional drains: appended positions serve phrases == fresh positional build") {
+    val sp = spark; import sp.implicits._
+    val landDir = tmp("slexp-land"); val idx = tmp("slexp-idx")
+    val ckpt = tmp("slexp-ckpt")
+    land(docsOf(0 until 8), landDir)
+    StreamingLexIndex.start(spark, landDir, idx, ckpt,
+      withPositions = true).awaitTermination()
+    assert(SearchIndex.hasPositions(spark, idx))
+    // second drain appends — positions follow the stored shape even
+    // though the restarted drain passes the default flag (no fork)
+    land(docsOf(8 until 15), landDir)
+    StreamingLexIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+    assert(SearchIndex.indexedDocs(spark, idx) == 15L)
+    assert(SearchIndex.hasPositions(spark, idx))
+    // phrase = each queried doc's own tokens 2..4 (guaranteed hit)
+    val phrases = Seq(3L, 11L).flatMap(i => (0 until 3).map(j =>
+      (i, j.toLong, s"d${i}w${1 + j}"))).toDF("query_id", "off", "term")
+    val fresh = tmp("slexp-fresh")
+    SearchIndex.build(spark, docsOf(0 until 15).toDF("doc_id", "text"), fresh,
+      withPositions = true)
+    val got = SearchIndex.servePhrase(spark, idx, phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = SearchIndex.servePhrase(spark, fresh, phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == want)
+    assert(got.exists(r => r._1 == 3L && r._3 == 3L))
+    assert(got.exists(r => r._1 == 11L && r._3 == 11L))
+  }
 }
