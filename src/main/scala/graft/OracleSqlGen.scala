@@ -463,8 +463,14 @@ private[graft] object OracleSqlGen {
     * per-query exact distance table, the ADC shortlist, and the exact
     * cosine re-rank.
     */
-  val annPq: String = {
-    val (kCode, iters, nQueries, topK, shortlist, sub) = (64, 3, 10, 5, 100, 8)
+  /** PQ training + code CTE chain (the annPq body up through `codes`),
+    * factored so the composed IVF+PQ mirror reuses it VERBATIM: assumes
+    * `vm` (the milli view) is already defined; ends in `paf` (every
+    * vector's exact per-subspace distances to the final codebooks —
+    * query ADC tables read straight off it) and `codes` (the argmin
+    * sub-codes).
+    */
+  private def pqChainCtes(kCode: Int, iters: Int, sub: Int): String = {
     val iterCtes = (1 to iters).map { n =>
       val prev = s"pc${n - 1}"
       s"""pa$n AS (
@@ -484,11 +490,7 @@ private[graft] object OracleSqlGen {
          |  SELECT p.s, p.cid, p.i, COALESCE(ps$n.sm // ps$n.cnt, p.m) AS m
          |  FROM $prev p LEFT JOIN ps$n ON ps$n.s = p.s AND ps$n.cid = p.cid AND ps$n.i = p.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH vm AS (
-       |  SELECT vec_id, dd.i,
-       |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
-       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
-       |pc0 AS (
+    s"""pc0 AS (
        |  -- cid = sorted POSITION among init vectors (see kmeansAssignCtes)
        |  SELECT i // $sub AS s,
        |         CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, i, m
@@ -502,13 +504,72 @@ private[graft] object OracleSqlGen {
        |  SELECT vec_id, s, cid FROM (
        |    SELECT vec_id, s, cid,
        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
-       |    FROM paf) t WHERE rn = 1),
+       |    FROM paf) t WHERE rn = 1)""".stripMargin
+  }
+
+  val annPq: String = {
+    val (kCode, iters, nQueries, topK, shortlist, sub) = (64, 3, 10, 5, 100, 8)
+    s"""WITH vm AS (
+       |  SELECT vec_id, dd.i,
+       |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
+       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
+       |${pqChainCtes(kCode, iters, sub)},
        |qd AS (SELECT vec_id AS query_id, s, cid, d FROM paf WHERE vec_id < $nQueries),
        |adc AS (
        |  SELECT q.query_id, a.vec_id, sum(q.d) AS adc_dist
        |  FROM codes a JOIN qd q ON q.s = a.s AND q.cid = a.cid
        |  WHERE a.vec_id <> q.query_id
        |  GROUP BY q.query_id, a.vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rn
+       |    FROM adc) t WHERE rn <= $shortlist),
+       |normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |         ${dotSql("q.embedding", "n.embedding")} / (n.norm * q.norm) AS sim
+       |  FROM short sh JOIN normed n ON n.vec_id = sh.neighbor_id
+       |                JOIN normed q ON q.vec_id = sh.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       |        CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_micro
+       |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF+PQ mirror (VectorOps.annIvfPq recomputed): a pure composition
+    * of the two existing chains — kmeansAssignCtes (coarse cells +
+    * every vector's probe distances) and pqChainCtes (codebooks +
+    * codes) share the `vm` milli view; candidates are the probed-cell
+    * members, ADC sums the query's paf rows over each candidate's
+    * codes, then the SAME shortlist + exact-cosine re-rank tail as
+    * annPq. Changing ANY IVF or PQ default therefore changes this row
+    * too (and the serve row that reuses it).
+    */
+  val annIvfPq: String = {
+    val (k, iters, nProbe, kCode, nQueries, topK, shortlist, sub) =
+      (16, 3, 2, 64, 10, 5, 100, 8)
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+       |${pqChainCtes(kCode, iters, sub)},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM af WHERE vec_id < $nQueries) t WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+       |qd AS (SELECT vec_id AS query_id, s, cid, d FROM paf WHERE vec_id < $nQueries),
+       |adc AS (
+       |  SELECT cd.query_id, cd.vec_id, sum(q.d) AS adc_dist
+       |  FROM cand cd
+       |  JOIN codes a ON a.vec_id = cd.vec_id
+       |  JOIN qd q ON q.query_id = cd.query_id AND q.s = a.s AND q.cid = a.cid
+       |  GROUP BY cd.query_id, cd.vec_id),
        |short AS (
        |  SELECT query_id, vec_id AS neighbor_id FROM (
        |    SELECT query_id, vec_id,

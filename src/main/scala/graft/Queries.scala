@@ -608,6 +608,26 @@ object Queries {
     materializeAndDelete(s, graft.ops.AnnIndex.serveIvf(s, emb, dir), dir)
   }
 
+  /** In-memory IVF+PQ: coarse probe restricts the ADC scan to the
+    * probed inverted lists — the composed billion-scale serving shape
+    * (candidate fan-out Q×N×nProbe/k instead of plain PQ's Q×N).
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    VectorOps.annIvfPq(s, VectorOps.readEmbeddings(s, d))
+
+  /** Composed split serving: BOTH persisted legs of one index dir (the
+    * coarse inverted file + the PQ codebook/codes) answer the query
+    * with no serve-time training — bit-identical to ann_ivfpq (same
+    * composed DuckDB mirror).
+    */
+  def annIvfPqServe(s: SparkSession, d: String): DataFrame = {
+    val emb = VectorOps.readEmbeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-ivfpq").toString
+    graft.ops.AnnIndex.buildIvf(s, emb, dir)
+    graft.ops.AnnIndex.buildPq(s, emb, dir)
+    materializeAndDelete(s, graft.ops.AnnIndex.serveIvfPq(s, emb, dir), dir)
+  }
+
   def embedClusterQ(s: SparkSession, d: String): DataFrame =
     VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
 

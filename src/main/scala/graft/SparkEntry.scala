@@ -74,6 +74,8 @@ object SparkEntry {
     "ann_sq" -> (Queries.annSq _),
     "ann_sq_serve" -> (Queries.annSqServe _),
     "ann_pq_serve" -> (Queries.annPqServe _),
+    "ann_ivfpq" -> (Queries.annIvfPq _),
+    "ann_ivfpq_serve" -> (Queries.annIvfPqServe _),
     "embed_cluster" -> (Queries.embedClusterQ _),
     "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
@@ -827,6 +829,9 @@ object SparkEntry {
     "ann_sq" -> OracleSqlGen.annSq,
     "ann_sq_serve" -> OracleSqlGen.annSq,
     "ann_pq_serve" -> OracleSqlGen.annPq,
+    // composed IVF+PQ: the mirror embeds BOTH the ivf and pq chains
+    "ann_ivfpq" -> OracleSqlGen.annIvfPq,
+    "ann_ivfpq_serve" -> OracleSqlGen.annIvfPq,
     "embed_cluster" -> OracleSqlGen.embedCluster,
     "ann_recall" -> OracleSqlGen.annRecall,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding

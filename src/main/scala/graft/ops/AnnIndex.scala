@@ -585,6 +585,39 @@ object AnnIndex {
       k = readIvfCentroids(spark, indexDir).length, iters = iters)
 
   // -------------------------------------------------------------------
+  // IVF+PQ — composed serving over the two already-persisted legs
+  // -------------------------------------------------------------------
+
+  /** IVF-pruned PQ serving against a PREBUILT index holding BOTH legs
+    * (buildIvf + buildPq over the same base): the stored inverted file
+    * restricts each query to its probed lists, the stored codes score
+    * the survivors by ADC, then the exact re-rank — identical results
+    * to VectorOps.annIvfPq with the index's build parameters. No
+    * training, assignment, or encoding happens at serve time; geometry
+    * comes from the stored centroid and codebook tables.
+    */
+  def serveIvfPq(spark: SparkSession, emb: DataFrame, indexDir: String,
+                 nQueries: Int = 10, topK: Int = 5, nProbe: Int = 2,
+                 shortlist: Int = 100): DataFrame =
+    serveIvfPqQueries(spark, emb,
+      VectorOps.queriesByIdPrefix(emb, nQueries), indexDir, topK, nProbe, shortlist)
+
+  /** Arbitrary-query IVF+PQ serving (query_id, q_emb) — broadcast
+    * probes/ADC tables + IN-pruned cell scan for bounded batches,
+    * shuffle fallback otherwise (same guard as the other serve paths).
+    */
+  def serveIvfPqQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+                        indexDir: String, topK: Int = 5, nProbe: Int = 2,
+                        shortlist: Int = 100): DataFrame = {
+    val (q, small) = cleanQueries(queries)
+    val codebooks = readCodebooks(spark, indexDir)
+    VectorOps.annIvfPqFromQ(spark, readCommitted(spark, indexDir, "ivf_cells"),
+      readIvfCentroids(spark, indexDir),
+      readCommitted(spark, indexDir, "pq_codes"), codebooks, emb, q,
+      topK, nProbe, shortlist, dimOf(codebooks), broadcastProbes = small)
+  }
+
+  // -------------------------------------------------------------------
   // maintenance
   // -------------------------------------------------------------------
 

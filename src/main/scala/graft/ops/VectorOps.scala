@@ -451,6 +451,19 @@ object VectorOps {
                                  centroids: Array[Array[Long]], emb: DataFrame,
                                  queries: DataFrame, topK: Int, nProbe: Int,
                                  broadcastProbes: Boolean = true): DataFrame = {
+    val cand = ivfCandidatesQ(spark, cells, centroids, queries, nProbe, broadcastProbes)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExactQ(cand, emb, queries, topK, broadcastQ = broadcastProbes)
+  }
+
+  /** The probed-cell candidate relation (query_id, vec_id) shared by
+    * the IVF serving paths: probe each query's nProbe nearest cells,
+    * IN-prune the stored cell relation for bounded batches, equi-join
+    * ids-only, drop the trivial self-hit.
+    */
+  private def ivfCandidatesQ(spark: SparkSession, cells: DataFrame,
+                             centroids: Array[Array[Long]], queries: DataFrame,
+                             nProbe: Int, broadcastProbes: Boolean): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     val probes = queries
@@ -467,11 +480,82 @@ object VectorOps {
         val probed = probes.select(col("cell")).distinct().as[Int].collect()
         stored.filter(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
       } else stored
-    val cand = pruned
+    pruned
       .join(if (broadcastProbes) broadcast(probes) else probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  /** IVF-pruned PQ search — the composed billion-scale serving shape
+    * (Jégou et al.'s IVFADC with a shared flat codebook instead of
+    * per-cell residual books, so both legs stay oracle-recomputable):
+    *
+    *  - the coarse quantizer restricts each query to its nProbe
+    *    inverted lists (candidate fan-out drops from Q×N to
+    *    Q×N×nProbe/k — THE term that dominates at 10^10 vectors, where
+    *    plain-PQ ADC still touches every code row per query);
+    *  - the surviving candidates are scored by PQ ADC (m table lookups
+    *    per pair, codes only — raw vectors untouched);
+    *  - the ADC shortlist gets the ONE shared exact re-rank.
+    *
+    * Candidates join the code relation id-keyed (one shuffle bounded
+    * by the probed mass); the ADC tables and probes broadcast only for
+    * bounded request batches, mirroring the other serve paths. Results
+    * compose the ann_ivf and ann_pq contracts exactly, so the DuckDB
+    * mirror (OracleSqlGen.annIvfPq) is a pure composition of the two
+    * existing mirror chains.
+    */
+  private[graft] def annIvfPqFromQ(spark: SparkSession, cells: DataFrame,
+                                   centroids: Array[Array[Long]], codes: DataFrame,
+                                   codebooks: Array[Array[Array[Long]]], emb: DataFrame,
+                                   queries: DataFrame, topK: Int, nProbe: Int,
+                                   shortlist: Int, dim: Int,
+                                   broadcastProbes: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = dim / m
+    val cand = ivfCandidatesQ(spark, cells, centroids, queries, nProbe, broadcastProbes)
+    val bc = spark.sparkContext.broadcast(codebooks)
+    // per-query exact distance table to every codebook entry (m·k rows
+    // per query — the annPqFromQ table, computed once per batch)
+    val qd = queries
+      .select(col("query_id").cast("long"), col("q_emb"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val cbs = bc.value
+        val vm = milli(v)
+        for {
+          s <- cbs.indices.iterator
+          c <- cbs(s).indices.iterator
+        } yield (id, s, c, dist2(vm.slice(s * sub, (s + 1) * sub), cbs(s)(c)))
+      }
+      .toDF("query_id", "s", "code", "d")
+    val adc = cand
+      .join(codes.select(col("vec_id").cast("long"), col("s"), col("code")), Seq("vec_id"))
+      .join(if (broadcastProbes) broadcast(qd) else qd, Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    rerankExactQ(cand, emb, queries, topK, broadcastQ = broadcastProbes)
+    rerankExactQ(short, emb, queries, topK, broadcastQ = broadcastProbes)
+  }
+
+  /** In-memory IVF+PQ with the testdata query convention: train both
+    * quantizers (the SAME deterministic trainings as annIvf/annPq —
+    * identical params reproduce identical centroids and codebooks),
+    * assign + encode the base, then the composed probe→ADC→re-rank.
+    */
+  def annIvfPq(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, topK: Int = 5,
+               k: Int = 16, iters: Int = 3, nProbe: Int = 2, m: Int = 8,
+               kCode: Int = 64, shortlist: Int = 100, dim: Int = 64): DataFrame = {
+    val centroids = kmeansMilli(spark, emb, k, iters)
+    val codebooks = pqTrain(spark, emb, m, kCode, iters, dim)
+    annIvfPqFromQ(spark, ivfAssign(spark, emb, centroids), centroids,
+      pqEncode(spark, emb, codebooks, dim), codebooks, emb,
+      queriesByIdPrefix(emb, nQueries), topK, nProbe, shortlist, dim)
   }
 
   /** Cluster census over the embedding space (the domain-discovery /
@@ -605,7 +689,7 @@ object VectorOps {
     * index: AnnIndex.buildPq persists it (with the codebooks) and
     * serving reads it back instead of re-encoding the base.
     */
-  private[ops] def pqEncode(spark: SparkSession, emb: DataFrame,
+  private[graft] def pqEncode(spark: SparkSession, emb: DataFrame,
                             codebooks: Array[Array[Array[Long]]], dim: Int): DataFrame = {
     import spark.implicits._
     val m = codebooks.length

@@ -604,6 +604,64 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected failure: ${e.getMessage}")
   }
 
+  test("IVF+PQ composition: serve bit-identity, unbounded shortlist degenerates to IVF, probed-cell containment") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    import org.apache.spark.sql.functions.col
+
+    // stored-index serve over BOTH persisted legs == in-memory operator
+    val dir = java.nio.file.Files.createTempDirectory("ann-index-ivfpq").toString
+    AnnIndex.buildIvf(spark, emb, dir)
+    AnnIndex.buildPq(spark, emb, dir)
+    val inMem = rows(VectorOps.annIvfPq(spark, emb))
+    assert(rows(AnnIndex.serveIvfPq(spark, emb, dir)) == inMem,
+      "IVF+PQ serve != in-memory")
+
+    // with a shortlist larger than any candidate set the ADC stage
+    // keeps everything, so the composition degenerates EXACTLY to the
+    // plain IVF operator (same candidates, same re-rank contract) —
+    // this pins the probe/candidate legs against ann_ivf's
+    assert(rows(VectorOps.annIvfPq(spark, emb, shortlist = 1000000)) ==
+      rows(VectorOps.annIvf(spark, emb)),
+      "unbounded-shortlist IVF+PQ != plain IVF")
+
+    // both gating paths answer identically
+    val cs = VectorOps.kmeansMilli(spark, emb)
+    val cells = VectorOps.ivfAssign(spark, emb, cs)
+    val cbs = VectorOps.pqTrain(spark, emb, 8, 64, 3, 64)
+    val codes = VectorOps.pqEncode(spark, emb, cbs, 64)
+    val q10 = emb.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_emb")).filter(col("query_id") < 10)
+    assert(rows(VectorOps.annIvfPqFromQ(spark, cells, cs, codes, cbs, emb, q10,
+        5, 2, 100, 64, broadcastProbes = true)) ==
+      rows(VectorOps.annIvfPqFromQ(spark, cells, cs, codes, cbs, emb, q10,
+        5, 2, 100, 64, broadcastProbes = false)),
+      "broadcast+IN-pruned path != shuffle fallback")
+
+    // every returned neighbor must live in one of its query's probed
+    // cells (the IVF pruning invariant the PQ stage cannot widen)
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map { r =>
+        r.getLong(0) ->
+          VectorOps.probeCells(cs, 2)(r.getSeq[Float](1)).toSet
+      }.toMap
+    VectorOps.annIvfPq(spark, emb).collect().foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(probed(q).contains(cellOf(n)),
+        s"neighbor $n of query $q outside the probed cells")
+    }
+
+    // the bounded batch's probed cells reach the stored cell scan as
+    // an IN predicate (same pruning shape as plain IVF serving)
+    val servePlan = AnnIndex.serveIvfPq(spark, emb, dir)
+      .queryExecution.executedPlan.toString
+    assert(servePlan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(cell.*"),
+      s"probed-cell IN predicate not pushed to the ivf_cells scan:\n$servePlan")
+    graft.Queries.deleteDir(dir)
+  }
+
   test("AnnIndex crash protocol: debris invisible to serving, reconcile rolls back, mutationId idempotent") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ann-crashlog").toString
