@@ -17,7 +17,9 @@ import graft.ops.AnnIndex
   * and enforces the same ceiling, so chunk larger SQ batches.
   *
   * CLI: spark-submit --class graft.AnnServeJob app.jar \
-  *        <indexDir> <embeddingsParquet> <queriesParquet> <outDir> [lsh|pq|sq|ivf] [k]
+  *        <indexDir> <embeddingsParquet> <queriesParquet> <outDir> [lsh|pq|sq|ivf|ivfpq] [k]
+  * ("ivfpq" answers from the ivf + pq legs of one index dir — the
+  * coarse probe prunes the ADC scan)
   */
 object AnnServeJob {
 
@@ -28,7 +30,8 @@ object AnnServeJob {
   def run(spark: SparkSession, indexDir: String, embPath: String,
           queriesPath: String, outDir: String, kind: String = "lsh",
           k: Int = 5): (Long, Long) = {
-    require(Set("lsh", "pq", "sq", "ivf").contains(kind), s"unknown index kind: $kind")
+    require(Set("lsh", "pq", "sq", "ivf", "ivfpq").contains(kind),
+      s"unknown index kind: $kind")
     val emb = spark.read.parquet(embPath)
     val queries = spark.read.parquet(queriesPath)
     val nQueries = queries.count()
@@ -37,6 +40,8 @@ object AnnServeJob {
       case "pq" => AnnIndex.servePqQueries(spark, emb, queries, indexDir, k)
       case "sq" => AnnIndex.serveSqQueries(spark, emb, queries, indexDir, k)
       case "ivf" => AnnIndex.serveIvfQueries(spark, emb, queries, indexDir, k)
+      // composed serving: needs BOTH the ivf and pq legs in indexDir
+      case "ivfpq" => AnnIndex.serveIvfPqQueries(spark, emb, queries, indexDir, k)
     }
     result.write.mode("overwrite")
       .option("compression", "zstd")
@@ -49,7 +54,7 @@ object AnnServeJob {
     if (args.length < 4) {
       System.err.println(
         "usage: graft.AnnServeJob <indexDir> <embeddingsParquet> " +
-          "<queriesParquet> <outDir> [lsh|pq|sq|ivf] [k]")
+          "<queriesParquet> <outDir> [lsh|pq|sq|ivf|ivfpq] [k]")
       sys.exit(2)
     }
     val kind = if (args.length > 4) args(4) else "lsh"

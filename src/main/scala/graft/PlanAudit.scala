@@ -88,6 +88,15 @@ object PlanAudit {
       graft.ops.SearchIndex.serve(spark, lexPlanDir, Queries.bm25QueryTerms(docs))
     }
     Queries.deleteDir(lexPlanDir)
+    val ivfPqPlanDir =
+      java.nio.file.Files.createTempDirectory("graft-plan-ivfpq").toString
+    dump("ann_ivfpq_serve") {
+      val emb = graft.ops.VectorOps.readEmbeddings(spark, sfDir)
+      graft.ops.AnnIndex.buildIvf(spark, emb, ivfPqPlanDir)
+      graft.ops.AnnIndex.buildPq(spark, emb, ivfPqPlanDir)
+      graft.ops.AnnIndex.serveIvfPq(spark, emb, ivfPqPlanDir)
+    }
+    Queries.deleteDir(ivfPqPlanDir)
     spark.stop()
   }
 }

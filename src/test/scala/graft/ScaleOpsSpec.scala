@@ -945,7 +945,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.TextOps.hostCap(docs, 1000, 8).count() == rows.size.toLong)
   }
 
-  test("AnnServeJob: batch serving from a stored index == library serve, all four kinds") {
+  test("AnnServeJob: batch serving from a stored index == library serve, all five kinds") {
     val sp = spark; import sp.implicits._
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
@@ -970,7 +970,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def sortedRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
-    for (kind <- Seq("lsh", "pq", "sq", "ivf")) {
+    for (kind <- Seq("lsh", "pq", "sq", "ivf", "ivfpq")) {
       val outDir = tmp(s"serve-job-out-$kind")
       val (nQ, nR) = AnnServeJob.run(spark, idxDir, embPath, qPath, outDir, kind, k = 3)
       assert(nQ == 4L, s"$kind: nQueries")
@@ -979,6 +979,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case "pq" => AnnIndex.servePqQueries(spark, emb, queries, idxDir, 3)
         case "sq" => AnnIndex.serveSqQueries(spark, emb, queries, idxDir, 3)
         case "ivf" => AnnIndex.serveIvfQueries(spark, emb, queries, idxDir, 3)
+        case "ivfpq" => AnnIndex.serveIvfPqQueries(spark, emb, queries, idxDir, 3)
       }
       val got = spark.read.parquet(outDir)
       assert(nR == got.count(), s"$kind: reported result count != written rows")
