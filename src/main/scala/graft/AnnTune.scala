@@ -35,6 +35,34 @@ object AnnTune {
       val hits = (approx intersect exact).size
       println(f"pq kCode=$kc shortlist=$sl recall@$k=${hits.toDouble / exact.size}%.2f")
     }
+    // IVF+PQ: recall vs the probed-cell fraction (the coarse dial) at
+    // fixed PQ geometry — candidate mass computed driver-side from the
+    // cell census + each query's probe set
+    {
+      val cs = VectorOps.kmeansMilli(spark, emb)
+      val cellSize = VectorOps.ivfAssign(spark, emb, cs)
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val qvecs = emb
+        .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .filter(org.apache.spark.sql.functions.col("vec_id") < nQueries)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      for (np <- Seq(1, 2, 4)) {
+        val approx = VectorOps.annIvfPq(spark, emb, nQueries, k, nProbe = np)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hits = (approx intersect exact).size
+        val nCand = qvecs.map { case (qid, v) =>
+          val probed = VectorOps.probeCells(cs, np)(v)
+          probed.map(c => cellSize.getOrElse(c, 0L)).sum -
+            (if (probed.contains(VectorOps.nearestCell(cs,
+              VectorOps.milli(v)))) 1L else 0L)
+        }.sum
+        val frac = nCand.toDouble / (nQueries.toDouble * (nVec - 1))
+        println(f"ivfpq nProbe=$np recall@$k=${hits.toDouble / exact.size}%.2f candFrac=$frac%.3f")
+      }
+    }
     for ((t, p) <- Seq((16, 9))) {
       val approx = VectorOps.annLsh(spark, emb, nQueries, k,
         nTables = t, planesPerTable = p)

@@ -96,6 +96,8 @@ object Bench {
         val sqServe = time(graft.ops.AnnIndex.serveSq(spark, emb, dir).count())
         val ivfBuild = time(graft.ops.AnnIndex.buildIvf(spark, emb, dir))
         val ivfServe = time(graft.ops.AnnIndex.serveIvf(spark, emb, dir).count())
+        // composed serving (no extra build: reuses the ivf + pq legs)
+        val ivfPqServe = time(graft.ops.AnnIndex.serveIvfPq(spark, emb, dir).count())
         // maintenance leg: an append drop, then the compaction sweep,
         // then serve-from-compacted — the steady-state serving cost
         // after the daily-drop lifecycle (VERDICT r4 item 4)
@@ -111,14 +113,17 @@ object Bench {
         val pqServeC = time(graft.ops.AnnIndex.servePq(spark, emb, dir).count())
         val sqServeC = time(graft.ops.AnnIndex.serveSq(spark, emb, dir).count())
         val ivfServeC = time(graft.ops.AnnIndex.serveIvf(spark, emb, dir).count())
+        val ivfPqServeC = time(graft.ops.AnnIndex.serveIvfPq(spark, emb, dir).count())
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         s"""{"lsh_build_sec":$lshBuild,"lsh_serve_sec":$lshServe,""" +
           s""""pq_build_sec":$pqBuild,"pq_serve_sec":$pqServe,""" +
           s""""sq_build_sec":$sqBuild,"sq_serve_sec":$sqServe,""" +
           s""""ivf_build_sec":$ivfBuild,"ivf_serve_sec":$ivfServe,""" +
+          s""""ivfpq_serve_sec":$ivfPqServe,""" +
           s""""compact_sec":$compactSec,"lsh_serve_compacted_sec":$lshServeC,""" +
           s""""pq_serve_compacted_sec":$pqServeC,"sq_serve_compacted_sec":$sqServeC,""" +
-          s""""ivf_serve_compacted_sec":$ivfServeC}"""
+          s""""ivf_serve_compacted_sec":$ivfServeC,""" +
+          s""""ivfpq_serve_compacted_sec":$ivfPqServeC}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ann_index_split FAILED: ${e.getMessage}")

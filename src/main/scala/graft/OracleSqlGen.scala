@@ -456,6 +456,34 @@ private[graft] object OracleSqlGen {
        |  r.label AS top_label, CAST(r.n * 1000 // t.n_vecs AS BIGINT) AS purity_permille
        |FROM r JOIN tot t USING (cell) WHERE r.rn = 1 ORDER BY cell""".stripMargin
 
+  /** Cluster-balanced sampling mirror (VectorOps.clusterSample
+    * recomputed): the k-means assignment chain + per-cell census and
+    * truncating-division rates + the splitmix64 admission kernel (the
+    * strat_sample chain, keyed (vec_id, cid)) re-aggregated per cell.
+    */
+  val clusterSample: String = {
+    val (k, iters, budget) = (16, 3, 24L)
+    val seedU = java.lang.Long.toUnsignedString(VectorOps.ClusterSampleSeed)
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+       |cen AS (SELECT cid, count(*) AS n_vecs FROM assigned GROUP BY cid),
+       |rates AS (SELECT cid, n_vecs,
+       |            least(1000, ${budget * 1000} // n_vecs) AS rate_permille
+       |          FROM cen),
+       |s0 AS (SELECT a.vec_id, a.cid,
+       |         ${xor64("CAST(a.vec_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |       FROM assigned a),
+       |${splitmixCtes("cb", "s0", "vec_id, cid")},
+       |adm AS (
+       |  SELECT r.cid, r.n_vecs, r.rate_permille,
+       |         sum(CASE WHEN m.hk % 1000 < r.rate_permille THEN 1 ELSE 0 END) AS n_sampled
+       |  FROM rates r JOIN cb6 m USING (cid)
+       |  GROUP BY r.cid, r.n_vecs, r.rate_permille)
+       |SELECT CAST(cid AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(rate_permille AS BIGINT) AS rate_permille,
+       |  CAST(n_sampled AS BIGINT) AS n_sampled
+       |FROM adm ORDER BY cell""".stripMargin
+  }
+
   /** PQ oracle: per-subspace integer k-means (VectorOps.pqTrain)
     * unrolled with (subspace, cell) keys — same exact-arithmetic
     * discipline as the IVF mirror (milli integers, truncating `//`,
@@ -735,6 +763,27 @@ private[graft] object OracleSqlGen {
        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
        |FROM (SELECT DISTINCT cluster_id, cluster_size FROM ($dupCluster) t) c
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** Leakage-free split mirror: the full dup_cluster mirror as a
+    * derived table, split keyed on the CLUSTER label through the
+    * splitmix64 admission chain (TextOps.splitFrom recomputed —
+    * train iff splitmix64(cluster_id xor seed) unsigned mod 1000
+    * < 900), then the per-split census.
+    */
+  val splitLeakfree: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.SplitSeed)
+    s"""WITH base AS (SELECT doc_id, cluster_id FROM ($dupCluster) t),
+       |s0 AS (SELECT doc_id, cluster_id,
+       |  ${xor64("CAST(cluster_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |  FROM base),
+       |${splitmixCtes("sl", "s0", "doc_id, cluster_id")},
+       |lab AS (SELECT doc_id, cluster_id,
+       |  CASE WHEN hk % 1000 < 900 THEN 'train' ELSE 'holdout' END AS split
+       |  FROM sl6)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       |FROM lab GROUP BY split ORDER BY split""".stripMargin
+  }
 
   /** Heavy-hitter 8-gram census over the near-dup corpus (ties broken
     * count-desc/gram-asc on both engines).

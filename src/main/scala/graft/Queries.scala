@@ -179,6 +179,22 @@ object Queries {
   def dupStats(s: SparkSession, d: String): DataFrame =
     TextOps.dupStatsFrom(dupCluster(s, d))
 
+  /** Leakage-free train/holdout split census: split assignment keyed
+    * on the duplicate CLUSTER label (via [[TextOps.splitFrom]]) so
+    * near/exact duplicates never straddle the eval boundary — the
+    * split a training team must use or decontaminate later. Output is
+    * the per-split census (n_docs, n_clusters); the production form
+    * keeps the row-level `split` column from the persisted clustering
+    * table instead of aggregating. Self-contained (recomputes the
+    * clustering) for the same stateless-oracle reason as dup_stats.
+    */
+  def splitLeakfree(s: SparkSession, d: String): DataFrame =
+    TextOps.splitFrom(dupCluster(s, d))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("cluster_id")).cast("long").as("n_clusters"))
+      .orderBy(col("split"))
+
   /** End-to-end curation funnel over the planted dup corpus — drives
     * [[CurateJob.funnel]], the SAME code path the production job runs
     * (stages 1-4), with known ids and synthesized urls so the DuckDB
@@ -630,6 +646,10 @@ object Queries {
 
   def embedClusterQ(s: SparkSession, d: String): DataFrame =
     VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
+
+  /** Cluster-balanced sampling census (per-cell budget rates). */
+  def clusterSampleQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.clusterSample(s, VectorOps.readEmbeddings(s, d))
 
   /** Integer PageRank over the planted host citation graph (domain
     * authority for host-level sample weighting).

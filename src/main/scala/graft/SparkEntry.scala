@@ -31,6 +31,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
+    "split_leakfree" -> (Queries.splitLeakfree _),
     "curate_funnel" -> (Queries.curateFunnelQ _),
     "curate_funnel_auth" -> (Queries.curateFunnelAuthQ _),
     "curate_funnel_cap" -> (Queries.curateFunnelCapQ _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "ann_ivfpq" -> (Queries.annIvfPq _),
     "ann_ivfpq_serve" -> (Queries.annIvfPqServe _),
     "embed_cluster" -> (Queries.embedClusterQ _),
+    "cluster_sample" -> (Queries.clusterSampleQ _),
     "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "embed_stats" -> (Queries.embedStats _),
@@ -802,6 +804,7 @@ object SparkEntry {
     "passage_dedup" -> OracleSqlGen.passageDedup,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "dup_stats" -> OracleSqlGen.dupStats,
+    "split_leakfree" -> OracleSqlGen.splitLeakfree,
     // the production funnel (CurateJob.funnel) end-to-end: url-revisit
     // dedup → quality gate → exact+MinHash CC → sample → shard-pack
     "curate_funnel" -> OracleSqlGen.curateFunnel,
@@ -833,6 +836,7 @@ object SparkEntry {
     "ann_ivfpq" -> OracleSqlGen.annIvfPq,
     "ann_ivfpq_serve" -> OracleSqlGen.annIvfPq,
     "embed_cluster" -> OracleSqlGen.embedCluster,
+    "cluster_sample" -> OracleSqlGen.clusterSample,
     "ann_recall" -> OracleSqlGen.annRecall,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding
   )

@@ -560,6 +560,33 @@ object TextOps {
       .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
       .orderBy(col("cluster_size"))
 
+  /** Seed for leakage-free split admission (mirrored unsigned in
+    * OracleSqlGen.splitLeakfree).
+    */
+  val SplitSeed = 0x5eed5317f00dL
+
+  /** Leakage-free train/holdout split from an already-computed
+    * clustering relation carrying (doc_id, cluster_id): the split key
+    * is the CLUSTER label, not the doc id, so every near/exact
+    * duplicate of a holdout document is also holdout — a doc-keyed
+    * split leaks ~dup_rate of the eval set into training verbatim
+    * (the contamination class decontaminate exists to catch). A
+    * cluster is train iff splitmix64(cluster_id xor seed) unsigned
+    * mod 1000 < trainPermille — deterministic, no RNG state,
+    * reproducible across engines. Adds a `split` column; the input
+    * clustering is the expensive PERSISTED artifact at 100 TB (same
+    * contract as [[dupStatsFrom]]), the split itself is a per-row
+    * codegen expression with zero shuffles.
+    */
+  def splitFrom(clusters: DataFrame, trainPermille: Long = 900L,
+                seed: Long = SplitSeed): DataFrame = {
+    graft.functions.GraftExtensions.register(clusters.sparkSession)
+    val h = splitmixCol(col("cluster_id").cast("long").bitwiseXOR(lit(seed)))
+    clusters.withColumn("split",
+      when(unsignedMod1000(h) < lit(trainPermille), lit("train"))
+        .otherwise(lit("holdout")))
+  }
+
   /** Connected components over an undirected edge list via iterative
     * min-label propagation (the "hash-to-min" scheme): each node starts
     * labelled with its own id; every round each node takes the min of

@@ -595,6 +595,48 @@ object VectorOps {
       .orderBy(col("cell"))
   }
 
+  /** Seed for cluster-balanced sampling admission (mirrored unsigned
+    * in OracleSqlGen.clusterSample).
+    */
+  val ClusterSampleSeed = 0x5eedce11ba1aL
+
+  /** Cluster-balanced sampling — the embedding-space analog of
+    * mix_balance: cap every k-means cell's contribution at
+    * `perCellBudget` vectors with deterministic hash-threshold rates.
+    * rate_permille(cell) = min(1000, perCellBudget·1000 / n_cell)
+    * (truncating); a vector is admitted iff
+    * splitmix64(vec_id xor seed) unsigned mod 1000 < rate — the
+    * diversity lever a curation pipeline pulls when one embedding
+    * region dominates the corpus (over-represented cells thin toward
+    * the budget, sparse cells pass whole), reproducible across
+    * runs/engines with no RNG state. Returns the per-cell census
+    * (cell, n_vecs, rate_permille, n_sampled). Scale shape: one
+    * assignment map under broadcast centroids, a k-row census
+    * broadcast back, a codegen splitmix scan filter, and a k-row
+    * final aggregate — no data-sized shuffle at any corpus size.
+    */
+  def clusterSample(spark: SparkSession, emb: DataFrame, k: Int = 16,
+                    iters: Int = 3, perCellBudget: Long = 24L): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    val centroids = kmeansMilli(spark, emb, k, iters)
+    val assigned = ivfAssign(spark, emb, centroids)
+    val rates = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr(s"${perCellBudget} * 1000 DIV n_vecs")))
+    val h = TextOps.splitmixCol(col("vec_id").cast("long")
+      .bitwiseXOR(lit(ClusterSampleSeed)))
+    assigned.join(broadcast(rates), Seq("cell"))
+      .withColumn("admit", TextOps.unsignedMod1000(h) < col("rate_permille"))
+      .groupBy(col("cell"), col("n_vecs"), col("rate_permille"))
+      .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("rate_permille").cast("long").as("rate_permille"),
+        col("n_sampled").cast("long").as("n_sampled"))
+      .orderBy(col("cell"))
+  }
+
   // -------------------------------------------------------------------
   // PQ (product quantization): compressed-code ADC search + re-rank
   // -------------------------------------------------------------------

@@ -172,4 +172,38 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromTable.nonEmpty && fromTable.map(_._3).sum ==
       clusters.count(), "histogram doc mass must cover the corpus")
   }
+
+  test("splitFrom: no duplicate cluster straddles train/holdout; doc-keyed split WOULD leak") {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit}
+    val clusters = Queries.dupCluster(spark, sfDir)
+    val split = TextOps.splitFrom(clusters)
+    // the leakage-free contract: every cluster lands in exactly one split
+    val straddlers = split.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddlers == 0L, s"$straddlers clusters straddle the split boundary")
+    // both splits populated, census covers the corpus, ~900 permille of
+    // clusters train (hash admission: loose binomial bounds)
+    val census = Queries.splitLeakfree(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(census.keySet == Set("train", "holdout"))
+    assert(census.values.map(_._1).sum == clusters.count())
+    val nClusters = census.values.map(_._2).sum
+    val trainFrac = census("train")._2 * 1000 / nClusters
+    assert(trainFrac > 800 && trainFrac < 980, s"train cluster permille $trainFrac")
+    // non-vacuity: a DOC-keyed split would break at least one multi-doc
+    // cluster across the boundary — the leak this operator exists to stop
+    val docKeyed = clusters.withColumn("split",
+      org.apache.spark.sql.functions.when(
+        TextOps.unsignedMod1000(TextOps.splitmixCol(
+          col("doc_id").cast("long").bitwiseXOR(lit(TextOps.SplitSeed)))) < 900,
+        "train").otherwise("holdout"))
+    val leaked = docKeyed.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(leaked > 0L, "planted dup corpus must exhibit doc-keyed leakage")
+    // deterministic
+    assert(TextOps.splitFrom(clusters).collect().map(_.toString).sorted.toSeq ==
+      split.collect().map(_.toString).sorted.toSeq)
+  }
 }

@@ -280,6 +280,30 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorOps.embedCluster(spark, emb).collect().toSeq == rows.toSeq)
   }
 
+  test("clusterSample: per-cell budget rates, sparse cells pass whole, deterministic + partition-invariant") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val total = emb.count()
+    val budget = 24L
+    val rows = VectorOps.clusterSample(spark, emb, perCellBudget = budget).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "cells must partition the corpus")
+    rows.foreach { r =>
+      val (n, rate, sampled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rate == math.min(1000L, budget * 1000L / n),
+        s"cell ${r.getLong(0)}: rate $rate != min(1000, ${budget * 1000L / n})")
+      assert(sampled <= n)
+      // rate 1000 = cell under budget: every vector passes whole
+      if (rate == 1000L) assert(sampled == n, s"uncapped cell ${r.getLong(0)} must pass whole")
+      // capped cells thin toward the budget (hash admission is binomial
+      // around n*rate/1000 ~ budget; 4x is a generous tail bound)
+      else assert(sampled <= 4 * budget, s"cell ${r.getLong(0)}: $sampled >> budget $budget")
+    }
+    // the cap actually bites somewhere on this corpus, or the test is vacuous
+    assert(rows.exists(_.getLong(2) < 1000L), "expected at least one over-budget cell")
+    assert(VectorOps.clusterSample(spark, emb, perCellBudget = budget).collect().toSeq == rows.toSeq)
+    assert(VectorOps.clusterSample(spark, emb.repartition(7), perCellBudget = budget)
+      .collect().toSeq == rows.toSeq, "clusterSample must be partition-invariant")
+  }
+
   test("annPq: ADC shortlist covers the exact top-k it reports; deterministic; codes compress") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val a = VectorOps.annPq(spark, emb).collect().toSeq
@@ -659,6 +683,41 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(servePlan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(cell.*"),
       s"probed-cell IN predicate not pushed to the ivf_cells scan:\n$servePlan")
+    graft.Queries.deleteDir(dir)
+  }
+
+  test("IVF+PQ lifecycle: composed serve over frozen-geometry appends == kernel composition; compaction identity") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    import org.apache.spark.sql.functions.col
+
+    // build both legs on the even half, append the odd half under the
+    // FROZEN centroids + codebooks; the composed serve over the union
+    // must equal the kernel composition (union assigned AND encoded
+    // under the even half's geometries)
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ann-index-ivfpq-life").toString
+    AnnIndex.buildIvf(spark, evens, dir)
+    AnnIndex.buildPq(spark, evens, dir)
+    AnnIndex.appendIvf(spark, odds, dir)
+    AnnIndex.appendPq(spark, odds, dir)
+    val csE = VectorOps.kmeansMilli(spark, evens)
+    val cbsE = VectorOps.pqTrain(spark, evens, 8, 64, 3, 64)
+    val q10 = emb.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_emb")).filter(col("query_id") < 10)
+    val want = rows(VectorOps.annIvfPqFromQ(spark,
+      VectorOps.ivfAssign(spark, emb, csE), csE,
+      VectorOps.pqEncode(spark, emb, cbsE, 64), cbsE, emb, q10, 5, 2, 100, 64))
+    assert(rows(AnnIndex.serveIvfPq(spark, emb, dir)) == want,
+      "append-then-composed-serve must equal the frozen-geometry kernel composition")
+
+    // compaction covers both legs; the composed serve is bit-identical
+    val before = rows(AnnIndex.serveIvfPq(spark, emb, dir))
+    val reports = AnnIndex.compact(spark, dir).toMap
+    assert(reports.contains("ivf_cells") && reports.contains("pq_codes"))
+    assert(rows(AnnIndex.serveIvfPq(spark, emb, dir)) == before,
+      "composed serve changed across compaction")
     graft.Queries.deleteDir(dir)
   }
 
