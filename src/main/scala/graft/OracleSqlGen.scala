@@ -826,6 +826,54 @@ private[graft] object OracleSqlGen {
        |  CAST(n_dup * 1000 // n_passages AS BIGINT) AS dup_permille
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-span mirror (TextOps.dedupSpans recomputed): stride-1
+    * 16-word windows FNV-hashed (signed BIGINT view), duplicated =
+    * verbatim in >= 2 distinct docs after per-doc collapse; spans =
+    * gaps-and-islands over duplicated positions (break when the gap
+    * exceeds w; island coverage = max-min+w). Window slice is 1-based
+    * inclusive in DuckDB, matching Scala slice(i, i+w).
+    */
+  val dedupSpans: String = {
+    val w = 16
+    s"""WITH $nearDupCorpus,
+       |pw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+       |win AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, len(ws) AS n_words,
+       |    array_to_string(ws[CAST(u.i+1 AS INTEGER):CAST(u.i+$w AS INTEGER)], ' ') AS wstr
+       |  FROM pw, UNNEST(range(greatest(len(ws) - ${w - 1}, 0))) AS u(i)),
+       |fv AS (SELECT wstr, ${sb(fnvU("wstr"))} AS whash
+       |       FROM (SELECT DISTINCT wstr FROM win) dw),
+       |wh AS (SELECT n.doc_id, n.pos, n.n_words, f.whash FROM win n JOIN fv f USING (wstr)),
+       |dup AS (
+       |  SELECT whash FROM (SELECT DISTINCT doc_id, whash FROM wh) d
+       |  GROUP BY whash HAVING count(*) >= 2),
+       |dw2 AS (SELECT wh.doc_id, wh.pos FROM wh JOIN dup USING (whash)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $w
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM dw2),
+       |isl2 AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |sp AS (SELECT doc_id, island, max(pos) - min(pos) + $w AS span_tokens
+       |       FROM isl2 GROUP BY doc_id, island),
+       |per AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+       |        FROM sp GROUP BY doc_id),
+       |dcnt AS (SELECT doc_id, count(*) AS n_dup_windows FROM dw2 GROUP BY doc_id),
+       |base AS (SELECT doc_id, any_value(n_words) AS n_words, count(*) AS n_windows
+       |         FROM wh GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       |  CAST(b.n_windows AS BIGINT) AS n_windows,
+       |  CAST(coalesce(dc.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(coalesce(p.dup_tokens, 0) * 1000 // b.n_words AS BIGINT) AS dup_token_permille
+       |FROM base b LEFT JOIN dcnt dc USING (doc_id) LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mixture balancing mirror: per-lang rate = min_n*1000 // n (all
     * positive, so `//` == Spark DIV), keep set via the splitmix chain.
     */

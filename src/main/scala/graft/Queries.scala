@@ -472,6 +472,12 @@ object Queries {
   def passageDedupQ(s: SparkSession, d: String): DataFrame =
     TextOps.passageDedup(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
 
+  /** Sub-document duplicate-SPAN coordinates over the planted near-dup
+    * corpus (sliding-window exact-substring dedup, Lee-et-al form).
+    */
+  def dedupSpansQ(s: SparkSession, d: String): DataFrame =
+    TextOps.dedupSpans(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 
@@ -1066,6 +1072,80 @@ object Queries {
       .agg(sum(col("new_session")).cast("long").as("n_sessions"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
+  }
+
+  /** As-of join — the time-series "latest state at-or-before each
+    * probe" operator: every click is matched to the SAME user's most
+    * recent view at-or-before the click's timestamp. Implemented as
+    * the union-tag formulation: both sides land in ONE window
+    * partitioned by user and ordered (ts, side, event_id) with the
+    * state side sorting first on timestamp ties, and the match is
+    * last(state_id, ignoreNulls) over unbounded-preceding..current —
+    * exactly one shuffle on the join key plus a linear per-user pass.
+    * A naive `probe.ts >= state.ts` theta-join has no equi-key for the
+    * time axis and degrades to a per-user nested loop (O(clicks·views)
+    * pairs before the max); the window formulation's state is one
+    * running id, whatever the history length — the shape that holds
+    * when a key carries years of events. Output is integer-exact:
+    * matched view id + the microsecond gap, -1 sentinels when no view
+    * precedes the click (kept null-free so the cross-engine hash
+    * compare never depends on null ordering).
+    */
+  def eventsAsof(s: SparkSession, d: String): DataFrame = {
+    val tagged = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"),
+        when(col("event_type") === "view", col("event_id")).as("view_id"),
+        when(col("event_type") === "view", col("ts")).as("view_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("asof_view_id"), lit(-1L)).cast("long").as("asof_view_id"),
+        coalesce(expr("timestampdiff(MICROSECOND, asof_view_ts, ts)"),
+          lit(-1L)).cast("long").as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range (interval) join: for every error event, count the SAME
+    * user's non-error events inside the 5-minute window [t, t+5min).
+    * Implemented as the BUCKETED interval join: time is quantized into
+    * window-width epochs, each probe interval covers at most two
+    * epochs (explode fan-out bounded at 2), and the join is an
+    * EQUI-join on (user_id, epoch) refined by the exact range
+    * predicate — a hash shuffle join, never the
+    * BroadcastNestedLoopJoin a raw inequality join plans as. At scale
+    * the shuffle keys on (user, epoch), so a long history spreads over
+    * epochs instead of concentrating per user; microsecond arithmetic
+    * is anchored at a fixed literal epoch so both engines compute the
+    * identical integers regardless of session timezone or
+    * TIMESTAMP/NTZ type mapping.
+    */
+  def eventsRange(s: SparkSession, d: String): DataFrame = {
+    val W = 300L * 1000000L // 5-minute window width in microseconds
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestampdiff(MICROSECOND, timestamp'2024-01-01 00:00:00', ts)")
+          .as("t"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("t").as("t0"))
+      .withColumn("epoch",
+        explode(array(expr(s"t0 DIV $W"), expr(s"t0 DIV $W") + 1)))
+    val base = ev.filter(col("event_type") =!= "error")
+      .withColumn("epoch", expr(s"t DIV $W"))
+    val hits = probes.join(base, Seq("user_id", "epoch"))
+      .filter(col("t") >= col("t0") && col("t") < col("t0") + lit(W))
+      .groupBy(col("err_id")).agg(count(lit(1)).as("n_in_window"))
+    ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"))
+      .join(hits, Seq("err_id"), "left")
+      .select(col("err_id").as("event_id"), col("user_id"),
+        coalesce(col("n_in_window"), lit(0L)).cast("long").as("n_in_window"))
+      .orderBy(col("event_id"))
   }
 
   /** Multimodal frame-sampling: explode each asset into one row per

@@ -57,6 +57,7 @@ object SparkEntry {
     "mix_temperature" -> (Queries.mixTemperatureQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
+    "dedup_spans" -> (Queries.dedupSpansQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -120,6 +121,8 @@ object SparkEntry {
     "q_pivot" -> (Queries.qPivot _),
     "q_setops" -> (Queries.qSetOps _),
     "events_sessions" -> (Queries.eventsSessions _),
+    "events_asof" -> (Queries.eventsAsof _),
+    "events_range" -> (Queries.eventsRange _),
     "host_rank" -> (Queries.hostRankQ _),
     "mm_frames" -> (Queries.mmFrames _)
   )
@@ -591,6 +594,44 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // as-of join: same union-tag + last_value IGNORE NULLS window
+    // formulation as the Spark plan (deterministic on timestamp ties:
+    // views sort before clicks, then event_id) — engine-portable where
+    // native ASOF JOIN tie-breaking is not specified
+    "events_asof" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+        |    CASE WHEN event_type = 'view' THEN ts END AS view_ts
+        |  FROM events),
+        |j AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(view_id IGNORE NULLS) OVER w AS asof_view_id,
+        |    last_value(view_ts IGNORE NULLS) OVER w AS asof_view_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CAST(coalesce(asof_view_id, -1) AS BIGINT) AS asof_view_id,
+        |  CAST(coalesce(date_diff('microsecond', asof_view_ts, ts), -1) AS BIGINT) AS gap_us
+        |FROM j WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    // range join: the oracle states the semantics as the naive
+    // inequality join; the Spark plan answers it as a bucketed
+    // equi-join (fan-out <= 2 epochs per probe) + exact refine.
+    // Microseconds anchored at a literal epoch on BOTH engines.
+    "events_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS t
+        |  FROM events)
+        |SELECT a.event_id, a.user_id,
+        |  CAST(count(b.event_id) AS BIGINT) AS n_in_window
+        |FROM e a LEFT JOIN e b
+        |  ON a.user_id = b.user_id AND b.event_type <> 'error'
+        | AND b.t >= a.t AND b.t < a.t + 300000000
+        |WHERE a.event_type = 'error'
+        |GROUP BY a.event_id, a.user_id ORDER BY a.event_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, CAST(r.frame_idx AS INTEGER) AS frame_idx
         |FROM documents, UNNEST(range(1 + strlen(text) % 10)) AS r(frame_idx)
@@ -802,6 +843,7 @@ object SparkEntry {
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,
     "passage_dedup" -> OracleSqlGen.passageDedup,
+    "dedup_spans" -> OracleSqlGen.dedupSpans,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "dup_stats" -> OracleSqlGen.dupStats,
     "split_leakfree" -> OracleSqlGen.splitLeakfree,

@@ -1031,6 +1031,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicate-SPAN coordinates (the sub-document removal form
+    * of exact-substring dedup, after Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better"): every SLIDING
+    * w-word window (stride 1) is hashed; a window is duplicated if it
+    * occurs verbatim in >= 2 distinct docs; per doc, overlapping or
+    * touching duplicated windows merge into maximal spans — the
+    * (start, length) coordinates a curation pipeline CUTS, where
+    * passage_dedup can only score or drop whole docs. Emits per doc:
+    * window/dup-window counts, merged span count, duplicated token
+    * mass and its permille of the doc.
+    *
+    * Scale shape: windows are FNV-hashed inside the flatMap so the
+    * corpus-scale shuffle carries (doc_id, pos, 8-byte hash) — stride-1
+    * windows cost one row per corpus token, the same order as the
+    * tokenize explode the engine already pays elsewhere. Per-doc
+    * repeats collapse BEFORE the cross-doc census (a doc repeating its
+    * own boilerplate is not a cross-doc duplicate); the dup-hash set
+    * joins back by hash with NO forced broadcast. Span merging is a
+    * per-doc window over only the DUPLICATED positions
+    * (gaps-and-islands: break when the gap exceeds w, islands cover
+    * [min, max+w) contiguously because every kept gap <= w), bounded
+    * by doc length — never a corpus-wide sort.
+    */
+  def dedupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
+    val wh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val words = text.split(' ').filter(_.nonEmpty)
+        (0 to words.length - w).iterator.map { i =>
+          (id, i.toLong, words.length.toLong,
+            fnv1a64(words.slice(i, i + w).mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "pos", "n_words", "whash")
+    val dup = wh.select(col("doc_id"), col("whash")).distinct()
+      .groupBy(col("whash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2L)
+      .select(col("whash"))
+    val dupw = wh.join(dup, Seq("whash"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val spans = dupw
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(ord) > w, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + w).as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    val dcnt = dupw.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    wh.groupBy(col("doc_id"))
+      .agg(first(col("n_words")).as("n_words"), count(lit(1)).as("n_windows"))
+      .join(dcnt, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_windows").cast("long").as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+      .withColumn("dup_token_permille",
+        expr("dup_tokens * 1000 DIV n_words").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top salient terms per doc by an integer-exact TF/DF score
     * (score = tf·10^6 DIV df): the keyword/topic-signal primitive for
     * corpus exploration and domain tagging. A true tf·idf would need

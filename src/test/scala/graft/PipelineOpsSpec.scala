@@ -441,4 +441,99 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the stream tiles: some doc crosses a window boundary at sf0.001
     assert(got.values.exists(_._5 > 1L), "no doc spans 2+ sequences — fixture too small?")
   }
+
+  test("dedupSpans: planted shared runs yield exact merged-span coordinates") {
+    val sp = spark; import sp.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val shared1 = words("s", 20)  // one 20-word verbatim run
+    val shared2 = words("t", 16)  // a second, disjoint 16-word run
+    val docA = words("a", 10) ++ shared1 ++ words("b", 10) ++ shared2 ++ words("c", 5)
+    val docB = words("d", 5) ++ shared1 ++ words("e", 8) ++ shared2
+    val docC = words("f", 30)     // no duplication
+    val corpus = Seq(
+      (1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" ")), (4L, docC.mkString(" ")) // full-doc dup pair
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupSpans(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // docA: 61 words. shared1 at positions 10..29 -> dup windows at
+    // pos 10..14 (5 windows, one island, coverage 14-10+16 = 20 tokens);
+    // shared2 at 40..55 -> exactly one dup window at pos 40 (16 tokens).
+    assert(got(1L) == (61L, 46L, 6L, 2L, 36L, 36L * 1000L / 61L))
+    // docB: 49 words. shared1 at 5..24 -> windows 5..9; shared2 at
+    // 33..48 -> window 33. Same span masses as docA.
+    assert(got(2L) == (49L, 34L, 6L, 2L, 36L, 36L * 1000L / 49L))
+    // full-doc duplicates: every window dup, ONE span covering the doc
+    assert(got(3L) == (30L, 15L, 15L, 1L, 30L, 1000L))
+    assert(got(4L) == got(3L))
+    // partition-invariant and deterministic
+    val again = TextOps.dedupSpans(corpus.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(again == got)
+  }
+
+  test("eventsAsof matches a sequential per-user scan; single user-keyed shuffle, no join") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = Queries.eventsAsof(spark, sfDir)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // sequential reference: per user, walk (ts, side, event_id)-sorted
+    // events carrying the last view
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type",
+        "timestampdiff(MICROSECOND, timestamp'2024-01-01 00:00:00', ts) AS t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._2).values.flatMap { rows =>
+      var lastView: Option[(Long, Long)] = None
+      rows.sortBy { case (id, _, tpe, t) =>
+        (t, if (tpe == "view") 0 else 1, id)
+      }.flatMap {
+        case (id, _, "view", t) => lastView = Some((id, t)); None
+        case (id, _, "click", t) =>
+          Some(id -> lastView.map(v => (v._1, t - v._2)).getOrElse((-1L, -1L)))
+        case _ => None
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_._1 >= 0L) && got.values.exists(_._1 == -1L),
+      "fixture must exercise both matched and unmatched clicks")
+    // plan shape: the union-tag window formulation — no join operator
+    // at all, and no data-sized shuffle beyond the user partitioning
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      "as-of must be the window formulation, not a join")
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 2, // user hash + final orderBy range
+      s"expected user-key + sort exchanges only, got ${exchanges.size}")
+  }
+
+  test("eventsRange: bucketed equi-join matches the naive quadratic reference; no nested-loop join") {
+    val df = Queries.eventsRange(spark, sfDir)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val W = 300L * 1000000L
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type",
+        "timestampdiff(MICROSECOND, timestamp'2024-01-01 00:00:00', ts) AS t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.filter(_._3 == "error").map { case (id, u, _, t0) =>
+      id -> ev.count { case (_, bu, btpe, bt) =>
+        bu == u && btpe != "error" && bt >= t0 && bt < t0 + W
+      }.toLong
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_ > 0L) && got.values.exists(_ == 0L),
+      "fixture must exercise both populated and empty windows")
+    val plan = df.queryExecution.executedPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, "range join must stay an equi-join (bucketed), " +
+      s"found ${bad.map(_.nodeName)}")
+  }
 }
