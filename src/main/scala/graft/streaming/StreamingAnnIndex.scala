@@ -33,20 +33,39 @@ import graft.ops.AnnIndex
   */
 object StreamingAnnIndex {
 
-  /** One micro-batch into the index: skip if this batchId's mutation
-    * already committed (replay), else build-or-append under the batch
-    * mutation id. Exposed for the duplicate-delivery spec.
+  /** One micro-batch into the index: every leg the stored index has
+    * COMMITTED (lsh/pq/sq/ivf) gets this batch appended under its own
+    * per-leg mutation id (`batch-<id>` for lsh — the original id, so
+    * pre-multi-leg checkpoints replay correctly — `batch-<id>-pq` etc.
+    * for the rest). Per-leg ids make a crash BETWEEN leg appends safe:
+    * the replay short-circuits the committed legs on their manifests
+    * and re-appends only the missing ones — exactly-once EFFECT per
+    * leg, not just per batch. Quantized legs (pq/sq/ivf) append under
+    * their FROZEN geometry, so their staleness counters are the
+    * retrain signal, exactly as with batch appends. An index with no
+    * committed leg at all bootstraps as an LSH build. Exposed for the
+    * duplicate-delivery spec.
     */
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
                                  batchId: Long, indexDir: String): Unit = {
-    val mid = s"batch-$batchId"
-    if (AnnIndex.mutationCommitted(spark, indexDir, mid)) return
     val emb = graft.EmbedJob.embedDocs(spark,
       batch.select(col("doc_id").cast("long").as("doc_id"), col("text")))
-    if (AnnIndex.hasCommittedIndex(spark, indexDir, "lsh"))
-      AnnIndex.appendLsh(spark, emb, indexDir, Some(mid))
-    else if (emb.limit(1).count() > 0)
-      AnnIndex.buildLsh(spark, emb, indexDir, mutationId = Some(mid))
+    val legMid: Map[String, String] = Map(
+      "lsh" -> s"batch-$batchId", "pq" -> s"batch-$batchId-pq",
+      "sq" -> s"batch-$batchId-sq", "ivf" -> s"batch-$batchId-ivf")
+    val present = Seq("lsh", "pq", "sq", "ivf")
+      .filter(AnnIndex.hasCommittedIndex(spark, indexDir, _))
+    if (present.isEmpty) {
+      val mid = legMid("lsh")
+      if (AnnIndex.mutationCommitted(spark, indexDir, mid)) return
+      if (emb.limit(1).count() > 0)
+        AnnIndex.buildLsh(spark, emb, indexDir, mutationId = Some(mid))
+    } else present.foreach {
+      case "lsh" => AnnIndex.appendLsh(spark, emb, indexDir, Some(legMid("lsh")))
+      case "pq" => AnnIndex.appendPq(spark, emb, indexDir, Some(legMid("pq")))
+      case "sq" => AnnIndex.appendSq(spark, emb, indexDir, Some(legMid("sq")))
+      case "ivf" => AnnIndex.appendIvf(spark, emb, indexDir, Some(legMid("ivf")))
+    }
   }
 
   def start(

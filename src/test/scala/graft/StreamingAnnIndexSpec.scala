@@ -142,4 +142,78 @@ class StreamingAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     AnnIndex.buildLsh(spark, embOf(b0docs), fresh)
     assert(served(idx, emb, q) == served(fresh, emb, q))
   }
+
+  test("multi-leg index: drains keep EVERY committed leg fresh; partial-commit replay appends only missing legs") {
+    val sp = spark; import sp.implicits._
+    val landDir = tmp("sann-ml-land"); val idx = tmp("sann-ml-idx")
+    val ckpt = tmp("sann-ml-ckpt")
+    val base = docsOf(0 until 12)
+    val drop1 = docsOf(12 until 17)
+    val drop2 = docsOf(17 until 21)
+
+    // offline build of all four legs, then two streamed drops
+    AnnIndex.buildLsh(spark, embOf(base), idx)
+    AnnIndex.buildPq(spark, embOf(base), idx)
+    AnnIndex.buildSq(spark, embOf(base), idx)
+    AnnIndex.buildIvf(spark, embOf(base), idx)
+    land(drop1, landDir)
+    StreamingAnnIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+    land(drop2, landDir)
+    StreamingAnnIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+
+    // reference: the same initial build + BATCH appends of the same
+    // drops — streamed maintenance must be bit-identical per leg
+    val ref = tmp("sann-ml-ref")
+    AnnIndex.buildLsh(spark, embOf(base), ref)
+    AnnIndex.buildPq(spark, embOf(base), ref)
+    AnnIndex.buildSq(spark, embOf(base), ref)
+    AnnIndex.buildIvf(spark, embOf(base), ref)
+    AnnIndex.appendLsh(spark, embOf(drop1), ref)
+    AnnIndex.appendPq(spark, embOf(drop1), ref)
+    AnnIndex.appendSq(spark, embOf(drop1), ref)
+    AnnIndex.appendIvf(spark, embOf(drop1), ref)
+    AnnIndex.appendLsh(spark, embOf(drop2), ref)
+    AnnIndex.appendPq(spark, embOf(drop2), ref)
+    AnnIndex.appendSq(spark, embOf(drop2), ref)
+    AnnIndex.appendIvf(spark, embOf(drop2), ref)
+    val all = base ++ drop1 ++ drop2
+    val emb = embOf(all); val q = queriesOf(docsOf(0 until 5))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(AnnIndex.serveLshQueries(spark, emb, q, idx, k = 3)) ==
+      rows(AnnIndex.serveLshQueries(spark, emb, q, ref, k = 3)))
+    assert(rows(AnnIndex.servePqQueries(spark, emb, q, idx, k = 3)) ==
+      rows(AnnIndex.servePqQueries(spark, emb, q, ref, k = 3)))
+    assert(rows(AnnIndex.serveSqQueries(spark, emb, q, idx, k = 3)) ==
+      rows(AnnIndex.serveSqQueries(spark, emb, q, ref, k = 3)))
+    assert(rows(AnnIndex.serveIvfQueries(spark, emb, q, idx, topK = 3)) ==
+      rows(AnnIndex.serveIvfQueries(spark, emb, q, ref, topK = 3)))
+    // quantized legs appended under FROZEN geometry: staleness moved
+    assert(AnnIndex.pqStaleness(spark, idx) > 0L)
+    assert(AnnIndex.sqStaleness(spark, idx) > 0L)
+    assert(AnnIndex.ivfStaleness(spark, idx) > 0L)
+
+    // crash BETWEEN leg appends: lsh committed under the batch id,
+    // the rest not — the replay short-circuits lsh and appends only
+    // the missing legs, exactly once
+    val drop3 = docsOf(21 until 24)
+    AnnIndex.appendLsh(spark, embOf(drop3), idx, Some("batch-77"))
+    val lshAfter = rows(AnnIndex.serveLshQueries(spark, embOf(drop3),
+      queriesOf(drop3), idx, k = 2))
+    StreamingAnnIndex.ingestBatch(spark, drop3.toDF("doc_id", "text"), 77L, idx)
+    StreamingAnnIndex.ingestBatch(spark, drop3.toDF("doc_id", "text"), 77L, idx) // full replay
+    AnnIndex.appendPq(spark, embOf(drop3), ref)
+    AnnIndex.appendSq(spark, embOf(drop3), ref)
+    AnnIndex.appendIvf(spark, embOf(drop3), ref)
+    AnnIndex.appendLsh(spark, embOf(drop3), ref)
+    val emb3 = embOf((all ++ drop3).distinct)
+    assert(rows(AnnIndex.serveLshQueries(spark, embOf(drop3), queriesOf(drop3), idx, k = 2)) ==
+      lshAfter, "replay must not double-append the already-committed lsh leg")
+    assert(rows(AnnIndex.servePqQueries(spark, emb3, q, idx, k = 3)) ==
+      rows(AnnIndex.servePqQueries(spark, emb3, q, ref, k = 3)))
+    assert(rows(AnnIndex.serveSqQueries(spark, emb3, q, idx, k = 3)) ==
+      rows(AnnIndex.serveSqQueries(spark, emb3, q, ref, k = 3)))
+    assert(rows(AnnIndex.serveIvfQueries(spark, emb3, q, idx, topK = 3)) ==
+      rows(AnnIndex.serveIvfQueries(spark, emb3, q, ref, topK = 3)))
+  }
 }
