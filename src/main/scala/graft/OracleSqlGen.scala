@@ -331,8 +331,18 @@ private[graft] object OracleSqlGen {
     * the shared id % 101 slice at depth 10; the default rows keep the
     * vec_id-prefix convention at 5.
     */
-  def annLshWith(queryPred: String, k: Int): String = {
+  def annLshWith(queryPred: String, k: Int): String =
+    annLshTemplate(queryPred, None, k)
+
+  /** The one LSH-mirror template: optional BASE-side predicate (over
+    * `n.vec_id`) gates candidates before scoring — None generates the
+    * byte-identical string annLshWith always produced (the six
+    * LSH-geometry oracle rows must not move when this is touched).
+    */
+  private def annLshTemplate(queryPred: String, basePred: Option[String],
+                             k: Int): String = {
     val masks = (0 +: (0 until 9).map(1 << _)).mkString(", ")
+    val baseFilter = basePred.map(p => s" AND $p").getOrElse("")
     s"""WITH ${bandedCte(VectorOps.hyperplanes(16 * 9, 64), 9)},
        |normed AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
@@ -344,7 +354,7 @@ private[graft] object OracleSqlGen {
        |cand AS (
        |  SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id
        |  FROM banded n JOIN qp q ON n.band = q.band AND n.bucket = q.bucket
-       |  WHERE n.vec_id <> q.query_id),
+       |  WHERE n.vec_id <> q.query_id$baseFilter),
        |scored AS (
        |  SELECT c.query_id, c.neighbor_id,
        |         ${dotSql("q.embedding", "n.embedding")} / (n.norm * q.norm) AS sim
@@ -359,6 +369,13 @@ private[graft] object OracleSqlGen {
   }
 
   val annLsh: String = annLshWith("b.vec_id < 10", 5)
+
+  /** Filtered-ANN mirror (VectorOps.annLshFiltered): same LSH chain
+    * with the base side gated to the allowed set vec_id % 3 = 0 before
+    * scoring — ranks are within the allowed subset.
+    */
+  val annLshFiltered: String =
+    annLshTemplate("b.vec_id < 10", Some("n.vec_id % 3 = 0"), 5)
 
   /** IVF oracle: the deterministic integer k-means of VectorOps
     * .kmeansMilli UNROLLED (fixed iteration count, no RNG) — all

@@ -553,6 +553,15 @@ object Queries {
   def annLsh(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(s, VectorOps.readEmbeddings(s, d))
 
+  /** Filtered ANN: top-k restricted to the allowed set vec_id%3=0 —
+    * the metadata-predicate vector-search request shape.
+    */
+  def annLshFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = VectorOps.readEmbeddings(s, d)
+    VectorOps.annLshFiltered(s, emb,
+      emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")))
+  }
+
   def annPq(s: SparkSession, d: String): DataFrame =
     VectorOps.annPq(s, VectorOps.readEmbeddings(s, d))
 

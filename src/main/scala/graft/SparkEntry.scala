@@ -69,6 +69,7 @@ object SparkEntry {
     "doc_fingerprint" -> (Queries.fingerprintQ _),
     "ann_cosine" -> (Queries.annCosine _),
     "ann_lsh" -> (Queries.annLsh _),
+    "ann_lsh_filtered" -> (Queries.annLshFiltered _),
     "ann_lsh_serve" -> (Queries.annLshServe _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_serve" -> (Queries.annIvfServe _),
@@ -865,6 +866,7 @@ object SparkEntry {
     "ngram_jaccard" -> OracleSqlGen.ngramJaccard,
     "ann_cosine" -> OracleSqlGen.annCosine,
     "ann_lsh" -> OracleSqlGen.annLsh,
+    "ann_lsh_filtered" -> OracleSqlGen.annLshFiltered,
     // the serve variants answer from a materialized index and must be
     // bit-identical to the in-memory operators — SAME mirrors
     "ann_lsh_serve" -> OracleSqlGen.annLsh,

@@ -696,6 +696,25 @@ object AnnIndex {
       broadcastProbes = small)
   }
 
+  /** Filtered serving from a stored LSH index: top-k restricted to an
+    * `allowed(vec_id)` id set (the metadata-predicate request shape).
+    * Same kernel as [[serveLshQueries]] with the candidate stream
+    * semi-joined on the filter ids BEFORE the exact re-rank — ranks
+    * are within the allowed subset, and the filter relation is
+    * ids-only (never broadcast-hinted), so a corpus-sized predicate
+    * result is still one 8-byte-key hash join.
+    */
+  def serveLshFilteredQueries(spark: SparkSession, emb: DataFrame,
+                              queries: DataFrame, allowed: DataFrame,
+                              indexDir: String, k: Int = 5,
+                              probeHamming: Int = 1): DataFrame = {
+    val (nTables, planesPerTable, dim) = readLshMeta(spark, indexDir)
+    val (q, small) = cleanQueries(queries)
+    VectorOps.annLshFromQ(spark, readCommitted(spark, indexDir, "lsh_buckets"),
+      emb, q, k, nTables, planesPerTable, dim, probeHamming,
+      broadcastProbes = small, allowed = Some(allowed))
+  }
+
   /** Same for a stored PQ index. */
   def servePqQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                      indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {

@@ -231,7 +231,8 @@ object VectorOps {
   private[ops] def annLshFromQ(spark: SparkSession, bucketed: DataFrame, emb: DataFrame,
                                queries: DataFrame, k: Int, nTables: Int,
                                planesPerTable: Int, dim: Int, probeHamming: Int,
-                               broadcastProbes: Boolean = true): DataFrame = {
+                               broadcastProbes: Boolean = true,
+                               allowed: Option[DataFrame] = None): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
     val planes = hyperplanes(nTables * planesPerTable, dim)
     val masks = 0 +: (if (probeHamming == 0) Seq.empty[Int]
@@ -244,12 +245,40 @@ object VectorOps {
 
     // broadcast only for bounded request batches (AnnIndex enforces
     // the threshold); an unbounded query relation shuffle-joins instead
-    val cand = bucketed
+    val cand0 = bucketed
       .join(if (broadcastProbes) broadcast(qprobes) else qprobes, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // filtered search: the allowed-id set gates candidates BEFORE the
+    // distinct and the exact re-rank (a post-top-k filter would return
+    // < k rows and lose recall). Ids-only LEFT SEMI with no broadcast
+    // hint — a corpus-proportional filter set stays a shuffle join.
+    val cand = allowed.fold(cand0)(a => cand0.join(
+        a.select(col("vec_id").cast("long").as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi"))
       .distinct()
     rerankExactQ(cand, emb, queries, k, broadcastQ = broadcastProbes)
+  }
+
+  /** Filtered ANN (in-memory form): multi-probe LSH top-k restricted
+    * to an `allowed(vec_id)` id set — the "top-k among docs matching a
+    * metadata predicate" request every production vector store serves
+    * (lang = 'en', date range, licence tier). The filter gates the
+    * CANDIDATE stream between the bucket join and the exact re-rank,
+    * so ranks are computed WITHIN the allowed subset; queries
+    * themselves need not be allowed. Scale shape: identical to annLsh
+    * plus one ids-only semi-join (no broadcast hint — AQE decides), so
+    * an arbitrarily large filter set costs one hash join on 8-byte
+    * keys, never a vector-carrying relation.
+    */
+  def annLshFiltered(spark: SparkSession, emb: DataFrame, allowed: DataFrame,
+                     nQueries: Int = 10, k: Int = 5, nTables: Int = 16,
+                     planesPerTable: Int = 9, dim: Int = 64,
+                     probeHamming: Int = 1): DataFrame = {
+    val planes = hyperplanes(nTables * planesPerTable, dim)
+    val bucketed = lshBucketize(spark, emb, planes, nTables, planesPerTable)
+    annLshFromQ(spark, bucketed, emb, queriesByIdPrefix(emb, nQueries), k,
+      nTables, planesPerTable, dim, probeHamming, allowed = Some(allowed))
   }
 
   def annLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,

@@ -252,6 +252,39 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall("pq") >= 700L, s"pq recall_milli = ${recall("pq")}")
   }
 
+  test("annLshFiltered: results within the allowed set, ranks dense, filter actually bites; stored-index serve bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val rows = VectorOps.annLshFiltered(spark, emb, allowed).collect()
+    assert(rows.nonEmpty)
+    // every neighbor is allowed; self-hits excluded; ranks dense from 1
+    rows.foreach { r =>
+      assert(r.getLong(1) % 3 == 0, s"neighbor ${r.getLong(1)} not in allowed set")
+      assert(r.getLong(0) != r.getLong(1))
+    }
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // non-vacuity: the unfiltered top-k contains disallowed neighbors
+    // for at least one query — the filter changes the answer
+    val unfiltered = VectorOps.annLsh(spark, emb).collect()
+    assert(unfiltered.exists(_.getLong(1) % 3 != 0),
+      "fixture vacuous: unfiltered LSH already answers inside the allowed set")
+    // stored-index serving through the SAME kernel is bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("ann-lsh-filt").toString
+    graft.ops.AnnIndex.buildLsh(spark, emb, dir)
+    val q = emb.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_emb")).filter(col("query_id") < 10)
+    val servedRows = graft.ops.AnnIndex
+      .serveLshFilteredQueries(spark, emb, q, allowed, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedRows == rows.map(_.toString).sorted.toSeq,
+      "filtered serve from the stored index diverges from the in-memory kernel")
+    graft.Queries.deleteDir(dir)
+  }
+
   test("new operators are partition-invariant (repartitioned input, identical output)") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val docs = TextOps.corpusWithNearDups(TextOps.readDocs(spark, sfDir))
