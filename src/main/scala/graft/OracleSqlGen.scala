@@ -1285,4 +1285,53 @@ private[graft] object OracleSqlGen {
        |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 4096 AS BIGINT) AS shard
        |FROM kept ORDER BY doc_id""".stripMargin
   }
+
+  /** Morton bit-spread of a 16-bit SQL expression, generated from the
+    * SAME mask/shift schedule the Spark kernel uses
+    * (graft.ops.Layout.SpreadSteps) — one source of truth.
+    */
+  private def spreadSql(x: String): String =
+    graft.ops.Layout.SpreadSteps.foldLeft(x) { case (e, (s, m)) =>
+      s"((($e) | (($e) << $s)) & $m)"
+    }
+
+  /** Bit width of a non-negative BIGINT range — the SQL twin of
+    * 64 - numberOfLeadingZeros(range) (min s in [0,63] with
+    * range >> s = 0; range <= 2^63-1 so s = 63 always terminates).
+    */
+  private def bitsSql(range: String): String =
+    s"(SELECT min(r.range) FROM range(0,64) r WHERE (($range) >> r.range) = 0)"
+
+  /** zorder_layout mirror: per-cell envelope census of the 32-bit
+    * Morton key over (n_chars, doc_id) — bounds and quantizer shifts
+    * derived in SQL exactly as the driver derives them in Scala, the
+    * spread chain generated from Layout.SpreadSteps, cell = top 5 bits
+    * (32 cells). All-BIGINT arithmetic (inputs are 16-bit buckets).
+    */
+  val zorderLayout: String = {
+    val za = spreadSql("((d.n_chars - sh.a_min) >> sh.sa) << sh.ua")
+    val zb = spreadSql("((d.doc_id - sh.b_min) >> sh.sb) << sh.ub")
+    s"""WITH b AS (
+       |  SELECT CAST(min(n_chars) AS BIGINT) AS a_min, CAST(max(n_chars) AS BIGINT) AS a_max,
+       |         CAST(min(doc_id) AS BIGINT) AS b_min, CAST(max(doc_id) AS BIGINT) AS b_max
+       |  FROM documents),
+       |bw AS (
+       |  SELECT a_min, b_min,
+       |    ${bitsSql("b.a_max - b.a_min")} AS ba,
+       |    ${bitsSql("b.b_max - b.b_min")} AS bb
+       |  FROM b),
+       |sh AS (
+       |  SELECT a_min, b_min,
+       |    greatest(0, ba - 16) AS sa, greatest(0, 16 - ba) AS ua,
+       |    greatest(0, bb - 16) AS sb, greatest(0, 16 - bb) AS ub
+       |  FROM bw),
+       |keyed AS (
+       |  SELECT ($za) | (($zb) << 1) AS zkey,
+       |    CAST(d.n_chars AS BIGINT) AS a, CAST(d.doc_id AS BIGINT) AS b
+       |  FROM documents d, sh)
+       |SELECT CAST(zkey >> 27 AS BIGINT) AS cell_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+       |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

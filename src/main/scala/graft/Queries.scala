@@ -666,6 +666,16 @@ object Queries {
   def clusterSampleQ(s: SparkSession, d: String): DataFrame =
     VectorOps.clusterSample(s, VectorOps.readEmbeddings(s, d))
 
+  /** Z-order layout envelope census over documents, dims (n_chars,
+    * doc_id): the per-cell (count, min/max × both dims) statistics a
+    * planner prunes on — the oracle-checkable face of
+    * [[graft.ops.Layout]]'s Morton clustering kernel.
+    */
+  def zorderLayoutQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Layout.envelopeCensus(
+      TextOps.readDocs(s, d).select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id")
+
   /** Integer PageRank over the planted host citation graph (domain
     * authority for host-level sample weighting).
     */

@@ -81,6 +81,7 @@ object SparkEntry {
     "ann_ivfpq_serve" -> (Queries.annIvfPqServe _),
     "embed_cluster" -> (Queries.embedClusterQ _),
     "cluster_sample" -> (Queries.clusterSampleQ _),
+    "zorder_layout" -> (Queries.zorderLayoutQ _),
     "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "embed_stats" -> (Queries.embedStats _),
@@ -881,6 +882,7 @@ object SparkEntry {
     "ann_ivfpq_serve" -> OracleSqlGen.annIvfPq,
     "embed_cluster" -> OracleSqlGen.embedCluster,
     "cluster_sample" -> OracleSqlGen.clusterSample,
+    "zorder_layout" -> OracleSqlGen.zorderLayout,
     "ann_recall" -> OracleSqlGen.annRecall,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding
   )
