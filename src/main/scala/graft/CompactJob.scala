@@ -49,13 +49,27 @@ object CompactJob {
     *   its bounded salt buckets instead of one straggler partition).
     *   Any uniformly-hashed combination keeps the rewrite balanced
     *   without a sampling pass.
+    * @param layout `"hash"` (default — cluster by xxhash64 of
+    *   clusterKey) or `"zorder"` — clusterKey must then name exactly
+    *   TWO long-castable columns `a,b`; the rewrite interleaves their
+    *   quantized bits ([[graft.ops.Layout.zorderCluster]]) so every
+    *   rewritten row group carries a narrow min/max envelope in BOTH
+    *   dimensions and parquet statistics prune two-dimensional range
+    *   predicates. Same digest-verified swap either way — only the
+    *   file layout changes.
     */
   def run(
       spark: SparkSession,
       tableDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterKey: String = "url"
+      clusterKey: String = "url",
+      layout: String = "hash"
   ): CompactReport = {
+    require(layout == "hash" || layout == "zorder",
+      s"layout must be 'hash' or 'zorder', got '$layout'")
+    if (layout == "zorder")
+      require(clusterKey.split(',').length == 2,
+        s"zorder layout needs exactly two clusterKey columns, got '$clusterKey'")
     // Hadoop FileSystem API throughout (NOT java.io.File): compaction
     // is a lakehouse maintenance op and the table lives wherever the
     // lakehouse lives — HDFS/S3 paths must work, and `rename` is atomic
@@ -107,8 +121,15 @@ object CompactJob {
     val (digest, rows) = (srcStats.getLong(0), srcStats.getLong(1))
 
     val tmp = tableDir + ".compacting"
-    src.repartition(nParts,
-        xxhash64(clusterKey.split(',').toIndexedSeq.map(n => col(n.trim)): _*))
+    val clustered = layout match {
+      case "zorder" =>
+        val Array(a, b) = clusterKey.split(',').map(_.trim)
+        graft.ops.Layout.zorderCluster(src, a, b, nParts)
+      case _ =>
+        src.repartition(nParts,
+          xxhash64(clusterKey.split(',').toIndexedSeq.map(n => col(n.trim)): _*))
+    }
+    clustered
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.enable.dictionary", "false")
@@ -130,10 +151,13 @@ object CompactJob {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
-      System.err.println("usage: graft.CompactJob <tableDir> [targetFileMB]")
+      System.err.println(
+        "usage: graft.CompactJob <tableDir> [targetFileMB] [clusterKey] [hash|zorder]")
       sys.exit(2)
     }
     val targetMb = if (args.length > 1) args(1).toLong else 128L
+    val clusterKey = if (args.length > 2) args(2) else "url"
+    val layout = if (args.length > 3) args(3) else "hash"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .appName("graft-compact")
@@ -143,7 +167,7 @@ object CompactJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, args(0), targetMb * 1024 * 1024)
+    val r = run(spark, args(0), targetMb * 1024 * 1024, clusterKey, layout)
     println(
       s"""{"rows":${r.rows},"files_before":${r.filesBefore},"files_after":${r.filesAfter},""" +
       s""""bytes_before":${r.bytesBefore},"bytes_after":${r.bytesAfter},"digest":${r.digest}}""")

@@ -122,28 +122,65 @@ object Layout {
       .orderBy(col("cell_id"))
   }
 
+  /** Probe values steering each slot s in [0, n) to partition s under
+    * Spark's HashPartitioning (pmod(murmur3(long), n)): probes(s) is
+    * the smallest non-negative long whose catalyst murmur3 lands on s,
+    * found by driver-side search against the SAME hash class the
+    * executors evaluate (spark-unsafe Murmur3_x86_32.hashLong, seed
+    * 42 — what Murmur3Hash compiles to for one LongType child). ~n·ln n
+    * trial hashes — microseconds for any realistic file count. A
+    * bijective cell→file assignment beats hashing the cell id
+    * directly: hash collisions co-locate two DISTANT z-cells in one
+    * file, widening its envelope to the union.
+    */
+  private[graft] def slotProbes(n: Int): Array[Long] = {
+    val probes = new Array[Long](n)
+    val found = new Array[Boolean](n)
+    var p = 0L
+    var remaining = n
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(p, 42)
+      val slot = ((h % n) + n) % n
+      if (!found(slot)) { found(slot) = true; probes(slot) = p; remaining -= 1 }
+      p += 1
+    }
+    probes
+  }
+
   /** Cluster `df` into `nFiles` outputs z-ordered on (colA, colB):
-    * bounds in ONE small aggregate, hash-shuffle on the coarse z-prefix
+    * bounds in ONE small aggregate, shuffle on the coarse z-prefix
     * (top bits → cell id, deterministic, NO range-sampling pass), sort
     * by the full z-key within each partition. Every emitted row group
     * then carries a narrow (colA, colB) min/max envelope for pruning
     * conjunctive range predicates on either or both dimensions.
+    *
+    * Cell→partition assignment is BIJECTIVE, not hashed: cell c maps
+    * to slot c·nFiles/nCells (a contiguous z-range per file — exactly
+    * the coarse prefix when nFiles is a power of two) and each slot is
+    * steered to its own partition via [[slotProbes]]. No collision can
+    * junction two distant z-cells into one file, so file-level
+    * envelopes stay as narrow as row-group ones.
     */
   def zorderCluster(df: DataFrame, colA: String, colB: String,
                     nFiles: Int = 32): DataFrame = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val (aMin, aMax, bMin, bMax) = bounds(df, colA, colB)
-    // cells = next power of two >= nFiles (cell granularity only needs
-    // to be at least as fine as the file count; hash spreads cells
-    // over the nFiles partitions)
+    // cells = next power of two >= nFiles
     val cellBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1, nFiles - 1).toLong).toInt
     val cellShift = 32 - cellBits
     val keyed = df.withColumn("_zkey",
       zkeyCol(col(colA).cast("long"), aMin, aMax,
         col(colB).cast("long"), bMin, bMax))
+    // slot = cell * nFiles / 2^cellBits as an exact integer SHIFT
+    // (Column `/` is floating-point; the product is bounded by
+    // 2^cellBits * nFiles, far under Long range)
+    val slot = shiftrightunsigned(
+      shiftrightunsigned(col("_zkey"), cellShift) * nFiles, cellBits)
     keyed
-      .repartition(nFiles, shiftrightunsigned(col("_zkey"), cellShift))
+      .withColumn("_slot",
+        element_at(typedlit(slotProbes(nFiles).toSeq), (slot + 1).cast("int")))
+      .repartition(nFiles, col("_slot"))
       .sortWithinPartitions(col("_zkey"))
-      .drop("_zkey")
+      .drop("_zkey", "_slot")
   }
 }

@@ -143,6 +143,11 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(nRows == 64L * 64)
     assert(cellToParts.values.forall(_.size == 1), "a z-cell straddles partitions")
+    // assignment is BIJECTIVE (slot-probe steering): no two cells share
+    // a file, so no collision junction widens a file envelope
+    val partsUsed = cellToParts.values.map(_.head).toSeq
+    assert(partsUsed.distinct.size == cellToParts.size,
+      s"cells ${cellToParts.keys} share partitions: $cellToParts")
     // per-ROW-GROUP envelope (the pruning unit): each contiguous
     // same-cell z-run within a sorted partition stays inside one
     // top-3-bit cell, i.e. <= 1/8 of the bucket-space plane. Hash
