@@ -13,19 +13,22 @@ import graft.ops.AnnIndex
   * rerunning after a crash just rewrites the same artifacts.
   *
   * CLI: spark-submit --class graft.AnnIndexJob app.jar \
-  *        <embeddingsParquet> <indexDir> [lsh|pq|sq|ivf|both|all]
-  * ("both" = lsh+pq, kept for compatibility; "all" adds SQ8 and IVF)
+  *        <embeddingsParquet> <indexDir> [lsh|pq|sq|ivf|both|all|delete]
+  * ("both" = lsh+pq, kept for compatibility; "all" adds SQ8 and IVF;
+  * "delete" reads <embeddingsParquet> as a victim relation with a
+  * vec_id column — tombstone append across every committed leg,
+  * physically applied by the next compact)
   */
 object AnnIndexJob {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.AnnIndexJob <embeddingsParquet> <indexDir> [lsh|pq|sq|ivf|both|all]")
+        "usage: graft.AnnIndexJob <embeddingsParquet> <indexDir> [lsh|pq|sq|ivf|both|all|delete]")
       sys.exit(2)
     }
     val what = if (args.length > 2) args(2) else "both"
-    require(Set("lsh", "pq", "sq", "ivf", "both", "all").contains(what),
+    require(Set("lsh", "pq", "sq", "ivf", "both", "all", "delete").contains(what),
       s"unknown index kind: $what")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -38,6 +41,14 @@ object AnnIndexJob {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(args(0))
     val t0 = System.nanoTime()
+    if (what == "delete") {
+      val n = AnnIndex.delete(spark, emb, args(1))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"index_dir":"${args(1)}","kind":"delete","n_deleted":$n,"sec":$sec}""")
+      spark.stop()
+      return
+    }
     if (what == "lsh" || what == "both" || what == "all")
       AnnIndex.buildLsh(spark, emb, args(1))
     val tLsh = (System.nanoTime() - t0) / 1e9

@@ -14,11 +14,13 @@ import graft.ops.SearchIndex
   * same id convention EmbedJob uses for the ANN leg.
   *
   * CLI: spark-submit --class graft.LexIndexJob app.jar \
-  *        <docsParquet> <indexDir> [build|build-positions|append|compact]
+  *        <docsParquet> <indexDir> [build|build-positions|append|compact|delete]
   * (compact ignores <docsParquet> but the slot is still required;
   * build-positions additionally materializes the positional artifact
   * for exact-phrase serving — appends then follow the stored shape
-  * automatically)
+  * automatically; delete reads <docsParquet> as a victim relation
+  * with a doc_id column — tombstone append, physically applied by the
+  * next compact)
   */
 object LexIndexJob {
 
@@ -26,11 +28,12 @@ object LexIndexJob {
     if (args.length < 2) {
       System.err.println(
         "usage: graft.LexIndexJob <docsParquet> <indexDir> " +
-          "[build|build-positions|append|compact]")
+          "[build|build-positions|append|compact|delete]")
       sys.exit(2)
     }
     val what = if (args.length > 2) args(2) else "build"
-    require(Set("build", "build-positions", "append", "compact").contains(what),
+    require(
+      Set("build", "build-positions", "append", "compact", "delete").contains(what),
       s"unknown action: $what")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -55,6 +58,9 @@ object LexIndexJob {
       case "compact" =>
         val r = SearchIndex.compact(spark, args(1))
         s""""files_before":${r.filesBefore},"files_after":${r.filesAfter}"""
+      case "delete" =>
+        val n = SearchIndex.delete(spark, spark.read.parquet(args(0)), args(1))
+        s""""n_deleted":$n"""
     }
     val sec = (System.nanoTime() - t0) / 1e9
     println(

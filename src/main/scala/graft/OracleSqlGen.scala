@@ -374,6 +374,15 @@ private[graft] object OracleSqlGen {
     * with the base side gated to the allowed set vec_id % 3 = 0 before
     * scoring — ranks are within the allowed subset.
     */
+  /** Deletion-serving mirror (AnnIndex.delete + serveLsh): the same
+    * LSH chain with victims vec_id % 5 = 0 removed from the INDEXED
+    * (candidate) side only — queries still come from the full base.
+    * Generated from the SAME annLshTemplate as ann_lsh / ann_lsh_serve
+    * / ann_lsh_filtered, so an LSH geometry change hits this row too.
+    */
+  val annLshDelete: String =
+    annLshTemplate("b.vec_id < 10", Some("n.vec_id % 5 <> 0"), 5)
+
   val annLshFiltered: String =
     annLshTemplate("b.vec_id < 10", Some("n.vec_id % 3 = 0"), 5)
 

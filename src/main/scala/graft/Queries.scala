@@ -368,6 +368,25 @@ object Queries {
       graft.ops.SearchIndex.serve(s, dir, bm25QueryTerms(docs)), dir)
   }
 
+  /** Right-to-be-forgotten on the STORED lexical index: build over the
+    * full corpus, tombstone-delete every doc_id % 3 == 0, then answer
+    * the same request batch — results must equal a fresh build over
+    * the survivors (the oracle replays BM25 over `documents WHERE
+    * doc_id % 3 <> 0` while the query batch still comes from ALL
+    * docs). Checks the tombstone anti-join, the negative meta delta
+    * (n/avgdl shrink), and per-term df shrinkage in one row.
+    */
+  def bm25DeleteQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex-del").toString
+    graft.ops.SearchIndex.build(s, docs, dir)
+    graft.ops.SearchIndex.delete(s,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").cast("long")),
+      dir, Some("q-del"))
+    materializeAndDelete(s,
+      graft.ops.SearchIndex.serve(s, dir, bm25QueryTerms(docs)), dir)
+  }
+
   /** Build/serve split for exact-phrase retrieval: the POSITIONAL
     * artifact persists with the index (withPositions=true) and the
     * same phrase batch answers from it — bit-identical to
@@ -580,6 +599,22 @@ object Queries {
     val emb = VectorOps.readEmbeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-lsh").toString
     graft.ops.AnnIndex.buildLsh(s, emb, dir)
+    materializeAndDelete(s, graft.ops.AnnIndex.serveLsh(s, emb, dir), dir)
+  }
+
+  /** Right-to-be-forgotten on the STORED vector index: build over the
+    * full base, tombstone-delete every vec_id % 5 == 0, serve the
+    * standard batch — results must equal an LSH index holding only the
+    * survivors under the SAME stored plane geometry (the oracle gates
+    * the candidate side with the survivor predicate; queries still
+    * come from the full base, like bm25_delete).
+    */
+  def annLshDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val emb = VectorOps.readEmbeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-del").toString
+    graft.ops.AnnIndex.buildLsh(s, emb, dir)
+    graft.ops.AnnIndex.delete(s,
+      emb.filter(col("vec_id") % 5 === 0).select("vec_id"), dir, Some("q-del"))
     materializeAndDelete(s, graft.ops.AnnIndex.serveLsh(s, emb, dir), dir)
   }
 

@@ -41,6 +41,7 @@ object SparkEntry {
     "bm25_search" -> (Queries.bm25SearchQ _),
     "phrase_search" -> (Queries.phraseSearchQ _),
     "bm25_serve" -> (Queries.bm25ServeQ _),
+    "bm25_delete" -> (Queries.bm25DeleteQ _),
     "phrase_serve" -> (Queries.phraseServeQ _),
     "hybrid_rrf" -> (Queries.hybridRrfQ _),
     "hybrid_serve" -> (Queries.hybridServeQ _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "ann_lsh" -> (Queries.annLsh _),
     "ann_lsh_filtered" -> (Queries.annLshFiltered _),
     "ann_lsh_serve" -> (Queries.annLshServe _),
+    "ann_lsh_delete" -> (Queries.annLshDeleteQ _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_serve" -> (Queries.annIvfServe _),
     "ann_pq" -> (Queries.annPq _),
@@ -234,11 +236,21 @@ object SparkEntry {
     * kernel is the same code, so both check against this one SQL; a
     * scoring change hits TWO oracle rows.
     */
-  private val bm25Sql: String =
-    """WITH scal AS (
+  private def bm25SqlWith(survPred: Option[String]): String = {
+    // the INDEXED corpus (scal + p CTEs) shrinks to the survivors; the
+    // query batch (q) stays over ALL documents — deleting a doc from
+    // the index must not delete its queries. survPred=None generates
+    // the historical bm25Sql byte-identically (string-diffed at
+    // introduction; SparkEntrySpec pins it).
+    val (head, corpus) = survPred match {
+      case Some(p) =>
+        (s"WITH corpus AS (SELECT * FROM documents WHERE $p),\nscal AS (", "corpus")
+      case None => ("WITH scal AS (", "documents")
+    }
+    s"""$head
       |  SELECT CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl
-      |  FROM documents),
+      |  FROM $corpus),
       |q AS (
       |  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term
       |  FROM documents,
@@ -248,7 +260,7 @@ object SparkEntry {
       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
       |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, u.term
-      |        FROM documents, UNNEST(string_split(text, ' ')) AS u(term))
+      |        FROM $corpus, UNNEST(string_split(text, ' ')) AS u(term))
       |  WHERE term IN (SELECT DISTINCT term FROM q)
       |  GROUP BY doc_id, dl, term),
       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dfc FROM p GROUP BY term),
@@ -267,6 +279,9 @@ object SparkEntry {
       |FROM sc
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val bm25Sql: String = bm25SqlWith(None)
 
   /** Exact-phrase retrieval mirror: the positional anchor join
     * replayed over the same whitespace token stream — every phrase =
@@ -716,6 +731,10 @@ object SparkEntry {
     "phrase_search" -> phraseSql,
     "phrase_serve" -> phraseSql,
     "bm25_serve" -> bm25Sql,
+    // deletion serving: the INDEXED corpus shrinks to the survivors,
+    // the query batch stays full — generated from the SAME template as
+    // bm25_search/bm25_serve, so a scoring change hits THREE rows
+    "bm25_delete" -> bm25SqlWith(Some("doc_id % 3 <> 0")),
     // Hybrid retrieval: RRF fusion of the two mirrors above/below —
     // the lexical leg IS bm25Sql, the vector leg IS the exact-cosine
     // mirror re-keyed to the shared id % 101 query slice at depth 10;
@@ -871,6 +890,7 @@ object SparkEntry {
     // the serve variants answer from a materialized index and must be
     // bit-identical to the in-memory operators — SAME mirrors
     "ann_lsh_serve" -> OracleSqlGen.annLsh,
+    "ann_lsh_delete" -> OracleSqlGen.annLshDelete,
     "ann_ivf" -> OracleSqlGen.annIvf,
     "ann_ivf_serve" -> OracleSqlGen.annIvf,
     "ann_pq" -> OracleSqlGen.annPq,

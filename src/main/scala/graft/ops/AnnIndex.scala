@@ -62,7 +62,9 @@ object AnnIndex {
   private def ivfCellsDir(indexDir: String) = s"$indexDir/ivf_cells"
 
   private val Tables = Seq("lsh_buckets", "lsh_meta", "pq_codebook",
-    "pq_codes", "sq_meta", "sq_codes", "ivf_centroids", "ivf_cells")
+    "pq_codes", "sq_meta", "sq_codes", "ivf_centroids", "ivf_cells",
+    "ann_deleted")
+  private def annDeletedDir(indexDir: String) = s"$indexDir/ann_deleted"
 
   /** The tables each index kind owns — a build overwrites exactly its
     * own leg, never a sibling's.
@@ -190,6 +192,76 @@ object AnnIndex {
     spark.read.parquet(files: _*)
   }
 
+  /** Committed tombstone set, None when no delete has ever committed —
+    * the (hot) tombstone-free path skips the anti-join entirely.
+    */
+  private def tombstonesOpt(spark: SparkSession,
+                            indexDir: String): Option[DataFrame] = {
+    val files = committedFiles(spark, indexDir, "ann_deleted")
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files: _*).select("vec_id").distinct())
+  }
+
+  /** Committed view MINUS tombstoned vectors. Every per-vector leg
+    * relation (buckets/codes/cells) is read through this, so ADC/SQ
+    * shortlists and LSH/IVF probes never see a deleted vector — the
+    * shortlist cut happens BEFORE the exact re-rank, which is why
+    * base-side deletion alone would not equal an index over the
+    * survivors for the quantized legs.
+    */
+  private def liveCommitted(spark: SparkSession, indexDir: String,
+                            table: String): DataFrame = {
+    val df = readCommitted(spark, indexDir, table)
+    tombstonesOpt(spark, indexDir)
+      .fold(df)(t => df.join(t, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Remove vectors from every committed leg of the stored index
+    * WITHOUT rewriting it: deletion appends one tombstone row per
+    * victim through the same single-manifest commit appends use —
+    * exactly as crash-atomic, idempotent under a replayed mutationId.
+    * Serving anti-joins the tombstones before any shortlist/probe
+    * math, so results equal an index holding only the survivors'
+    * rows under the SAME stored geometry (planes/codebook/quantizer/
+    * centroids are untouched — deletion never retrains). Physical
+    * removal happens at [[compact]]. Contract: a tombstoned vec_id
+    * stays deleted even if re-appended, until a compact has applied
+    * the tombstone. Returns victims actually present (and not already
+    * deleted) in at least one committed leg.
+    */
+  def delete(spark: SparkSession, vecIds: DataFrame, indexDir: String,
+             mutationId: Option[String] = None): Long = {
+    if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return 0L
+    reconcile(spark, indexDir)
+    val victims = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val legs = Seq("lsh_buckets", "pq_codes", "sq_codes", "ivf_cells")
+      .filter(t => committedFiles(spark, indexDir, t).nonEmpty)
+    require(legs.nonEmpty, s"no committed index legs at $indexDir")
+    val present = legs.map(t =>
+        readCommitted(spark, indexDir, t)
+          .join(victims, Seq("vec_id"), "left_semi").select("vec_id"))
+      .reduce(_ union _).distinct()
+    val fresh = tombstonesOpt(spark, indexDir)
+      .fold(present)(t => present.join(t, Seq("vec_id"), "left_anti"))
+    // stage to scratch: the tombstone append's lineage must NOT read
+    // ann_deleted (append → recache invalidation → self-taint; the
+    // IncrementalCurate lesson, see CLAUDE.md)
+    val scratch = java.nio.file.Files.createTempDirectory("ann-del").toString
+    fresh.coalesce(1).write.mode(SaveMode.Overwrite).parquet(scratch)
+    val staged = spark.read.parquet(scratch)
+    val nDel = staged.count()
+    if (nDel == 0L) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+      return 0L
+    }
+    val before = allDataNames(spark, indexDir).toSet
+    write(staged.coalesce(1), annDeletedDir(indexDir), SaveMode.Append)
+    writeManifest(spark, indexDir,
+      allDataNames(spark, indexDir).filterNot(before.contains), mutationId)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    nDel
+  }
+
   /** Commit a leg's freshly-overwritten tables: ONE consolidated
     * manifest naming every still-present committed file of the OTHER
     * legs plus all present files of THIS leg (its dirs were just
@@ -272,7 +344,7 @@ object AnnIndex {
                nQueries: Int = 10, k: Int = 5,
                probeHamming: Int = 1): DataFrame = {
     val (nTables, planesPerTable, dim) = readLshMeta(spark, indexDir)
-    VectorOps.annLshFrom(spark, readCommitted(spark, indexDir, "lsh_buckets"),
+    VectorOps.annLshFrom(spark, liveCommitted(spark, indexDir, "lsh_buckets"),
       emb, nQueries, k, nTables, planesPerTable, dim, probeHamming)
   }
 
@@ -285,7 +357,7 @@ object AnnIndex {
     if (committedFiles(spark, indexDir, "lsh_meta").isEmpty) 0L
     else {
       val (nTables, _, _) = readLshMeta(spark, indexDir)
-      readCommitted(spark, indexDir, "lsh_buckets").count() / nTables
+      liveCommitted(spark, indexDir, "lsh_buckets").count() / nTables
     }
 
   // -------------------------------------------------------------------
@@ -337,7 +409,7 @@ object AnnIndex {
     * built before the flag existed read as fully trained (0).
     */
   def pqStaleness(spark: SparkSession, indexDir: String): Long = {
-    val codes = readCommitted(spark, indexDir, "pq_codes")
+    val codes = liveCommitted(spark, indexDir, "pq_codes")
     if (!codes.columns.contains("from_append")) return 0L
     stalenessOf(codes)
   }
@@ -378,7 +450,7 @@ object AnnIndex {
   def servePq(spark: SparkSession, emb: DataFrame, indexDir: String,
               nQueries: Int = 10, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val codebooks = readCodebooks(spark, indexDir)
-    VectorOps.annPqFrom(spark, readCommitted(spark, indexDir, "pq_codes"),
+    VectorOps.annPqFrom(spark, liveCommitted(spark, indexDir, "pq_codes"),
       codebooks, emb, nQueries, k, shortlist, dimOf(codebooks))
   }
 
@@ -419,7 +491,7 @@ object AnnIndex {
   def serveSq(spark: SparkSession, emb: DataFrame, indexDir: String,
               nQueries: Int = 10, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val (mins, maxs) = readSqMeta(spark, indexDir)
-    VectorOps.annSqFromQ(spark, readCommitted(spark, indexDir, "sq_codes"),
+    VectorOps.annSqFromQ(spark, liveCommitted(spark, indexDir, "sq_codes"),
       mins, maxs, emb, VectorOps.queriesByIdPrefix(emb, nQueries), k, shortlist)
   }
 
@@ -432,7 +504,7 @@ object AnnIndex {
   def serveSqQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                      indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val (mins, maxs) = readSqMeta(spark, indexDir)
-    VectorOps.annSqFromQ(spark, readCommitted(spark, indexDir, "sq_codes"),
+    VectorOps.annSqFromQ(spark, liveCommitted(spark, indexDir, "sq_codes"),
       mins, maxs, emb, queries.filter(col("q_emb").isNotNull), k, shortlist)
   }
 
@@ -458,7 +530,7 @@ object AnnIndex {
     * training (mirrors [[pqStaleness]]).
     */
   def sqStaleness(spark: SparkSession, indexDir: String): Long =
-    stalenessOf(readCommitted(spark, indexDir, "sq_codes"))
+    stalenessOf(liveCommitted(spark, indexDir, "sq_codes"))
 
   /** Retrain the quantizer on the CURRENT corpus and re-encode —
     * bit-identical to a fresh [[buildSq]]; staleness reads 0 after.
@@ -534,7 +606,7 @@ object AnnIndex {
     */
   def serveIvf(spark: SparkSession, emb: DataFrame, indexDir: String,
                nQueries: Int = 10, topK: Int = 5, nProbe: Int = 2): DataFrame =
-    VectorOps.annIvfFromQ(spark, readCommitted(spark, indexDir, "ivf_cells"),
+    VectorOps.annIvfFromQ(spark, liveCommitted(spark, indexDir, "ivf_cells"),
       readIvfCentroids(spark, indexDir), emb,
       VectorOps.queriesByIdPrefix(emb, nQueries), topK, nProbe)
 
@@ -545,7 +617,7 @@ object AnnIndex {
   def serveIvfQueries(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                       indexDir: String, topK: Int = 5, nProbe: Int = 2): DataFrame = {
     val (q, small) = cleanQueries(queries)
-    VectorOps.annIvfFromQ(spark, readCommitted(spark, indexDir, "ivf_cells"),
+    VectorOps.annIvfFromQ(spark, liveCommitted(spark, indexDir, "ivf_cells"),
       readIvfCentroids(spark, indexDir), emb, q, topK, nProbe,
       broadcastProbes = small)
   }
@@ -573,7 +645,7 @@ object AnnIndex {
     * training (mirrors [[pqStaleness]]).
     */
   def ivfStaleness(spark: SparkSession, indexDir: String): Long =
-    stalenessOf(readCommitted(spark, indexDir, "ivf_cells"))
+    stalenessOf(liveCommitted(spark, indexDir, "ivf_cells"))
 
   /** Retrain the coarse quantizer on the CURRENT corpus and re-assign —
     * bit-identical to a fresh [[buildIvf]] (k from the stored centroid
@@ -611,9 +683,9 @@ object AnnIndex {
                         shortlist: Int = 100): DataFrame = {
     val (q, small) = cleanQueries(queries)
     val codebooks = readCodebooks(spark, indexDir)
-    VectorOps.annIvfPqFromQ(spark, readCommitted(spark, indexDir, "ivf_cells"),
+    VectorOps.annIvfPqFromQ(spark, liveCommitted(spark, indexDir, "ivf_cells"),
       readIvfCentroids(spark, indexDir),
-      readCommitted(spark, indexDir, "pq_codes"), codebooks, emb, q,
+      liveCommitted(spark, indexDir, "pq_codes"), codebooks, emb, q,
       topK, nProbe, shortlist, dimOf(codebooks), broadcastProbes = small)
   }
 
@@ -635,12 +707,19 @@ object AnnIndex {
   def compact(spark: SparkSession, indexDir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.CompactJob.CompactReport)] = {
     reconcile(spark, indexDir)
+    // tombstones apply PHYSICALLY here (targeted DeleteJob rewrite of
+    // only the files holding a victim), then their table drops. Every
+    // crash point below genesis-adopts consistently because tombstones
+    // are idempotent: until their files are deleted (last), serving
+    // anti-joins ids that may or may not still have leg rows —
+    // identical results either way.
+    val tomb = tombstonesOpt(spark, indexDir)
     fsOf(spark, indexDir).delete(logPath(indexDir), true)
     val fsConf = spark.sparkContext.hadoopConfiguration
     // ivf_cells re-clusters on (cell, salt) — the inverted-list
     // locality serving's IN-predicate pruning depends on (the postings
     // discipline); the id-keyed relations cluster on vec_id
-    val reports = Seq(("lsh_buckets", lshDir(indexDir), "vec_id"),
+    val legs = Seq(("lsh_buckets", lshDir(indexDir), "vec_id"),
         ("pq_codes", pqCodesDir(indexDir), "vec_id"),
         ("sq_codes", sqCodesDir(indexDir), "vec_id"),
         ("ivf_cells", ivfCellsDir(indexDir), "cell,salt"))
@@ -648,9 +727,17 @@ object AnnIndex {
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(fsConf).exists(p)
       }
-      .map { case (name, d, key) =>
-        name -> graft.CompactJob.run(spark, d, targetFileBytes, clusterKey = key)
+    tomb.foreach { t =>
+      legs.foreach { case (_, d, _) =>
+        graft.DeleteJob.run(spark, d, t, keyCol = "vec_id",
+          targetFileBytes = targetFileBytes)
       }
+    }
+    val reports = legs.map { case (name, d, key) =>
+      name -> graft.CompactJob.run(spark, d, targetFileBytes, clusterKey = key)
+    }
+    tomb.foreach(_ => fsOf(spark, indexDir)
+      .delete(new Path(annDeletedDir(indexDir)), true))
     val current = allDataNames(spark, indexDir)
     if (current.nonEmpty) writeManifest(spark, indexDir, current)
     reports
@@ -691,7 +778,7 @@ object AnnIndex {
                       indexDir: String, k: Int = 5, probeHamming: Int = 1): DataFrame = {
     val (nTables, planesPerTable, dim) = readLshMeta(spark, indexDir)
     val (q, small) = cleanQueries(queries)
-    VectorOps.annLshFromQ(spark, readCommitted(spark, indexDir, "lsh_buckets"),
+    VectorOps.annLshFromQ(spark, liveCommitted(spark, indexDir, "lsh_buckets"),
       emb, q, k, nTables, planesPerTable, dim, probeHamming,
       broadcastProbes = small)
   }
@@ -710,7 +797,7 @@ object AnnIndex {
                               probeHamming: Int = 1): DataFrame = {
     val (nTables, planesPerTable, dim) = readLshMeta(spark, indexDir)
     val (q, small) = cleanQueries(queries)
-    VectorOps.annLshFromQ(spark, readCommitted(spark, indexDir, "lsh_buckets"),
+    VectorOps.annLshFromQ(spark, liveCommitted(spark, indexDir, "lsh_buckets"),
       emb, q, k, nTables, planesPerTable, dim, probeHamming,
       broadcastProbes = small, allowed = Some(allowed))
   }
@@ -720,7 +807,7 @@ object AnnIndex {
                      indexDir: String, k: Int = 5, shortlist: Int = 100): DataFrame = {
     val codebooks = readCodebooks(spark, indexDir)
     val (q, small) = cleanQueries(queries)
-    VectorOps.annPqFromQ(spark, readCommitted(spark, indexDir, "pq_codes"),
+    VectorOps.annPqFromQ(spark, liveCommitted(spark, indexDir, "pq_codes"),
       codebooks, emb, q, k, shortlist, dimOf(codebooks),
       broadcastProbes = small)
   }

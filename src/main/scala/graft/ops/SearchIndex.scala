@@ -51,10 +51,11 @@ object SearchIndex {
     */
   val TermPushdownLimit = 1024
 
-  private val Tables = Seq("postings", "lex_meta", "positions")
+  private val Tables = Seq("postings", "lex_meta", "positions", "deleted_docs")
   private def postingsDir(indexDir: String) = s"$indexDir/postings"
   private def metaDir(indexDir: String) = s"$indexDir/lex_meta"
   private def positionsDir(indexDir: String) = s"$indexDir/positions"
+  private def deletedDir(indexDir: String) = s"$indexDir/deleted_docs"
   private def logPath(indexDir: String) = new Path(s"$indexDir/_lexlog")
 
   private def fsOf(spark: SparkSession, dir: String) =
@@ -272,6 +273,67 @@ object SearchIndex {
     (rows(0).getLong(0), rows(0).getLong(1))
   }
 
+  /** Committed tombstone set, None when no delete has ever committed —
+    * callers skip the anti-join entirely on the (hot) tombstone-free
+    * path.
+    */
+  private def tombstonesOpt(spark: SparkSession,
+                            indexDir: String): Option[DataFrame] = {
+    val files = committedFiles(spark, indexDir, "deleted_docs")
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files: _*).select("doc_id").distinct())
+  }
+
+  /** Remove documents from the stored index WITHOUT rewriting the
+    * postings: deletion appends a tombstone row per victim doc_id plus
+    * a NEGATIVE (n_docs, sum_dl) meta delta — both through the same
+    * single-manifest commit appends use, so a delete is exactly as
+    * crash-atomic as an append (all-or-nothing, idempotent under a
+    * replayed mutationId). Serving anti-joins the tombstone set; the
+    * corpus stats and per-term df a BM25 score reads then equal a
+    * fresh build over the survivors, so delete-then-serve is
+    * bit-identical to rebuild-then-serve (spec + the bm25_delete
+    * oracle row). Physical removal happens at [[compact]], which
+    * applies tombstones to the postings/positions files and drops the
+    * tombstone table — the Iceberg delete-file shape. Contract: a
+    * tombstoned doc_id stays deleted even if re-appended, until a
+    * compact has applied the tombstone. Returns victims actually
+    * removed (ids not in the index, or already deleted, count 0).
+    */
+  def delete(spark: SparkSession, docIds: DataFrame, indexDir: String,
+             mutationId: Option[String] = None): Long = {
+    import spark.implicits._
+    if (mutationId.exists(mutationCommitted(spark, indexDir, _))) return 0L
+    reconcile(spark, indexDir)
+    val victims = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val postings = readCommitted(spark, indexDir, "postings")
+    val present0 = postings.join(victims, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).distinct()
+    val present = tombstonesOpt(spark, indexDir)
+      .fold(present0)(t => present0.join(t, Seq("doc_id"), "left_anti"))
+    // stage to scratch: the tombstone append's lineage must NOT read
+    // deleted_docs (append → recache invalidation → self-taint; the
+    // IncrementalCurate lesson, see CLAUDE.md)
+    val scratch = java.nio.file.Files.createTempDirectory("lex-del").toString
+    present.coalesce(1).write.mode(SaveMode.Overwrite).parquet(scratch)
+    val staged = spark.read.parquet(scratch)
+    val stats = staged.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val nDel = stats.getLong(0)
+    if (nDel == 0L) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+      return 0L
+    }
+    val sdlDel = stats.getLong(1)
+    val before = allDataNames(spark, indexDir).toSet
+    write(staged.select("doc_id").coalesce(1), deletedDir(indexDir), SaveMode.Append)
+    write(Seq((-nDel, -sdlDel)).toDF("n_docs", "sum_dl").coalesce(1),
+      metaDir(indexDir), SaveMode.Append)
+    writeManifest(spark, indexDir,
+      allDataNames(spark, indexDir).filterNot(before.contains), mutationId)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    nDel
+  }
+
   /** Total docs the index covers (0 for a missing index) — the
     * freshness denominator callers like IncrementalCurate.lexStaleness
     * compare against their corpus count.
@@ -299,7 +361,12 @@ object SearchIndex {
     val postings = readCommitted(spark, indexDir, "postings")
     val termSet = qterms.select("term").distinct()
     val gated = gateByTerms(postings, termSet, bounded, pushdownTerms)
-    SearchOps.bm25From(gated, n, sdl * 1000L / n, qterms, k, bounded,
+    // deleted docs are invisible: the anti-join runs BEFORE df/score
+    // aggregation, and the meta sums already carry the delete's
+    // negative delta — scores equal a rebuild over the survivors
+    val live = tombstonesOpt(spark, indexDir)
+      .fold(gated)(t => gated.join(t, Seq("doc_id"), "left_anti"))
+    SearchOps.bm25From(live, n, sdl * 1000L / n, qterms, k, bounded,
       maxDfPermille)
   }
 
@@ -342,7 +409,9 @@ object SearchIndex {
     val bounded = SearchOps.isBounded(q, probeLimit)
     val gated = gateByTerms(readCommitted(spark, indexDir, "positions"),
       q.select("term").distinct(), bounded, pushdownTerms)
-    SearchOps.phraseFrom(gated, q, k, bounded)
+    val live = tombstonesOpt(spark, indexDir)
+      .fold(gated)(t => gated.join(t, Seq("doc_id"), "left_anti"))
+    SearchOps.phraseFrom(live, q, k, bounded)
   }
 
   /** Append newly-arrived documents WITHOUT touching existing rows:
@@ -392,7 +461,21 @@ object SearchIndex {
   def compact(spark: SparkSession, indexDir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): graft.CompactJob.CompactReport = {
     reconcile(spark, indexDir)
+    // tombstones apply PHYSICALLY here (targeted DeleteJob rewrite of
+    // only the files that hold a victim), then drop. Every crash point
+    // below genesis-adopts consistently BECAUSE tombstones are
+    // idempotent: until their files are deleted (last), serving
+    // anti-joins ids that may or may not still have postings rows —
+    // identical results either way.
+    val tomb = tombstonesOpt(spark, indexDir)
     fsOf(spark, indexDir).delete(logPath(indexDir), true)
+    tomb.foreach { t =>
+      graft.DeleteJob.run(spark, postingsDir(indexDir), t,
+        keyCol = "doc_id", targetFileBytes = targetFileBytes)
+      if (fsOf(spark, indexDir).exists(new Path(positionsDir(indexDir))))
+        graft.DeleteJob.run(spark, positionsDir(indexDir), t,
+          keyCol = "doc_id", targetFileBytes = targetFileBytes)
+    }
     // (term, salt) keeps the rewrite balanced under Zipf-hot terms —
     // same bounded-spread trade as the build clustering
     val report = graft.CompactJob.run(spark, postingsDir(indexDir),
@@ -402,6 +485,8 @@ object SearchIndex {
     if (fsOf(spark, indexDir).exists(new Path(positionsDir(indexDir))))
       graft.CompactJob.run(spark, positionsDir(indexDir),
         targetFileBytes, clusterKey = "term,salt")
+    tomb.foreach(_ => fsOf(spark, indexDir)
+      .delete(new Path(deletedDir(indexDir)), true))
     writeManifest(spark, indexDir, allDataNames(spark, indexDir))
     report
   }

@@ -59,6 +59,51 @@ object StreamingLexIndex {
         withPositions = withPositions)
   }
 
+  /** One deletion micro-batch: tombstone the batch's doc_ids under the
+    * batch mutation id. Exactly-once effect for free: a committed
+    * replay short-circuits on the manifest; a crash mid-delete leaves
+    * its tombstone/meta files unlisted and [[SearchIndex.delete]]'s
+    * entry reconcile rolls them back before the exact re-run; a
+    * no-op batch (ids absent or already deleted) commits nothing and
+    * replays harmlessly. Exposed for the duplicate-delivery spec.
+    */
+  private[graft] def deleteBatch(spark: SparkSession, batch: DataFrame,
+                                 batchId: Long, indexDir: String): Unit = {
+    val mid = s"del-batch-$batchId"
+    if (SearchIndex.mutationCommitted(spark, indexDir, mid)) return
+    SearchIndex.delete(spark,
+      batch.select(col("doc_id").cast("long").as("doc_id")), indexDir, Some(mid))
+  }
+
+  /** Drain right-to-be-forgotten requests into the stored index:
+    * deletion batches land as (doc_id BIGINT) parquet in `deletesDir`;
+    * each scheduled drain tombstones exactly the newly-arrived ids
+    * (see [[deleteBatch]]). Physical removal rides the next
+    * SearchIndex.compact. The index must already have a committed
+    * build (deletes against nothing fail loud).
+    */
+  def startDeletes(
+      spark: SparkSession,
+      deletesDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8
+  ): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(deletesDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteBatch(spark, batch, batchId, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** @param withPositions build the FIRST batch's index with the
     *   positional artifact (exact-phrase serving); subsequent batches
     *   follow the stored shape regardless of this flag, so a restarted

@@ -529,6 +529,64 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected failure: ${e.getMessage}")
   }
 
+  test("AnnIndex delete: tombstone serve == physical (compacted) serve on every leg; LSH == survivor rebuild") {
+    val emb = VectorOps.readEmbeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ann-del").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    AnnIndex.buildLsh(spark, emb, dir)
+    AnnIndex.buildPq(spark, emb, dir)
+    AnnIndex.buildSq(spark, emb, dir)
+    AnnIndex.buildIvf(spark, emb, dir)
+    val victims = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val nIndexedBefore = AnnIndex.indexedVectors(spark, dir)
+
+    val nDel = AnnIndex.delete(spark, victims, dir, Some("m1"))
+    assert(nDel == victimIds.size.toLong)
+    assert(AnnIndex.indexedVectors(spark, dir) == nIndexedBefore - nDel)
+    // idempotent: replayed mutation and already-deleted ids are no-ops
+    assert(AnnIndex.delete(spark, victims, dir, Some("m1")) == 0L)
+    assert(AnnIndex.delete(spark, victims, dir, Some("m2")) == 0L)
+
+    // LSH has no trained state -> tombstone serve must equal a fresh
+    // rebuild over the survivors exactly
+    val survivors = emb.filter(col("vec_id") % 5 =!= 0)
+    val survDir = java.nio.file.Files.createTempDirectory("ann-del-surv").toString
+    AnnIndex.buildLsh(spark, survivors, survDir)
+    val lshDel = rows(AnnIndex.serveLsh(spark, emb, dir))
+    assert(lshDel.nonEmpty && lshDel == rows(AnnIndex.serveLsh(spark, emb, survDir)))
+
+    // no victim appears as a neighbor on ANY leg (shortlists are cut
+    // AFTER the anti-join — base-side deletion alone can't ensure this)
+    val served = Seq(
+      AnnIndex.serveLsh(spark, emb, dir), AnnIndex.servePq(spark, emb, dir),
+      AnnIndex.serveSq(spark, emb, dir), AnnIndex.serveIvf(spark, emb, dir),
+      AnnIndex.serveIvfPq(spark, emb, dir)).map(rows)
+    val neighborCols = Seq(
+      AnnIndex.serveLsh(spark, emb, dir), AnnIndex.servePq(spark, emb, dir),
+      AnnIndex.serveSq(spark, emb, dir), AnnIndex.serveIvf(spark, emb, dir),
+      AnnIndex.serveIvfPq(spark, emb, dir))
+      .flatMap(_.select("neighbor_id").collect().map(_.getLong(0)))
+    assert(neighborCols.nonEmpty && !neighborCols.exists(victimIds.contains))
+
+    // compact applies tombstones physically: table gone, victims' rows
+    // gone from every leg, every serve bit-identical to tombstone serve
+    AnnIndex.compact(spark, dir)
+    assert(!new java.io.File(dir, "ann_deleted").exists())
+    for (leg <- Seq("lsh_buckets", "pq_codes", "sq_codes", "ivf_cells")) {
+      val ids = spark.read.parquet(s"$dir/$leg")
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(victimIds).isEmpty, s"$leg still holds victims")
+    }
+    val servedAfter = Seq(
+      AnnIndex.serveLsh(spark, emb, dir), AnnIndex.servePq(spark, emb, dir),
+      AnnIndex.serveSq(spark, emb, dir), AnnIndex.serveIvf(spark, emb, dir),
+      AnnIndex.serveIvfPq(spark, emb, dir)).map(rows)
+    assert(servedAfter == served)
+    Seq(dir, survDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("AnnIndex SQ8 leg: serve bit-identity, frozen-quantizer appends, staleness, compaction") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ann-index-sq").toString

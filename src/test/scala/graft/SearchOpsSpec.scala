@@ -275,6 +275,61 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("SearchIndex delete-then-serve is bit-identical to a rebuild over survivors") {
+    val (docs, qterms) = docsAndTerms()
+    val victims = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"))
+    val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+    val delDir = java.nio.file.Files.createTempDirectory("lexidx-del").toString
+    val survDir = java.nio.file.Files.createTempDirectory("lexidx-surv").toString
+    SearchIndex.build(spark, docs, delDir, withPositions = true)
+    val nDel = SearchIndex.delete(spark, victims, delDir, Some("m1"))
+    assert(nDel > 0L)
+    SearchIndex.build(spark, survivors, survDir, withPositions = true)
+
+    // BM25 serving: tombstone anti-join + negative meta delta ==
+    // rebuild's smaller corpus stats and per-term df
+    val served = collectRows(SearchIndex.serve(spark, delDir, qterms))
+    val rebuilt = collectRows(SearchIndex.serve(spark, survDir, qterms))
+    assert(served.nonEmpty && served == rebuilt)
+    // positional serving honors tombstones too
+    val phrases = Queries.phraseQueriesOf(docs)
+    val servedP = collectRows(SearchIndex.servePhrase(spark, delDir, phrases))
+    val rebuiltP = collectRows(SearchIndex.servePhrase(spark, survDir, phrases))
+    assert(servedP.nonEmpty && servedP == rebuiltP)
+    assert(SearchIndex.indexedDocs(spark, delDir) ==
+      SearchIndex.indexedDocs(spark, survDir))
+
+    // idempotent replay: same mutationId is a committed no-op; same
+    // victims under a new id match nothing (already tombstoned)
+    assert(SearchIndex.delete(spark, victims, delDir, Some("m1")) == 0L)
+    assert(SearchIndex.delete(spark, victims, delDir, Some("m2")) == 0L)
+    // ids never indexed: no-op
+    val sp = spark; import sp.implicits._
+    assert(SearchIndex.delete(spark,
+      Seq(Long.MaxValue - 1).toDF("doc_id"), delDir) == 0L)
+    assert(collectRows(SearchIndex.serve(spark, delDir, qterms)) == rebuilt)
+
+    // compact applies tombstones physically: deleted_docs gone,
+    // serving unchanged, postings hold no victim rows
+    SearchIndex.compact(spark, delDir)
+    assert(!new java.io.File(delDir, "deleted_docs").exists())
+    assert(collectRows(SearchIndex.serve(spark, delDir, qterms)) == rebuilt)
+    assert(collectRows(SearchIndex.servePhrase(spark, delDir, phrases)) == rebuiltP)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val remaining = spark.read.parquet(s"$delDir/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(remaining.intersect(victimIds).isEmpty)
+
+    // a doc deleted and compacted away can be re-appended
+    val back = docs.filter(col("doc_id") % 3 === 0).limit(1)
+    assert(SearchIndex.append(spark, back, delDir) == 1L)
+    assert(SearchIndex.indexedDocs(spark, delDir) ==
+      survivors.count() + 1L)
+    Seq(delDir, survDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("build clustering bounds a hot term's spread (Zipf skew lever)") {
     val sp = spark; import sp.implicits._
     // 400 docs all containing the stopword + a unique term each

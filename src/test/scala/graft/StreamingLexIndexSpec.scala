@@ -162,4 +162,52 @@ class StreamingLexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(r => r._1 == 3L && r._3 == 3L))
     assert(got.exists(r => r._1 == 11L && r._3 == 11L))
   }
+
+  test("delete drain: tombstoned ids vanish; serve == rebuild over survivors; replays are no-ops") {
+    val sp = spark; import sp.implicits._
+    val landDir = tmp("slexd-land"); val idx = tmp("slexd-idx")
+    val ckpt = tmp("slexd-ckpt")
+    val delDir = tmp("slexd-del"); val delCkpt = tmp("slexd-delckpt")
+    land(docsOf(0 until 12), landDir)
+    StreamingLexIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+
+    val victims = Seq(0L, 3L, 6L, 9L)
+    victims.toDF("doc_id").coalesce(1).write.mode("append").parquet(delDir)
+    StreamingLexIndex.startDeletes(spark, delDir, idx, delCkpt).awaitTermination()
+    assert(SearchIndex.indexedDocs(spark, idx) == 8L)
+
+    // queries for one deleted doc and some survivors: the deleted id
+    // returns nothing, survivors score exactly like a fresh rebuild
+    val q = qtermsOf(Seq(0L, 5L, 9L, 11L))
+    val fresh = tmp("slexd-fresh")
+    SearchIndex.build(spark,
+      docsOf(0 until 12).filterNot(d => victims.contains(d._1))
+        .toDF("doc_id", "text"), fresh)
+    val got = served(idx, q)
+    assert(got.nonEmpty && got == served(fresh, q))
+    assert(!got.exists(r => victims.contains(r._3)))
+
+    // re-drain with no new request files: checkpoint says nothing new
+    StreamingLexIndex.startDeletes(spark, delDir, idx, delCkpt).awaitTermination()
+    assert(SearchIndex.indexedDocs(spark, idx) == 8L)
+    // forced duplicate delivery of the committed batch id: manifest
+    // short-circuits, index unchanged
+    StreamingLexIndex.deleteBatch(spark, victims.toDF("doc_id"), 0L, idx)
+    assert(served(idx, q) == got)
+    assert(SearchIndex.indexedDocs(spark, idx) == 8L)
+
+    // a later doc drain and a later delete drain compose: new docs
+    // arrive, one of them is then deleted too
+    land(docsOf(12 until 15), landDir)
+    StreamingLexIndex.start(spark, landDir, idx, ckpt).awaitTermination()
+    Seq(13L).toDF("doc_id").coalesce(1).write.mode("append").parquet(delDir)
+    StreamingLexIndex.startDeletes(spark, delDir, idx, delCkpt).awaitTermination()
+    val fresh2 = tmp("slexd-fresh2")
+    SearchIndex.build(spark,
+      docsOf(0 until 15).filterNot(d => (victims :+ 13L).contains(d._1))
+        .toDF("doc_id", "text"), fresh2)
+    val q2 = qtermsOf(Seq(5L, 12L, 13L, 14L))
+    assert(served(idx, q2) == served(fresh2, q2))
+    assert(SearchIndex.indexedDocs(spark, idx) == 10L)
+  }
 }
