@@ -545,6 +545,71 @@ object IncrementalCurate {
     reports
   }
 
+  /** Right-to-be-forgotten at the curation layer: remove the victims'
+    * canonical rows (and their MinHash band slices) while RETAINING
+    * the urls and shas state — retention is deliberate: a forgotten
+    * document must NOT resurrect on the next crawl revisit (url gate)
+    * or via a byte-identical mirror under a new url (sha gate). What
+    * is retained is hashes only (url_hash, text_sha), never content.
+    * Band slices are dropped because near-dup verification reads
+    * canonical TEXT, which is gone by design — near-duplicates of
+    * forgotten docs degrade to the exact/sha gate (the honest trade:
+    * one cannot verify against text one was required to delete;
+    * spec-pinned as the contract).
+    *
+    * Protocol: reconcile debris, DELETE the `_drops` log (the
+    * compactState discipline — manifests name files the targeted
+    * rewrites replace), DeleteJob the canonical and bands tables on
+    * doc_id, write a fresh genesis manifest. Every crash point
+    * genesis-adopts a consistent state: canonical-purged-but-
+    * bands-present only degrades near-dup candidates (they drop at
+    * the text join), and a re-run of the same forget is a no-op.
+    * Serving-index tombstone deletes (lex + ANN, both keyed by the
+    * funnel's doc_id) run AFTER the state mutation under a
+    * victim-set-derived mutation id — idempotent across re-runs, and
+    * staleness stays 0 because canonical shrank by the same ids.
+    * Returns the number of canonical docs removed.
+    */
+  def forget(
+      spark: SparkSession,
+      urls: DataFrame,
+      stateDir: String,
+      lexIndexDir: Option[String] = None,
+      annIndexDir: Option[String] = None
+  ): Long = {
+    reconcileState(spark, stateDir)
+    val victims = TextOps.withUrlNorm(
+        urls.select(col("url").as("url_messy")))
+      .select(xxhash64(col("url_norm")).as("doc_id")).distinct()
+    // present count from the pre-mutation canonical (victims' lineage
+    // reads only the caller relation — never the tables being rewritten)
+    val stats = spark.read.parquet(canonicalDir(stateDir))
+      .join(victims, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)), expr("bit_xor(doc_id)")).collect()(0)
+    val nForget = stats.getLong(0)
+    val mid =
+      if (nForget == 0L) None
+      else Some(f"forget-${stats.getLong(1)}%016x-$nForget")
+
+    if (nForget > 0L) {
+      hadoopFs(spark, stateDir).delete(dropsPath(stateDir), true)
+      DeleteJob.run(spark, canonicalDir(stateDir), victims, keyCol = "doc_id")
+      if (exists(spark, bandsDir(stateDir)))
+        DeleteJob.run(spark, bandsDir(stateDir), victims, keyCol = "doc_id")
+      val current = allDataNames(spark, stateDir)
+      if (current.nonEmpty) writeDropManifest(spark, stateDir, current)
+    }
+    // index deletes run even when canonical had nothing left to remove:
+    // a forget that crashed between the state commit and the index
+    // side completes on re-run (the deletes are no-ops once applied)
+    lexIndexDir.foreach(idx =>
+      graft.ops.SearchIndex.delete(spark, victims, idx, mid))
+    annIndexDir.foreach(idx =>
+      graft.ops.AnnIndex.delete(spark,
+        victims.select(col("doc_id").as("vec_id")), idx, mid))
+    nForget
+  }
+
   /** Docs the lexical serving index is BEHIND the curated state (0 =
     * fresh): canonical rows minus indexed n_docs. Nonzero only after a
     * crash between a drop's state commit and its index append — the
@@ -604,7 +669,8 @@ object IncrementalCurate {
     if (args.length < 2) {
       System.err.println(
         "usage: graft.IncrementalCurate <dropPath> <stateDir> [lexIndexDir] " +
-          "[annIndexDir] | --compact <stateDir>")
+          "[annIndexDir] | --compact <stateDir> " +
+          "| --forget <stateDir> <urlsParquet> [lexIndexDir] [annIndexDir]")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -617,6 +683,14 @@ object IncrementalCurate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args(0) == "--forget") {
+      require(args.length >= 3, "--forget needs <stateDir> <urlsParquet>")
+      val n = forget(spark, spark.read.parquet(args(2)), args(1),
+        lexIndexDir = args.lift(3), annIndexDir = args.lift(4))
+      println(s"""{"n_forgotten":$n}""")
+      spark.stop()
+      return
+    }
     if (args(0) == "--compact") {
       val reports = compactState(spark, args(1))
       println(reports.map { case (name, r) =>

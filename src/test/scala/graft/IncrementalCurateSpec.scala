@@ -470,4 +470,75 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(rows2(annIdx) == rows2(fresh2))
   }
+
+  test("forget: canonical+index removal, no resurrection via url or mirror, near-dup degrade pinned") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val state = tmp("inc-forget-state")
+    val lexIdx = tmp("inc-forget-lex")
+
+    val d1 = (0 until 8).map(i => (s"https://f.example/p/$i", textOf(s"fa$i")))
+    val d1Dir = tmp("inc-forget-d1"); write(d1, d1Dir)
+    IncrementalCurate.ingestDrop(spark, d1Dir, state, lexIndexDir = Some(lexIdx))
+    assert(spark.read.parquet(s"$state/canonical").count() == 8L)
+
+    // forget docs 0 and 3 (their messy urls — normalization applies)
+    val victims = Seq("https://f.example/p/0#frag", "https://f.example/p/3")
+    val n = IncrementalCurate.forget(spark, victims.toDF("url"), state,
+      lexIndexDir = Some(lexIdx))
+    assert(n == 2L)
+    val canonical = spark.read.parquet(s"$state/canonical")
+    assert(canonical.count() == 6L)
+    assert(canonical.filter(col("url_norm").contains("/p/0") ||
+      col("url_norm").contains("/p/3")).count() == 0L)
+    // content is gone everywhere; hashes are retained by design
+    assert(spark.read.parquet(s"$state/urls").count() == 8L)
+    assert(spark.read.parquet(s"$state/shas").count() == 8L)
+    assert(spark.read.parquet(s"$state/bands")
+      .select("doc_id").distinct().count() == 6L)
+    // lex index serves == rebuild over the remaining canonical;
+    // staleness stays 0 (both sides shrank by the same ids)
+    assert(IncrementalCurate.lexStaleness(spark, state, lexIdx) == 0L)
+    val qterms = spark.read.parquet(s"$state/canonical")
+      .select(col("doc_id").as("query_id"),
+        explode(expr("slice(split(text, ' '), 1, 3)")).as("term"))
+      .unionByName(Seq((0L, "fa0w0")).toDF("query_id", "term"))
+    val fresh = tmp("inc-forget-fresh")
+    SearchIndex.build(spark,
+      spark.read.parquet(s"$state/canonical").select(col("doc_id"), col("text")),
+      fresh)
+    def rows(idx: String) = SearchIndex.serve(spark, idx, qterms).collect()
+      .map(_.toString).sorted.toSeq
+    assert(rows(lexIdx).nonEmpty && rows(lexIdx) == rows(fresh))
+
+    // re-run of the same forget: nothing left to remove, state intact
+    assert(IncrementalCurate.forget(spark, victims.toDF("url"), state,
+      lexIndexDir = Some(lexIdx)) == 0L)
+    assert(spark.read.parquet(s"$state/canonical").count() == 6L)
+
+    // NO RESURRECTION: a new drop revisits the forgotten url (url
+    // gate), and mirrors its exact text under a new url (sha gate) —
+    // both rejected; a near-dup paraphrase under a new url ADMITS (the
+    // pinned degrade: verification text is gone by design); a genuinely
+    // fresh doc admits
+    val d2 = Seq(
+      ("https://f.example/p/0", textOf("resurrect")), // url revisit
+      ("https://f.example/m/0", textOf("fa0")), // exact mirror of forgotten
+      ("https://f.example/n/0", // near-dup of forgotten (last word off)
+        textOf("fa3").split(" ").dropRight(1).mkString(" ")),
+      ("https://f.example/x/0", textOf("fx0"))) // fresh
+    val d2Dir = tmp("inc-forget-d2"); write(d2, d2Dir)
+    val r2 = IncrementalCurate.ingestDrop(spark, d2Dir, state,
+      lexIndexDir = Some(lexIdx))
+    assert(r2.nNewUrls == 3L, "url gate must still block the forgotten url")
+    assert(r2.nStateLinked == 1L, "sha gate must still block the exact mirror")
+    assert(r2.nAdmitted == 2L, "near-dup degrade + fresh doc admit")
+    assert(spark.read.parquet(s"$state/canonical").count() == 8L)
+    assert(IncrementalCurate.lexStaleness(spark, state, lexIdx) == 0L)
+    // subsequent ingests keep working against the forgotten state and
+    // the rewritten manifests (the genesis re-adoption path)
+    val r2b = IncrementalCurate.ingestDrop(spark, d2Dir, state,
+      lexIndexDir = Some(lexIdx))
+    assert(r2b.nNewUrls == 0L && r2b.nAdmitted == 0L)
+  }
 }
