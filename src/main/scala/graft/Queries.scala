@@ -500,6 +500,12 @@ object Queries {
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 
+  /** Bigram-LM fluency permille (self-trained, integer-exact) — the
+    * CCNet-perplexity-filter analog; see [[TextOps.lmScore]].
+    */
+  def lmScoreQ(s: SparkSession, d: String): DataFrame =
+    TextOps.lmScore(TextOps.readDocs(s, d))
+
   def tfidfTopTermsQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfidfTopTerms(TextOps.readDocs(s, d))
 
@@ -716,6 +722,14 @@ object Queries {
     */
   def hostRankQ(s: SparkSession, d: String): DataFrame =
     graft.ops.GraphOps.hostRank(s, TextOps.readDocs(s, d))
+
+  /** Host→host edges extracted from the raw page markup (the planted
+    * nav out-link; see [[graft.ops.GraphOps.linkEdgesFromPages]]) —
+    * the crawl-derived link graph behind the authority funnel.
+    */
+  def linkHostsQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.GraphOps.linkEdgesFromPages(pages(s, d).toDF())
+      .orderBy(col("src"), col("dst"))
 
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))

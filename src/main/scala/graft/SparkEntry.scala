@@ -51,6 +51,7 @@ object SparkEntry {
     "host_cap" -> (Queries.hostCapQ _),
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
+    "lm_score" -> (Queries.lmScoreQ _),
     "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
     "mix_balance" -> (Queries.mixBalanceQ _),
     "decontaminate" -> (Queries.decontaminateQ _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "events_asof" -> (Queries.eventsAsof _),
     "events_range" -> (Queries.eventsRange _),
     "host_rank" -> (Queries.hostRankQ _),
+    "link_hosts" -> (Queries.linkHostsQ _),
     "mm_frames" -> (Queries.mmFrames _)
   )
 
@@ -437,7 +439,7 @@ object SparkEntry {
     "tokenize_blocks" ->
       s"""SELECT $urlSql AS url, CAST(p + 2 AS BIGINT) AS n_blocks,
          |  CAST(length(text) - (p - 1) AS BIGINT) AS content_chars,
-         |  CAST(31 AS BIGINT) AS boiler_chars
+         |  CAST(35 AS BIGINT) AS boiler_chars
          |FROM (SELECT doc_id, text, $pCnt AS p FROM documents) t
          |ORDER BY url""".stripMargin,
     "score_blocks" ->
@@ -488,14 +490,16 @@ object SparkEntry {
          |FROM (SELECT $hostSql AS host FROM documents) t
          |GROUP BY host ORDER BY n_docs DESC, host ASC LIMIT 5""".stripMargin,
     // wrapper-page byte accounting: bytes_in = 251 fixed-chrome bytes
-    // + docId digits (title) + paragraph text (len - (p-1) joining
-    // spaces) + 7 bytes <p></p> per paragraph; bytes_out = text bytes
+    // + 40 planted-out-link bytes + its target-host digits
+    // (hid(doc_id*31+7)) + docId digits (title) + paragraph text
+    // (len - (p-1) joining spaces) + 7 bytes <p></p> per paragraph;
+    // bytes_out = text bytes
     "host_cost" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $nw AS nw, $pCnt AS p FROM documents),
          |c AS (
          |  SELECT doc_id,
-         |    251 + length(CAST(doc_id AS VARCHAR)) + (length(text) - (p - 1)) + 7 * p AS bytes_in,
+         |    291 + length(CAST(${hidOf("(doc_id * 31 + 7)")} AS VARCHAR)) + length(CAST(doc_id AS VARCHAR)) + (length(text) - (p - 1)) + 7 * p AS bytes_in,
          |    length(text) AS bytes_out, p + 2 AS n_blocks
          |  FROM t)
          |SELECT $hostSql AS host, count(*) AS n_docs,
@@ -575,6 +579,19 @@ object SparkEntry {
     "q_groupingsets" -> Queries.groupingSetsSql("orders"),
     "q_exists" -> Queries.existsSql("customer", "orders"),
     "host_rank" -> hostRankSql(3),
+    // crawl-derived link graph: the Spark side regex-extracts the
+    // planted absolute nav out-link from the page MARKUP and parses
+    // hosts (TextOps.hostOf); the oracle re-derives the same edges
+    // from the planting arithmetic (target host = hid(doc_id*31+7))
+    // — the byte-identity style of check for the link extractor.
+    // Self-edges kept (hostRankEdges drops them at rank time).
+    "link_hosts" ->
+      s"""WITH e AS (
+         |  SELECT 'host' || CAST($hid AS VARCHAR) || '.example' AS src,
+         |         'host' || CAST(${hidOf("(doc_id * 31 + 7)")} AS VARCHAR) || '.example' AS dst
+         |  FROM documents)
+         |SELECT src, dst, count(*) AS n_links
+         |FROM e GROUP BY src, dst ORDER BY src, dst""".stripMargin,
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
     "dsir_weights" -> OracleSqlGen.dsirWeights,
@@ -836,6 +853,30 @@ object SparkEntry {
         |  (sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 5 > count(*)) AS is_oov_heavy
         |FROM wx LEFT JOIN vocab v USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // self-trained bigram-LM fluency permille (CCNet-perplexity analog):
+    // cond_permille = c(w1,w2)*1000 // (c(w1) + LmSmoothing) — the +4
+    // additive smoothing penalizes hapax transitions; doc score =
+    // truncated mean over bigram occurrences; bigrams over the RAW
+    // split (rep_ratio's convention); zero-bigram docs keep a 0 row
+    // (LEFT JOIN discipline); sum(p) is HUGEINT -> outer BIGINT casts
+    "lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wc AS (
+        |  SELECT u.x AS w1, count(*) AS c1
+        |  FROM t, UNNEST(w) AS u(x) GROUP BY u.x),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INTEGER)+1] AS w1, w[CAST(i AS INTEGER)+2] AS w2
+        |  FROM t, UNNEST(range(len(w) - 1)) AS r(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT bg.doc_id, bc.cb * 1000 // (wc.c1 + 4) AS p
+        |  FROM bg JOIN bc USING (w1, w2) JOIN wc USING (w1)),
+        |agg AS (SELECT doc_id, count(*) AS nb, sum(p) AS sp FROM sc GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(sp // nb, 0) AS BIGINT) AS lm_permille
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // integer-exact TF/DF salience (tf*10^6 // df; all positive so
     // DuckDB // == Spark DIV), ties score-desc/term-asc on both engines
     "tfidf_topterms" ->

@@ -139,6 +139,41 @@ object GraphOps {
                 iters: Int = 3): DataFrame =
     tiersOf(hostRank(spark, docs, iters), nTiers)
 
+  /** Absolute-href regex: captures the url inside `href="https?://…"`.
+    * Relative links (in-site nav/footer) never produce an edge. Public:
+    * the link_hosts oracle documents the extraction contract.
+    */
+  val AbsHrefPattern: String = "href=\"(https?://[^\"]+)\""
+
+  /** Host→host link edges extracted from the raw page MARKUP — the
+    * crawl-derived link graph the authority funnel consumes (src =
+    * parsed host of the page url, dst = parsed host of each absolute
+    * href in its html; TextOps.hostOf on both sides). This closes the
+    * last planted seam: [[hostRankEdges]] + [[tiersOf]] + CurateJob's
+    * authorityEdges all key on PARSED hosts, and this derivation feeds
+    * them from the pages table itself. Self-edges are kept (an
+    * intra-domain absolute link is real data; hostRankEdges drops them
+    * at rank time).
+    *
+    * Scale shape: one projection over the pages scan (regex is
+    * per-row codegen; html is read ONCE and never shuffled — only the
+    * extracted (src, dst) string pairs enter the exchange), then a
+    * map-side-combined count aggregate on the host-pair key. Edge
+    * cardinality is bounded by total links, rows by distinct host
+    * pairs — both orders of magnitude smaller than the corpus.
+    */
+  def linkEdgesFromPages(pages: DataFrame): DataFrame = {
+    val hrefs = pages.select(
+      TextOps.hostOf("url").as("src"),
+      explode(expr(
+        s"regexp_extract_all(CAST(html AS STRING), '$AbsHrefPattern', 1)"))
+        .as("dst_url"))
+    hrefs
+      .select(col("src"), TextOps.hostOf("dst_url").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   /** ntile tiers over an already-computed rank relation — the form the
     * real-link-graph path ([[hostRankEdges]]) composes with.
     */

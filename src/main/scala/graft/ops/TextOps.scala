@@ -1163,6 +1163,66 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Bigram-LM fluency score (the CCNet-perplexity analog, integer-exact)
+  // -------------------------------------------------------------------
+
+  /** Self-trained bigram language-model fluency score — the
+    * integer-exact analog of CCNet's KenLM perplexity filter (no
+    * external LM ships in this container, so the corpus is its own
+    * model; a production deployment would feed reference counts the
+    * same way). For each adjacent word pair the model's conditional is
+    * cond_permille = c(w1,w2)·1000 DIV (c(w1) + [[LmSmoothing]]); the
+    * additive smoothing term is what penalizes hapax transitions — in
+    * a SELF-trained unsmoothed LM a unique word's unique bigram is a
+    * "perfect" 1000 (c1 = cb = 1) and gibberish would score fluent. A
+    * document's score is the truncated mean over its bigram
+    * occurrences. High =
+    * made of corpus-typical transitions (fluent); low = transitions
+    * the corpus has rarely seen (gibberish / OOD) — the ranking a
+    * perplexity filter produces, in exact integers both engines agree
+    * on (no cross-engine float logs).
+    *
+    * Scale shape: bigrams are built IN-ROW (array zip — no per-doc
+    * window shuffle); the model is two map-side-combined hash
+    * aggregates; scoring is a vocabulary-keyed shuffle join (the model
+    * is corpus-sized — never broadcast) plus one per-doc aggregate.
+    * Docs with <2 words keep a row (n_bigrams=0, score 0) via the
+    * LEFT-join discipline (the quality_classify zero-word lesson).
+    */
+  /** Additive-smoothing mass for [[lmScore]]'s conditional denominator
+    * (public: the DuckDB oracle embeds it).
+    */
+  val LmSmoothing = 4L
+
+  def lmScore(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("w"))
+    // corpus unigram counts over ALL positions (the conditional's
+    // denominator; bigram mass per w1 can never exceed it)
+    val uni = t.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // in-row adjacent pairs: zip the word array with its own tail
+    val pairs = t.select(col("doc_id"), explode(expr(
+      "zip_with(slice(w, 1, greatest(0, size(w) - 1))," +
+        " slice(w, 2, greatest(0, size(w) - 1))," +
+        " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"cb * 1000 DIV (c1 + $LmSmoothing)")).as("sp"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(expr("sp DIV n_bigrams"), lit(0L)).cast("long").as("lm_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
   // Mixture balancing (per-stratum rate-balanced sampling)
   // -------------------------------------------------------------------
 

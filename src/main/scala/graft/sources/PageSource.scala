@@ -65,6 +65,25 @@ object PageSource {
   val FooterHtml =
     """<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>"""
 
+  /** Planted cross-host citation target — every synthesized page's nav
+    * carries ONE absolute out-link to this host, so a REAL link graph
+    * is extractable from the markup itself (GraphOps.linkEdgesFromPages).
+    * Same arithmetic family as GraphOps.hostRank's planted rule and
+    * SQL-mirrorable (hidOf(doc_id*31+7) in the link_hosts oracle).
+    */
+  def linkTargetHost(id: Long): Long = hostId(id * 31L + 7L)
+
+  /** The planted out-link markup: 40 bytes + target-host digits (the
+    * host_cost oracle's byte accounting depends on this exact shape).
+    * Anchor text "Ref" keeps the nav 100% link chars → score exactly 0.
+    */
+  def outLinkHtml(id: Long): String =
+    s""" <a href="https://host${linkTargetHost(id)}.example/">Ref</a>"""
+
+  /** Per-page nav: the static boilerplate plus the planted out-link. */
+  def navHtml(id: Long): String =
+    NavHtml.stripSuffix("</nav>") + outLinkHtml(id) + "</nav>"
+
   /** Wrap document text into a page whose extraction (blockSep=" ") is
     * byte-identical to `text`.
     */
@@ -72,7 +91,7 @@ object PageSource {
     val sb = new java.lang.StringBuilder(text.length + 512)
     sb.append("<html><head><title>Doc ").append(docId)
       .append("</title></head>\n<body>\n")
-    sb.append(NavHtml).append('\n')
+    sb.append(navHtml(docId)).append('\n')
     sb.append("""<div class="main">""")
     paragraphs(text).foreach { para =>
       sb.append("<p>").append(esc(para)).append("</p>")
@@ -177,7 +196,7 @@ object PageSource {
     val paras = paragraphs(text)
     val sb = new java.lang.StringBuilder(text.length + 1024)
     sb.append("<html><head><title>T").append(docId).append("</title></head><body>")
-    sb.append(NavHtml)
+    sb.append(navHtml(docId))
     sb.append("<table>")
     paras.foreach { p => sb.append("<tr><td>").append(esc(p)).append("</td></tr>") }
     sb.append("</table>")
@@ -190,7 +209,7 @@ object PageSource {
     val sb = new java.lang.StringBuilder(text.length + 1024)
     sb.append("<html><body>")
     sb.append("<script>var x = '<div>not content</div>';</script>")
-    sb.append(NavHtml)
+    sb.append(navHtml(docId))
     sb.append("<!-- comment <p>ignored</p> -->")
     var i = 0
     paras.foreach { p =>

@@ -204,6 +204,41 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rUn.nSampled == 18L, s"unlinked host must not vanish, got ${rUn.nSampled}")
   }
 
+  test("crawl-to-authority: edges EXTRACTED from page markup drive the tier funnel end-to-end") {
+    val sp = spark; import sp.implicits._
+    // hand-built pages whose html carries real absolute cross-host
+    // links: b and c cite a, a cites b — same graph as the supplied-
+    // edges case, but derived from markup, not handed in
+    val cite = Map("a.example" -> "b.example",
+      "b.example" -> "a.example", "c.example" -> "a.example")
+    def pageHtml(h: String, i: Int, text: String): Array[Byte] =
+      (s"""<html><body><nav><a href="/">Home</a> <a href="https://${cite(h)}/">Partner</a></nav>""" +
+        s"""<div class="main"><p>$text</p></div></body></html>""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hosts = Seq("a.example", "b.example", "c.example")
+    val docs = for { h <- hosts; i <- 0 until 6 } yield
+      (s"https://$h/p/$i", (0 until 12).map(k => s"${h.take(1)}d${i}w$k").mkString(" "))
+    val pages = docs.map { case (url, text) =>
+      (url, pageHtml(url.stripPrefix("https://").takeWhile(_ != '/'), 0, text))
+    }.toDF("url", "html")
+    val edges = graft.ops.GraphOps.linkEdgesFromPages(pages)
+    val e = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(e == Set(("a.example", "b.example", 6L),
+      ("b.example", "a.example", 6L), ("c.example", "a.example", 6L)), e)
+
+    // feed the extracted edges into the funnel: top tier = a.example only
+    val in = java.nio.file.Files.createTempDirectory("crawlauth-in").toString
+    docs.toDF("url", "text").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("crawlauth-out").toString
+    val r = CurateJob.run(spark, in, out, samplePermille = 1000L,
+      authorityPermille = Some(Seq(1000L, 0L, 0L)),
+      authorityEdges = Some(edges.select("src", "dst")))
+    assert(r.nSampled == 6L, s"only the markup-cited top host ships, got ${r.nSampled}")
+    val keptUrls = spark.read.parquet(s"$out/shards")
+      .select("url_norm").collect().map(_.getString(0))
+    assert(keptUrls.forall(_.startsWith("https://a.example")), keptUrls.mkString(","))
+  }
+
   test("EmbedJob(normalizeUrls): vectors keyed by xxhash64(url_norm), one per url, funnel-joinable") {
     import org.apache.spark.sql.functions.{col, xxhash64}
     val embDir = java.nio.file.Files.createTempDirectory("embnorm").toString

@@ -191,12 +191,36 @@ class ExtractCoreSpec extends AnyFunSuite {
 
   // ---- wrapper invariants the DuckDB oracle relies on ------------------
 
-  test("wrapper: nav/footer constants match oracle (boiler_chars = 31)") {
+  test("wrapper: nav/footer constants match oracle (boiler_chars = 35)") {
+    // nav "Home About Contact Ref" (22) + footer "Privacy Terms" (13):
+    // the planted out-link's anchor text rides the boiler count
     val blocks = HtmlTokenizer.tokenize(PageSource.wrapHtml(7L, "one two three"), cfgSp)
     val boiler = blocks.filter(_.tag != "p")
     assert(boiler.map(_.tag).toSeq == Seq("nav", "footer"))
-    assert(boiler.map(_.nChars).sum == 31, s"boiler=${boiler.map(b => (b.tag, b.nChars, b.text)).toSeq}")
+    assert(boiler.map(_.nChars).sum == 35, s"boiler=${boiler.map(b => (b.tag, b.nChars, b.text)).toSeq}")
     assert(blocks.count(_.tag == "p") == 1)
+  }
+
+  test("wrapper: planted out-link markup is exactly 40 bytes + host digits; nav stays 100% link chars") {
+    // the host_cost oracle's 291-byte chrome constant depends on this
+    for (id <- Seq(0L, 1L, 2L, 5L, 123456L)) {
+      val link = PageSource.outLinkHtml(id)
+      val digits = PageSource.linkTargetHost(id).toString.length
+      assert(link.length == 40 + digits, s"id=$id link=$link")
+    }
+    val blocks = HtmlTokenizer.tokenize(PageSource.wrapHtml(11L, "alpha beta"), cfgSp)
+    val nav = blocks.find(_.tag == "nav").get
+    assert(nav.nLinkChars == nav.nChars) // score exactly 0 -> always stripped
+  }
+
+  test("planted out-link never leaks into extraction for ANY bench fixture class") {
+    for (id <- 0L to 5L) { // ids cover all three id%3 fixture classes
+      val page = PageSource.genPage(id)
+      val (out, _) = GoldenExtractor.extract(page.html, cfgSp)
+      assert(!out.contains("Ref"), s"id=$id class=${id % 3} leaked the nav link: ${out.take(80)}")
+      assert(!out.contains("Home"), s"id=$id nav boilerplate leaked")
+      assert(out.nonEmpty)
+    }
   }
 
   test("wrapper: n_blocks = paragraphs + 2; paragraph chunking = (nw+7)/8") {

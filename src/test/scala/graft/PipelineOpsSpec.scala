@@ -381,6 +381,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, 6L, 0L, false), (2L, 4L, 0L, false), (3L, 4L, 4L, true)))
   }
 
+  test("lmScore: repeated transitions outrank hapax gibberish; smoothing caps unique bigrams") {
+    val sp = spark; import sp.implicits._
+    val fluent = "the cat sat on the mat"
+    val docs = ((1L to 5L).map(i => (i, fluent)) :+ (9L, "zq vx bl kw jq nn"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // gibberish: every bigram is hapax -> 1000 // (1+4) = 200 exactly
+    assert(got.last == ((9L, 5L, 200L)))
+    // fluent copies: identical rows, scored above the hapax ceiling
+    val fl = got.filter(_._1 <= 5L)
+    assert(fl.map(_._3).distinct.size == 1 && fl.head._2 == 5L)
+    assert(fl.head._3 > 200L)
+    // hand-check one conditional: "cat sat" cb=5, c1(cat)=5 -> 5000//9=555;
+    // "the cat"/"the mat" cb=5, c1(the)=10 -> 5000//14=357; "sat on","on the",
+    // "mat"-less; mean = (357+555+357+357+555... ) recomputed exactly:
+    val c = Map("the" -> 10L, "cat" -> 5L, "sat" -> 5L, "on" -> 5L, "mat" -> 5L)
+    val bigrams = fluent.split(' ').sliding(2).toSeq
+    val expect = bigrams.map { case Array(a, _) => 5L * 1000L / (c(a) + 4L) }.sum / bigrams.size
+    assert(fl.head._3 == expect)
+  }
+
+  test("lmScore: zero-bigram docs keep a zero row; partitioning-invariant") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "solo"), (2L, "a b a b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.head == ((1L, 0L, 0L)))
+    val re = TextOps.lmScore(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == re)
+  }
+
   test("mixBalance: every stratum is rate-limited toward the smallest") {
     val docs = TextOps.readDocs(spark, sfDir)
     val rows = Queries.mixBalanceQ(spark, sfDir).collect()

@@ -223,6 +223,22 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("linkEdgesFromPages: markup-extracted edges equal the planted citation arithmetic") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()
+    val got = graft.ops.GraphOps.linkEdgesFromPages(pages).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // JVM recompute of the planted rule: src = hostId(doc), dst = hostId(doc*31+7)
+    val ids = docs.select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    def host(h: Long) = s"host$h.example"
+    val expect = ids.groupBy(id => (host(graft.sources.PageSource.hostId(id)),
+        host(graft.sources.PageSource.linkTargetHost(id))))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == expect, s"got ${got.size} edges, expect ${expect.size}")
+    // relative nav/footer hrefs never leak in as edges
+    assert(got.keys.forall { case (s2, d2) => s2.endsWith(".example") && d2.endsWith(".example") })
+  }
+
   test("tfidfTopTerms: frequent-here-rare-elsewhere wins; deterministic ties") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
