@@ -367,6 +367,15 @@ object CurateJob {
     FunnelFrames(urlDeduped, gated, canonicalC, packed)
   }
 
+  /** CLI link-graph argument: a parquet of (src, dst) host edges, or
+    * `pages:<dir>` — a pages table whose raw html is link-extracted on
+    * the fly (the crawl-derived authority path as one CLI flag).
+    */
+  def resolveEdges(spark: SparkSession, arg: String): DataFrame =
+    if (arg.startsWith("pages:"))
+      GraphOps.linkPairsFromPages(spark.read.parquet(arg.stripPrefix("pages:")))
+    else spark.read.parquet(arg)
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
@@ -374,7 +383,9 @@ object CurateJob {
         "  optional 3rd arg: comma-separated per-tier sample permille\n" +
         "  (index 0 = highest-authority hosts) enabling authority-weighted sampling\n" +
         "  optional 4th arg: parquet of (src, dst) host link edges — tiers then\n" +
-        "  key on hosts PARSED from url_norm ranked over this real link graph\n" +
+        "  key on hosts PARSED from url_norm ranked over this real link graph;\n" +
+        "  or pages:<pagesDir> to EXTRACT the link graph from that pages\n" +
+        "  table's raw html (GraphOps.linkPairsFromPages)\n" +
         "  optional 5th arg: per-domain document cap (keep the top-N docs\n" +
         "  per parsed host by token count); '-' skips the 3rd/4th args")
       sys.exit(2)
@@ -399,7 +410,7 @@ object CurateJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val edges = if (args.length > 3 && args(3) != "-")
-      Some(spark.read.parquet(args(3))) else None
+      Some(resolveEdges(spark, args(3))) else None
     val r = run(spark, args(0), args(1), authorityPermille = authRates,
       authorityEdges = edges, maxDocsPerHost = hostCapArg)
     println(

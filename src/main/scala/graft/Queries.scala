@@ -731,6 +731,18 @@ object Queries {
     graft.ops.GraphOps.linkEdgesFromPages(pages(s, d).toDF())
       .orderBy(col("src"), col("dst"))
 
+  /** PageRank over the markup-EXTRACTED link graph (hostRankEdges over
+    * [[graft.ops.GraphOps.linkPairsFromPages]]) — the real-deployment
+    * authority path end-to-end: crawl markup → edges → rank. Rank
+    * universe = corpus hosts (a host nobody links to still ranks).
+    */
+  def linkRankQ(s: SparkSession, d: String): DataFrame = {
+    val p = pages(s, d).toDF()
+    graft.ops.GraphOps.hostRankEdges(s,
+      graft.ops.GraphOps.linkPairsFromPages(p),
+      nodes = Some(p.select(TextOps.hostOf("url").as("host"))))
+  }
+
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
 

@@ -130,6 +130,7 @@ object SparkEntry {
     "events_range" -> (Queries.eventsRange _),
     "host_rank" -> (Queries.hostRankQ _),
     "link_hosts" -> (Queries.linkHostsQ _),
+    "link_rank" -> (Queries.linkRankQ _),
     "mm_frames" -> (Queries.mmFrames _)
   )
 
@@ -152,7 +153,14 @@ object SparkEntry {
     * inflow sum (truncating `//` == Spark DIV on non-negatives), CAST
     * to BIGINT every round (DuckDB sum widens to HUGEINT).
     */
-  private def hostRankSql(iters: Int): String = {
+  /** @param dstExpr dst-host id expression of the edge rule: default =
+    *   host_rank's planted citation (mod n); link_rank passes the
+    *   markup out-link's rule (no mod — PageSource.linkTargetHost).
+    *   The default branch's generated string is byte-identical to the
+    *   historical one-arg form.
+    */
+  private def hostRankSql(iters: Int,
+      dstExpr: String = "(doc_id * 31 + 7) % (SELECT count(*) FROM documents)"): String = {
     def hostOf(x: String) = s"'host' || CAST(${hidOf(x)} AS VARCHAR) || '.example'"
     val rounds = (1 to iters).map { k =>
       s"""r$k AS (
@@ -168,7 +176,7 @@ object SparkEntry {
     s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
        |e0 AS (
        |  SELECT ${hostOf("doc_id")} AS src,
-       |         ${hostOf("(doc_id * 31 + 7) % (SELECT count(*) FROM documents)")} AS dst
+       |         ${hostOf(dstExpr)} AS dst
        |  FROM d),
        |edges AS (SELECT src, dst, count(*) AS w FROM e0 WHERE src <> dst GROUP BY src, dst),
        |outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY src),
@@ -592,6 +600,12 @@ object SparkEntry {
          |  FROM documents)
          |SELECT src, dst, count(*) AS n_links
          |FROM e GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    // PageRank over the markup-extracted graph: SAME unrolled loop as
+    // host_rank, edges from the out-link rule (no mod n, self-loops
+    // dropped inside the shared template); the Spark side actually
+    // extracts the links from html — the real-deployment path,
+    // oracle-checked end-to-end.
+    "link_rank" -> hostRankSql(3, "(doc_id * 31 + 7)"),
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
     "dsir_weights" -> OracleSqlGen.dsirWeights,

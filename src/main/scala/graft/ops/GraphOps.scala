@@ -162,16 +162,22 @@ object GraphOps {
     * cardinality is bounded by total links, rows by distinct host
     * pairs — both orders of magnitude smaller than the corpus.
     */
-  def linkEdgesFromPages(pages: DataFrame): DataFrame = {
+  def linkEdgesFromPages(pages: DataFrame): DataFrame =
+    linkPairsFromPages(pages)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** One row per extracted LINK (pre-aggregation form of
+    * [[linkEdgesFromPages]]) — the shape [[hostRankEdges]] consumes,
+    * where parallel links carry multiplicity as weight.
+    */
+  def linkPairsFromPages(pages: DataFrame): DataFrame = {
     val hrefs = pages.select(
       TextOps.hostOf("url").as("src"),
       explode(expr(
         s"regexp_extract_all(CAST(html AS STRING), '$AbsHrefPattern', 1)"))
         .as("dst_url"))
-    hrefs
-      .select(col("src"), TextOps.hostOf("dst_url").as("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("n_links"))
+    hrefs.select(col("src"), TextOps.hostOf("dst_url").as("dst"))
   }
 
   /** ntile tiers over an already-computed rank relation — the form the

@@ -226,13 +226,16 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e == Set(("a.example", "b.example", 6L),
       ("b.example", "a.example", 6L), ("c.example", "a.example", 6L)), e)
 
-    // feed the extracted edges into the funnel: top tier = a.example only
+    // feed the extracted edges into the funnel THROUGH the CLI's
+    // pages:<dir> form: top tier = a.example only
     val in = java.nio.file.Files.createTempDirectory("crawlauth-in").toString
     docs.toDF("url", "text").write.mode("overwrite").parquet(in)
+    val pagesDir = java.nio.file.Files.createTempDirectory("crawlauth-pages").toString
+    pages.write.mode("overwrite").parquet(pagesDir)
     val out = java.nio.file.Files.createTempDirectory("crawlauth-out").toString
     val r = CurateJob.run(spark, in, out, samplePermille = 1000L,
       authorityPermille = Some(Seq(1000L, 0L, 0L)),
-      authorityEdges = Some(edges.select("src", "dst")))
+      authorityEdges = Some(CurateJob.resolveEdges(spark, s"pages:$pagesDir")))
     assert(r.nSampled == 6L, s"only the markup-cited top host ships, got ${r.nSampled}")
     val keptUrls = spark.read.parquet(s"$out/shards")
       .select("url_norm").collect().map(_.getString(0))
