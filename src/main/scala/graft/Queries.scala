@@ -731,6 +731,12 @@ object Queries {
     graft.ops.GraphOps.linkEdgesFromPages(pages(s, d).toDF())
       .orderBy(col("src"), col("dst"))
 
+  /** Canonical-URL dedup census over the raw pages (the planted
+    * doc_id%23==5 mirror rule; see [[TextOps.canonicalDedup]]).
+    */
+  def canonicalDedupQ(s: SparkSession, d: String): DataFrame =
+    TextOps.canonicalDedup(pages(s, d).toDF())
+
   /** PageRank over the markup-EXTRACTED link graph (hostRankEdges over
     * [[graft.ops.GraphOps.linkPairsFromPages]]) — the real-deployment
     * authority path end-to-end: crawl markup → edges → rank. Rank

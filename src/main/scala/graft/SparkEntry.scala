@@ -131,6 +131,7 @@ object SparkEntry {
     "host_rank" -> (Queries.hostRankQ _),
     "link_hosts" -> (Queries.linkHostsQ _),
     "link_rank" -> (Queries.linkRankQ _),
+    "canonical_dedup" -> (Queries.canonicalDedupQ _),
     "mm_frames" -> (Queries.mmFrames _)
   )
 
@@ -499,15 +500,16 @@ object SparkEntry {
          |GROUP BY host ORDER BY n_docs DESC, host ASC LIMIT 5""".stripMargin,
     // wrapper-page byte accounting: bytes_in = 251 fixed-chrome bytes
     // + 40 planted-out-link bytes + its target-host digits
-    // (hid(doc_id*31+7)) + docId digits (title) + paragraph text
-    // (len - (p-1) joining spaces) + 7 bytes <p></p> per paragraph;
-    // bytes_out = text bytes
+    // (hid(doc_id*31+7)) + docId digits (title) + the mirror pages'
+    // canonical tag (53 bytes + target host/id digits, doc_id%23==5
+    // only) + paragraph text (len - (p-1) joining spaces) + 7 bytes
+    // <p></p> per paragraph; bytes_out = text bytes
     "host_cost" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $nw AS nw, $pCnt AS p FROM documents),
          |c AS (
          |  SELECT doc_id,
-         |    291 + length(CAST(${hidOf("(doc_id * 31 + 7)")} AS VARCHAR)) + length(CAST(doc_id AS VARCHAR)) + (length(text) - (p - 1)) + 7 * p AS bytes_in,
+         |    291 + length(CAST(${hidOf("(doc_id * 31 + 7)")} AS VARCHAR)) + length(CAST(doc_id AS VARCHAR)) + CASE WHEN doc_id % 23 = 5 THEN 53 + length(CAST(${hidOf("(doc_id - 5)")} AS VARCHAR)) + length(CAST(doc_id - 5 AS VARCHAR)) ELSE 0 END + (length(text) - (p - 1)) + 7 * p AS bytes_in,
          |    length(text) AS bytes_out, p + 2 AS n_blocks
          |  FROM t)
          |SELECT $hostSql AS host, count(*) AS n_docs,
@@ -606,6 +608,20 @@ object SparkEntry {
     // extracts the links from html — the real-deployment path,
     // oracle-checked end-to-end.
     "link_rank" -> hostRankSql(3, "(doc_id * 31 + 7)"),
+    // canonical-URL dedup: the Spark side regex-extracts the planted
+    // <link rel="canonical"> head tag (doc_id%23==5 mirrors doc_id-5);
+    // the oracle re-derives the grouping from the planting arithmetic.
+    // Absence of the tag = self-canonical.
+    "canonical_dedup" ->
+      s"""WITH c AS (
+         |  SELECT $urlSql AS url,
+         |    CASE WHEN doc_id % 23 = 5
+         |      THEN 'https://host' || CAST(${hidOf("(doc_id - 5)")} AS VARCHAR) || '.example/p/' || CAST(doc_id - 5 AS VARCHAR)
+         |      ELSE $urlSql END AS canonical_url
+         |  FROM documents)
+         |SELECT canonical_url, count(*) AS n_pages,
+         |  max(CASE WHEN url = canonical_url THEN 1 ELSE 0 END) = 1 AS has_canonical_doc
+         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
     "dsir_weights" -> OracleSqlGen.dsirWeights,

@@ -139,11 +139,14 @@ object GraphOps {
                 iters: Int = 3): DataFrame =
     tiersOf(hostRank(spark, docs, iters), nTiers)
 
-  /** Absolute-href regex: captures the url inside `href="https?://…"`.
-    * Relative links (in-site nav/footer) never produce an edge. Public:
-    * the link_hosts oracle documents the extraction contract.
+  /** Absolute ANCHOR-href regex: captures the url inside
+    * `<a href="https?://…"`. Anchors only — `<link rel="canonical">`
+    * and other head metadata carry hrefs but are not hyperlinks and
+    * must not become graph edges. Relative links (in-site nav/footer)
+    * never produce an edge either. Public: the link_hosts oracle
+    * documents the extraction contract.
     */
-  val AbsHrefPattern: String = "href=\"(https?://[^\"]+)\""
+  val AbsHrefPattern: String = "<a href=\"(https?://[^\"]+)\""
 
   /** Host→host link edges extracted from the raw page MARKUP — the
     * crawl-derived link graph the authority funnel consumes (src =

@@ -1368,6 +1368,36 @@ object TextOps {
   /** [[hostOfSql]] as a Column over the named url column. */
   def hostOf(urlNormCol: String): Column = expr(hostOfSql(urlNormCol))
 
+  /** `<link rel="canonical">` href regex (public: the canonical_dedup
+    * oracle documents the extraction contract).
+    */
+  val CanonicalPattern: String = "<link rel=\"canonical\" href=\"([^\"]+)\">"
+
+  /** Canonical-URL dedup census over raw pages — the mirror / AMP /
+    * tracking-variant collapse every crawl pipeline needs BEFORE
+    * content hashing (variant pages often differ in bytes but declare
+    * the same canonical): group pages by their declared
+    * `<link rel="canonical">` target (absence = self-canonical).
+    * Output per canonical group: page count and whether the canonical
+    * target itself was crawled (when false the group needs a fetch,
+    * not just a collapse).
+    *
+    * Scale shape: one regex projection over the pages scan (html read
+    * once, never shuffled — only (url, canonical_url) strings enter
+    * the exchange) + one map-side-combined aggregate on canonical_url.
+    */
+  def canonicalDedup(pages: DataFrame): DataFrame = {
+    val c = pages.select(col("url"),
+      expr(s"regexp_extract(CAST(html AS STRING), '$CanonicalPattern', 1)").as("c"))
+      .select(col("url"),
+        when(col("c") === "", col("url")).otherwise(col("c")).as("canonical_url"))
+    c.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_pages"),
+        (max(when(col("url") === col("canonical_url"), 1L).otherwise(0L)) === 1L)
+          .as("has_canonical_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** Per-host document cap — the "at most `cap` pages per domain"
     * curation rule: keep each host's top-`cap` docs by
     * (n_tokens DESC, doc_id ASC), emitting `cap_rank` (1-based) for

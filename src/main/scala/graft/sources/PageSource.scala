@@ -84,13 +84,32 @@ object PageSource {
   def navHtml(id: Long): String =
     NavHtml.stripSuffix("</nav>") + outLinkHtml(id) + "</nav>"
 
+  /** Planted mirror pages: every doc with id % 23 == 5 declares a
+    * `<link rel="canonical">` to doc (id - 5) — the tracking-variant /
+    * mirror shape canonical-URL dedup collapses. Head-only markup: no
+    * extractable text, so extraction byte-identity is untouched; only
+    * the host_cost byte accounting sees it (53 bytes + host digits +
+    * target-id digits, spec-pinned).
+    */
+  val CanonicalMod: Long = 23L
+  val CanonicalOff: Long = 5L
+
+  def canonicalTarget(id: Long): Option[Long] =
+    if (id % CanonicalMod == CanonicalOff) Some(id - CanonicalOff) else None
+
+  def canonicalLinkHtml(id: Long): String =
+    canonicalTarget(id)
+      .map(t => s"""<link rel="canonical" href="${urlOf(t)}">""")
+      .getOrElse("")
+
   /** Wrap document text into a page whose extraction (blockSep=" ") is
     * byte-identical to `text`.
     */
   def wrapHtml(docId: Long, text: String): Array[Byte] = {
     val sb = new java.lang.StringBuilder(text.length + 512)
     sb.append("<html><head><title>Doc ").append(docId)
-      .append("</title></head>\n<body>\n")
+      .append("</title>").append(canonicalLinkHtml(docId))
+      .append("</head>\n<body>\n")
     sb.append(navHtml(docId)).append('\n')
     sb.append("""<div class="main">""")
     paragraphs(text).foreach { para =>

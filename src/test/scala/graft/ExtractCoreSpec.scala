@@ -213,6 +213,19 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(nav.nLinkChars == nav.nChars) // score exactly 0 -> always stripped
   }
 
+  test("wrapper: canonical tag is 53 bytes + digits, head-only, never extracted") {
+    // host_cost's mirror arithmetic depends on this exact shape
+    for (id <- Seq(5L, 28L, 51L, 23L * 40L + 5L)) {
+      val tag = PageSource.canonicalLinkHtml(id)
+      val t = id - 5L
+      val digits = PageSource.hostId(t).toString.length + t.toString.length
+      assert(tag.length == 53 + digits, s"id=$id tag=$tag")
+    }
+    assert(PageSource.canonicalLinkHtml(6L) == "")
+    val (out, _) = GoldenExtractor.extract(PageSource.wrapHtml(28L, "alpha beta gamma"), cfgSp)
+    assert(out == "alpha beta gamma", s"head tag leaked: $out")
+  }
+
   test("planted out-link never leaks into extraction for ANY bench fixture class") {
     for (id <- 0L to 5L) { // ids cover all three id%3 fixture classes
       val page = PageSource.genPage(id)

@@ -239,6 +239,25 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keys.forall { case (s2, d2) => s2.endsWith(".example") && d2.endsWith(".example") })
   }
 
+  test("canonicalDedup: mirror pages collapse onto their target; self groups singleton") {
+    val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()
+    val rows = graft.ops.TextOps.canonicalDedup(pages).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val ids = TextOps.readDocs(spark, sfDir).select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val mirrors = ids.filter(_ % 23L == 5L)
+    def url(id: Long) = graft.sources.PageSource.urlOf(id)
+    val byUrl = rows.map(r => (r._1, r)).toMap
+    // every mirror's TARGET group holds 2 pages and the crawled target
+    mirrors.foreach { m =>
+      assert(byUrl(url(m - 5L)) == ((url(m - 5L), 2L, true)), s"mirror $m")
+      assert(!byUrl.contains(url(m)), s"mirror $m must not form its own group")
+    }
+    // group count: one per non-mirror doc (each mirror folds into one)
+    assert(rows.length == ids.size - mirrors.size)
+    assert(rows.forall(_._3), "every planted canonical target is in-corpus")
+  }
+
   test("tfidfTopTerms: frequent-here-rare-elsewhere wins; deterministic ties") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
