@@ -737,6 +737,12 @@ object Queries {
   def canonicalDedupQ(s: SparkSession, d: String): DataFrame =
     TextOps.canonicalDedup(pages(s, d).toDF())
 
+  /** Per-page robots indexability (planted doc_id%31==11 noindex rule;
+    * see [[TextOps.robotsGate]]).
+    */
+  def robotsGateQ(s: SparkSession, d: String): DataFrame =
+    TextOps.robotsGate(pages(s, d).toDF())
+
   /** PageRank over the markup-EXTRACTED link graph (hostRankEdges over
     * [[graft.ops.GraphOps.linkPairsFromPages]]) — the real-deployment
     * authority path end-to-end: crawl markup → edges → rank. Rank

@@ -132,6 +132,7 @@ object SparkEntry {
     "link_hosts" -> (Queries.linkHostsQ _),
     "link_rank" -> (Queries.linkRankQ _),
     "canonical_dedup" -> (Queries.canonicalDedupQ _),
+    "robots_gate" -> (Queries.robotsGateQ _),
     "mm_frames" -> (Queries.mmFrames _)
   )
 
@@ -503,13 +504,14 @@ object SparkEntry {
     // (hid(doc_id*31+7)) + docId digits (title) + the mirror pages'
     // canonical tag (53 bytes + target host/id digits, doc_id%23==5
     // only) + paragraph text (len - (p-1) joining spaces) + 7 bytes
-    // <p></p> per paragraph; bytes_out = text bytes
+    // <p></p> per paragraph + the noindex pages' 38-byte robots meta
+    // (doc_id%31==11); bytes_out = text bytes
     "host_cost" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $nw AS nw, $pCnt AS p FROM documents),
          |c AS (
          |  SELECT doc_id,
-         |    291 + length(CAST(${hidOf("(doc_id * 31 + 7)")} AS VARCHAR)) + length(CAST(doc_id AS VARCHAR)) + CASE WHEN doc_id % 23 = 5 THEN 53 + length(CAST(${hidOf("(doc_id - 5)")} AS VARCHAR)) + length(CAST(doc_id - 5 AS VARCHAR)) ELSE 0 END + (length(text) - (p - 1)) + 7 * p AS bytes_in,
+         |    291 + length(CAST(${hidOf("(doc_id * 31 + 7)")} AS VARCHAR)) + length(CAST(doc_id AS VARCHAR)) + CASE WHEN doc_id % 23 = 5 THEN 53 + length(CAST(${hidOf("(doc_id - 5)")} AS VARCHAR)) + length(CAST(doc_id - 5 AS VARCHAR)) ELSE 0 END + CASE WHEN doc_id % 31 = 11 THEN 38 ELSE 0 END + (length(text) - (p - 1)) + 7 * p AS bytes_in,
          |    length(text) AS bytes_out, p + 2 AS n_blocks
          |  FROM t)
          |SELECT $hostSql AS host, count(*) AS n_docs,
@@ -622,6 +624,12 @@ object SparkEntry {
          |SELECT canonical_url, count(*) AS n_pages,
          |  max(CASE WHEN url = canonical_url THEN 1 ELSE 0 END) = 1 AS has_canonical_doc
          |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // robots-noindex compliance gate: the Spark side regex-detects the
+    // planted head meta tag (doc_id%31==11); the oracle re-derives
+    // indexability from the planting arithmetic.
+    "robots_gate" ->
+      s"""SELECT $urlSql AS url, NOT (doc_id % 31 = 11) AS indexable
+         |FROM documents ORDER BY url""".stripMargin,
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
     "dsir_weights" -> OracleSqlGen.dsirWeights,

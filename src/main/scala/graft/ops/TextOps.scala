@@ -1386,6 +1386,29 @@ object TextOps {
     * once, never shuffled — only (url, canonical_url) strings enter
     * the exchange) + one map-side-combined aggregate on canonical_url.
     */
+  /** robots-noindex meta regex — content may carry other directives
+    * alongside noindex (`"noindex, nofollow"`); any occurrence opts
+    * the page out. Public: the robots_gate oracle documents it.
+    */
+  val NoindexPattern: String =
+    "<meta name=\"robots\" content=\"[^\"]*noindex[^\"]*\">"
+
+  /** Publisher opt-out gate: per-page indexability from the robots
+    * meta tag — the compliance filter a training pipeline must apply
+    * BEFORE extraction (a noindex page must not enter the corpus at
+    * all, not merely be down-weighted). One per-row codegen regex over
+    * the pages scan; zero shuffles.
+    */
+  def robotsGate(pages: DataFrame): DataFrame =
+    pages.select(col("url"),
+      (!expr(s"regexp_like(CAST(html AS STRING), '$NoindexPattern')"))
+        .as("indexable"))
+      .orderBy(col("url"))
+
+  /** The gate applied: pages that may enter extraction. */
+  def indexablePages(pages: DataFrame): DataFrame =
+    pages.filter(!expr(s"regexp_like(CAST(html AS STRING), '$NoindexPattern')"))
+
   def canonicalDedup(pages: DataFrame): DataFrame = {
     val c = pages.select(col("url"),
       expr(s"regexp_extract(CAST(html AS STRING), '$CanonicalPattern', 1)").as("c"))

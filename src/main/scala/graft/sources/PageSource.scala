@@ -102,6 +102,20 @@ object PageSource {
       .map(t => s"""<link rel="canonical" href="${urlOf(t)}">""")
       .getOrElse("")
 
+  /** Planted robots-noindex pages: every doc with id % 31 == 11
+    * carries `<meta name="robots" content="noindex">` in the head —
+    * the publisher opt-out a compliant training-data pipeline must
+    * honor BEFORE extraction. Head-only (38 fixed bytes, no text):
+    * extraction byte-identity untouched, host_cost sees the constant.
+    */
+  val NoindexMod: Long = 31L
+  val NoindexOff: Long = 11L
+
+  def isNoindex(id: Long): Boolean = id % NoindexMod == NoindexOff
+
+  def robotsMetaHtml(id: Long): String =
+    if (isNoindex(id)) """<meta name="robots" content="noindex">""" else ""
+
   /** Wrap document text into a page whose extraction (blockSep=" ") is
     * byte-identical to `text`.
     */
@@ -109,6 +123,7 @@ object PageSource {
     val sb = new java.lang.StringBuilder(text.length + 512)
     sb.append("<html><head><title>Doc ").append(docId)
       .append("</title>").append(canonicalLinkHtml(docId))
+      .append(robotsMetaHtml(docId))
       .append("</head>\n<body>\n")
     sb.append(navHtml(docId)).append('\n')
     sb.append("""<div class="main">""")

@@ -226,6 +226,13 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(out == "alpha beta gamma", s"head tag leaked: $out")
   }
 
+  test("wrapper: robots meta is exactly 38 bytes, head-only, never extracted") {
+    assert(PageSource.robotsMetaHtml(11L).length == 38)
+    assert(PageSource.robotsMetaHtml(12L) == "")
+    val (out, _) = GoldenExtractor.extract(PageSource.wrapHtml(42L, "alpha beta gamma"), cfgSp)
+    assert(out == "alpha beta gamma", s"head tag leaked: $out") // 42 % 31 == 11
+  }
+
   test("planted out-link never leaks into extraction for ANY bench fixture class") {
     for (id <- 0L to 5L) { // ids cover all three id%3 fixture classes
       val page = PageSource.genPage(id)

@@ -258,6 +258,26 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._3), "every planted canonical target is in-corpus")
   }
 
+  test("robotsGate: planted noindex pages are the exact excluded set; multi-directive content matches") {
+    val sp = spark; import sp.implicits._
+    val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()
+    val got = graft.ops.TextOps.robotsGate(pages).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    val ids = TextOps.readDocs(spark, sfDir).select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val url = graft.sources.PageSource.urlOf(id)
+      assert(got(url) == !graft.sources.PageSource.isNoindex(id), s"id=$id")
+    }
+    assert(graft.ops.TextOps.indexablePages(pages).count() ==
+      ids.count(!graft.sources.PageSource.isNoindex(_)).toLong)
+    // directive lists still opt out ("noindex, nofollow")
+    val mixed = Seq(("https://x.example/p/1",
+      """<html><head><meta name="robots" content="noindex, nofollow"></head><body><p>t</p></body></html>"""
+        .getBytes("UTF-8"))).toDF("url", "html")
+    assert(graft.ops.TextOps.robotsGate(mixed).collect().head.getBoolean(1) == false)
+  }
+
   test("tfidfTopTerms: frequent-here-rare-elsewhere wins; deterministic ties") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
