@@ -149,14 +149,84 @@ object ParquetTableIO extends TableIO {
     val cp = commitsPath(ident)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(cp)
+    // monotone sequence number in the name (count of existing lists —
+    // sound under the documented single-writer protocol): gives the
+    // commit log a total ORDER, which readAsOf/readChanges time travel
+    // rides. Legacy unnumbered lists order by modification time.
+    val seq = fs.listStatus(cp).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".list"))
     val id = java.util.UUID.randomUUID().toString
     val tmp = new org.apache.hadoop.fs.Path(cp, s".tmp-$id")
-    val fin = new org.apache.hadoop.fs.Path(cp, s"c-$id.list")
+    val fin = new org.apache.hadoop.fs.Path(cp, f"c-$seq%08d-$id.list")
     val out = fs.create(tmp, true)
     try out.write((names.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.rename(tmp, fin)
+  }
+
+  private val SeqName = """c-(\d{8})-.*\.list""".r
+
+  /** Ordered commit history: one (seq, data-file names) entry per
+    * completed append, oldest first. Seq numbers come from the list
+    * names; legacy unnumbered lists (pre-time-travel tables) order by
+    * modification time and are assigned their position. Empty when the
+    * table predates the commit log entirely.
+    */
+  def commitHistory(spark: SparkSession, ident: String): Seq[(Long, Seq[String])] = {
+    val cp = commitsPath(ident)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cp)) return Seq.empty
+    val lists = fs.listStatus(cp).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+      .toSeq
+    // legacy (unnumbered) lists predate the numbering scheme, so they
+    // sort FIRST — among themselves by modification time — then the
+    // numbered lists by their sequence
+    val ordered = lists.sortBy { st =>
+      st.getPath.getName match {
+        case SeqName(s) => (1, s.toLong, st.getModificationTime)
+        case _          => (0, 0L, st.getModificationTime)
+      }
+    }
+    ordered.zipWithIndex.map { case (st, i) =>
+      val in = fs.open(st.getPath)
+      val names =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      (i.toLong, names)
+    }
+  }
+
+  /** Snapshot-as-of read: the table as it stood after commit `seq`
+    * (inclusive; seqs from [[commitHistory]]). Reads ONLY the files
+    * those commits listed — later appends are invisible. NOTE:
+    * CompactJob / DeleteJob reset the commit log at their atomic swap,
+    * collapsing history to a fresh genesis — time travel spans
+    * appends, not rewrites (the documented contract; Iceberg snapshots
+    * are the full-fidelity variant of this seam).
+    */
+  def readAsOf(spark: SparkSession, ident: String, seq: Long): DataFrame = {
+    val files = commitHistory(spark, ident)
+      .filter(_._1 <= seq).flatMap(_._2)
+      .map(n => s"$ident/$n")
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** CDC feed: rows ADDED by commits in (fromSeq, toSeq] — on an
+    * append-only table the new files ARE the change set, so an
+    * incremental consumer reads exactly the delta (no diff join, no
+    * full-table scan). toSeq = Long.MaxValue tails the whole log.
+    */
+  def readChanges(spark: SparkSession, ident: String,
+                  fromSeq: Long, toSeq: Long = Long.MaxValue): DataFrame = {
+    val files = commitHistory(spark, ident)
+      .filter { case (s, _) => s > fromSeq && s <= toSeq }.flatMap(_._2)
+      .map(n => s"$ident/$n")
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
   }
 
   override def reconcileOrphanFiles(spark: SparkSession, ident: String): Seq[String] =

@@ -78,6 +78,56 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(io.snapshotId(spark, path) != s1, "must change on append")
   }
 
+  test("time travel: readAsOf replays any commit prefix; readChanges is the exact delta") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    ParquetTableIO.appendCommit((0L until 10L).toDF("id"), path)
+    ParquetTableIO.appendCommit((10L until 25L).toDF("id"), path)
+    ParquetTableIO.appendCommit((25L until 30L).toDF("id"), path)
+
+    val hist = ParquetTableIO.commitHistory(spark, path)
+    assert(hist.map(_._1) == Seq(0L, 1L, 2L))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      if (df.schema.isEmpty) Seq.empty
+      else df.select("id").as[Long].collect().sorted.toSeq
+    assert(ids(ParquetTableIO.readAsOf(spark, path, 0L)) == (0L until 10L))
+    assert(ids(ParquetTableIO.readAsOf(spark, path, 1L)) == (0L until 25L))
+    assert(ids(ParquetTableIO.readAsOf(spark, path, 2L)) == (0L until 30L))
+    // CDC: (from, to] delta only — no full-table scan, no diff join
+    assert(ids(ParquetTableIO.readChanges(spark, path, 0L, 2L)) == (10L until 30L))
+    assert(ids(ParquetTableIO.readChanges(spark, path, 2L)) == Seq.empty)
+    // an incremental consumer that checkpoints "last seen seq" drains
+    // exactly once: tail from each seq and union == full table
+    val drained = (Seq(-1L, 0L, 1L).zip(Seq(0L, 1L, 2L))).flatMap {
+      case (f, t) => ids(ParquetTableIO.readChanges(spark, path, f, t))
+    }
+    assert(drained.sorted == (0L until 30L))
+  }
+
+  test("time travel: legacy unnumbered commit lists order by modification time") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-ttl").toString + "/t"
+    ParquetTableIO.appendCommit((0L until 4L).toDF("id"), path)
+    // forge a legacy (unnumbered) list name for the first commit
+    val cp = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = fs.listStatus(cp).filter(_.getPath.getName.endsWith(".list")).head.getPath
+    fs.rename(first, new org.apache.hadoop.fs.Path(cp, "c-legacy.list"))
+    Thread.sleep(1100) // HDFS-API modtime granularity is a full second
+    ParquetTableIO.appendCommit((4L until 9L).toDF("id"), path)
+    val hist = ParquetTableIO.commitHistory(spark, path)
+    assert(hist.size == 2)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // legacy lists predate numbering → they sort first: the true
+    // append order survives the migration
+    assert(ids(ParquetTableIO.readAsOf(spark, path, 0L)) == (0L until 4L))
+    assert(ids(ParquetTableIO.readAsOf(spark, path, 1L)) == (0L until 9L))
+    assert(ids(ParquetTableIO.readChanges(spark, path, 0L)) == (4L until 9L))
+  }
+
   test("Iceberg implementation satisfies the seam (no catalog in sandbox)") {
     // compile-time: IcebergTableIO IS a TableIO; runtime methods need a
     // configured catalog, so only the catalog-free surface is driven.
