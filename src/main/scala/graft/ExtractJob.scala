@@ -74,7 +74,8 @@ object ExtractJob {
       jobId: String = "job",
       attempt: Int = 0,
       cfg: ExtractorConfig = ExtractorConfig.default,
-      io: TableIO = ParquetTableIO
+      io: TableIO = ParquetTableIO,
+      honorRobots: Boolean = false
   ): (Long, Long) = {
     import spark.implicits._
     val outPath = s"$outDir/pages_extracted"
@@ -124,7 +125,13 @@ object ExtractJob {
     val inputSnapshot = io.snapshotId(spark, pagesPath)
 
     val pages = io.readPages(spark, pagesPath)
-    val gated = ExtractPipeline.inputGate(pages)
+    // P4 scan-pushed validity gate; then (opt-in) the robots-noindex
+    // compliance gate — a codegen regex over the html the extractor
+    // reads anyway (same scan, no extra pass). Off by default: the
+    // byte-identity oracles and resume tests run ungated.
+    val gated0 = ExtractPipeline.inputGate(pages)
+    val gated =
+      if (honorRobots) graft.ops.TextOps.indexablePages(gated0) else gated0
     val done = doneIds.toSeq.sorted.toDF("part_id")
     val todo = ExtractPipeline
       .withPartId(gated, parts)
@@ -202,13 +209,15 @@ object ExtractJob {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.ExtractJob <pagesPath> <outDir> [numLogicalParts] [jobId]")
+      System.err.println("usage: graft.ExtractJob <pagesPath> <outDir> " +
+        "[numLogicalParts] [jobId] [honor-robots]")
       sys.exit(2)
     }
     val pagesPath = args(0)
     val outDir = args(1)
     val parts = if (args.length > 2) args(2).toInt else DefaultLogicalParts
     val jobId = if (args.length > 3) args(3) else "job-" + System.currentTimeMillis()
+    val honorRobots = args.length > 4 && args(4) == "honor-robots"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -221,7 +230,8 @@ object ExtractJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (rows, resumedFrom) = run(spark, pagesPath, outDir, parts, jobId)
+    val (rows, resumedFrom) =
+      run(spark, pagesPath, outDir, parts, jobId, honorRobots = honorRobots)
     println(s"""{"job":"$jobId","output_rows":$rows,"resumed_part_ids":$resumedFrom}""")
     spark.stop()
   }

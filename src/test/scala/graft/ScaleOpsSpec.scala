@@ -258,6 +258,21 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._3), "every planted canonical target is in-corpus")
   }
 
+  test("plan shape: markup ops shuffle extracted strings only — html never rides an exchange") {
+    val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()
+    def exchangeLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("Exchange")).toSeq
+    val linkEx = exchangeLines(graft.ops.GraphOps.linkEdgesFromPages(pages))
+    assert(linkEx.exists(_.contains("hashpartitioning(src")), linkEx.mkString("\n"))
+    assert(linkEx.forall(!_.contains("html")), linkEx.mkString("\n"))
+    val canonEx = exchangeLines(graft.ops.TextOps.canonicalDedup(pages))
+    assert(canonEx.exists(_.contains("canonical_url")), canonEx.mkString("\n"))
+    assert(canonEx.forall(!_.contains("html")), canonEx.mkString("\n"))
+    val robotsEx = exchangeLines(graft.ops.TextOps.robotsGate(pages))
+    assert(robotsEx.forall(!_.contains("html")), robotsEx.mkString("\n"))
+  }
+
   test("robotsGate: planted noindex pages are the exact excluded set; multi-directive content matches") {
     val sp = spark; import sp.implicits._
     val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()

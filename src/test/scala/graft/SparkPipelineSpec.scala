@@ -115,6 +115,29 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("ExtractJob honor-robots: planted noindex pages are excluded; default run unchanged") {
+    val s = spark
+    import s.implicits._
+    val pagesDir = tmp() + "/pages"
+    PageSource.fromDocuments(spark, sfDir, withDups = false).toDF().write.parquet(pagesDir)
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long].collect()
+    val noindex = ids.filter(PageSource.isNoindex).toSet
+    assert(noindex.nonEmpty, "corpus must plant at least one noindex page")
+
+    val outGated = tmp()
+    val (rowsG, _) = ExtractJob.run(spark, pagesDir, outGated, numLogicalParts = 8,
+      jobId = "rg", honorRobots = true)
+    assert(rowsG == ids.length - noindex.size)
+    val urls = spark.read.parquet(s"$outGated/pages_extracted")
+      .select("url").as[String].collect().toSet
+    noindex.foreach(id => assert(!urls.contains(PageSource.urlOf(id)), s"noindex $id leaked"))
+
+    val outDefault = tmp()
+    val (rowsD, _) = ExtractJob.run(spark, pagesDir, outDefault, numLogicalParts = 8, jobId = "rd")
+    assert(rowsD == ids.length, "default (ungated) run keeps every page")
+  }
+
   test("ExtractJob single-pass: the pages scan executes exactly once per run") {
     val pagesDir = tmp() + "/pages"
     PageSource.genPages(spark, 200, 4).toDF().write.parquet(pagesDir)
