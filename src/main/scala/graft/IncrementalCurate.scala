@@ -277,6 +277,26 @@ object IncrementalCurate {
       prefilterMaxBytes: Long = 256L << 20,
       lexIndexDir: Option[String] = None,
       annIndexDir: Option[String] = None
+  ): DropReport =
+    ingestDropDf(spark, spark.read.parquet(dropPath), stateDir, minTokens,
+      dupFactor, minJaccardMilli, maxBucket, prefilterFpp, prefilterMaxBytes,
+      lexIndexDir, annIndexDir)
+
+  /** [[ingestDrop]] over an already-constructed drop relation — the
+    * seam the commit-log CDC source ([[ingestFromCommits]]) feeds.
+    */
+  def ingestDropDf(
+      spark: SparkSession,
+      dropDf: org.apache.spark.sql.DataFrame,
+      stateDir: String,
+      minTokens: Long = 5L,
+      dupFactor: Long = 2L,
+      minJaccardMilli: Long = 700L,
+      maxBucket: Int = 4096,
+      prefilterFpp: Double = 0.001,
+      prefilterMaxBytes: Long = 256L << 20,
+      lexIndexDir: Option[String] = None,
+      annIndexDir: Option[String] = None
   ): DropReport = {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
@@ -294,7 +314,7 @@ object IncrementalCurate {
     val hasState = listDataNames(spark, stateDir, "canonical").nonEmpty
     val hasUrls = listDataNames(spark, stateDir, "urls").nonEmpty
 
-    val drop = spark.read.parquet(dropPath).select(col("url"), col("text"))
+    val drop = dropDf.select(col("url"), col("text"))
     val nDrop = drop.count()
 
     // within-drop url dedup (CurateJob's deterministic revisit rule).
@@ -545,6 +565,76 @@ object IncrementalCurate {
     reports
   }
 
+  // ---- commit-log CDC source: the daily "drop" is whatever commits
+  // the upstream extracted table gained since this state last looked.
+
+  private def cdcPath(s: String) = new Path(s"$s/_cdc/seq")
+
+  private def readCdcCheckpoint(spark: SparkSession, stateDir: String): (String, Long) = {
+    val p = cdcPath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return ("", -1L)
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    (lines.headOption.getOrElse(""), lines.lift(1).map(_.toLong).getOrElse(-1L))
+  }
+
+  private def writeCdcCheckpoint(spark: SparkSession, stateDir: String,
+                                 logId: String, seq: Long): Unit = {
+    val p = cdcPath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$logId\n$seq\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** CDC-driven ingest: treat a commit-logged append-only table (an
+    * ExtractJob output) as the drop SOURCE — process exactly the
+    * commits this state has not yet seen
+    * (ParquetTableIO.readChanges(lastSeq, latest]), no diff join, no
+    * full-table rescan. The (commit-log id, last seq) checkpoint is
+    * written AFTER the drop's manifest commit, so crash semantics
+    * compose with the drop-atomic protocol into exactly-once EFFECT:
+    *  - crash before the drop commit → reconcile rolls the half-drop
+    *    back, checkpoint unchanged, the re-run replays the same delta;
+    *  - crash after the drop commit but before the checkpoint → the
+    *    re-run replays a delta whose urls are all known (admits 0)
+    *    and then advances the checkpoint.
+    * A commit-log RESET (CompactJob/DeleteJob swap collapses history
+    * to a fresh genesis) is detected by the stored log id: the
+    * consumer falls back to one idempotent full replay rather than
+    * silently skipping post-reset commits.
+    *
+    * Returns None when there is nothing new.
+    */
+  def ingestFromCommits(
+      spark: SparkSession,
+      tablePath: String,
+      stateDir: String,
+      lexIndexDir: Option[String] = None,
+      annIndexDir: Option[String] = None
+  ): Option[(Long, DropReport)] = {
+    import graft.pipeline.ParquetTableIO
+    val hist = ParquetTableIO.commitHistory(spark, tablePath)
+    if (hist.isEmpty) return None
+    val logId = ParquetTableIO.commitLogId(spark, tablePath)
+    val (seenId, seenSeq0) = readCdcCheckpoint(spark, stateDir)
+    val seenSeq = if (seenId == logId) seenSeq0 else -1L
+    val latest = hist.last._1
+    if (latest <= seenSeq) return None
+    val delta = ParquetTableIO.readChanges(spark, tablePath, seenSeq, latest)
+    val r = ingestDropDf(spark, delta, stateDir,
+      lexIndexDir = lexIndexDir, annIndexDir = annIndexDir)
+    writeCdcCheckpoint(spark, stateDir, logId, latest)
+    Some((latest, r))
+  }
+
   /** Right-to-be-forgotten at the curation layer: remove the victims'
     * canonical rows (and their MinHash band slices) while RETAINING
     * the urls and shas state — retention is deliberate: a forgotten
@@ -670,7 +760,8 @@ object IncrementalCurate {
       System.err.println(
         "usage: graft.IncrementalCurate <dropPath> <stateDir> [lexIndexDir] " +
           "[annIndexDir] | --compact <stateDir> " +
-          "| --forget <stateDir> <urlsParquet> [lexIndexDir] [annIndexDir]")
+          "| --forget <stateDir> <urlsParquet> [lexIndexDir] [annIndexDir] " +
+          "| --from-commits <tablePath> <stateDir> [lexIndexDir] [annIndexDir]")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -688,6 +779,21 @@ object IncrementalCurate {
       val n = forget(spark, spark.read.parquet(args(2)), args(1),
         lexIndexDir = args.lift(3), annIndexDir = args.lift(4))
       println(s"""{"n_forgotten":$n}""")
+      spark.stop()
+      return
+    }
+    if (args(0) == "--from-commits") {
+      require(args.length >= 3, "--from-commits needs <tablePath> <stateDir>")
+      ingestFromCommits(spark, args(1), args(2),
+        lexIndexDir = args.lift(3), annIndexDir = args.lift(4)) match {
+        case None =>
+          println("""{"cdc":"up-to-date"}""")
+        case Some((seq, r)) =>
+          println(
+            s"""{"cdc_seq":$seq,"n_drop":${r.nDrop},"n_new_urls":${r.nNewUrls},""" +
+            s""""n_gated":${r.nGated},"n_state_linked":${r.nStateLinked},""" +
+            s""""n_admitted":${r.nAdmitted},"n_canonical_total":${r.nCanonicalTotal}}""")
+      }
       spark.stop()
       return
     }

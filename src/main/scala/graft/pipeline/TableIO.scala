@@ -173,7 +173,8 @@ object ParquetTableIO extends TableIO {
     * modification time and are assigned their position. Empty when the
     * table predates the commit log entirely.
     */
-  def commitHistory(spark: SparkSession, ident: String): Seq[(Long, Seq[String])] = {
+  private def orderedCommitLists(spark: SparkSession, ident: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val cp = commitsPath(ident)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cp)) return Seq.empty
@@ -183,13 +184,18 @@ object ParquetTableIO extends TableIO {
     // legacy (unnumbered) lists predate the numbering scheme, so they
     // sort FIRST — among themselves by modification time — then the
     // numbered lists by their sequence
-    val ordered = lists.sortBy { st =>
+    lists.sortBy { st =>
       st.getPath.getName match {
         case SeqName(s) => (1, s.toLong, st.getModificationTime)
         case _          => (0, 0L, st.getModificationTime)
       }
     }
-    ordered.zipWithIndex.map { case (st, i) =>
+  }
+
+  def commitHistory(spark: SparkSession, ident: String): Seq[(Long, Seq[String])] = {
+    val cp = commitsPath(ident)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    orderedCommitLists(spark, ident).zipWithIndex.map { case (st, i) =>
       val in = fs.open(st.getPath)
       val names =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -198,6 +204,17 @@ object ParquetTableIO extends TableIO {
       (i.toLong, names)
     }
   }
+
+  /** Identity of the commit log's FIRST (oldest) list — changes iff
+    * the log was reset (CompactJob / DeleteJob swap) and a fresh
+    * genesis was adopted. CDC consumers checkpoint this next to their
+    * last-seen seq so a log reset is detected (seqs restart at 0) and
+    * they fall back to an idempotent full replay instead of silently
+    * skipping post-reset commits. Empty string when no log exists.
+    */
+  def commitLogId(spark: SparkSession, ident: String): String =
+    orderedCommitLists(spark, ident).headOption
+      .map(_.getPath.getName).getOrElse("")
 
   /** Snapshot-as-of read: the table as it stood after commit `seq`
     * (inclusive; seqs from [[commitHistory]]). Reads ONLY the files

@@ -103,6 +103,48 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(urls2 == urls)
   }
 
+  test("commit-log CDC ingest: exact deltas, exactly-once effect, log-reset fallback") {
+    val sp = spark; import sp.implicits._
+    val state = tmp("cdc-state")
+    val table = tmp("cdc-table") + "/t"
+    def commit(rows: Seq[(String, String)]): Unit =
+      graft.pipeline.ParquetTableIO.appendCommit(rows.toDF("url", "text"), table)
+
+    // two commits, one CDC ingest: BOTH ride the first delta
+    commit((0 until 6).map(i => (s"https://cdc.example/p/$i", textOf(s"c$i"))))
+    commit((6 until 10).map(i => (s"https://cdc.example/p/$i", textOf(s"c$i"))))
+    val Some((seq1, r1)) = IncrementalCurate.ingestFromCommits(spark, table, state)
+    assert(seq1 == 1L && r1.nDrop == 10 && r1.nAdmitted == 10)
+
+    // nothing new -> None (no work, no state mutation)
+    assert(IncrementalCurate.ingestFromCommits(spark, table, state).isEmpty)
+
+    // commit 3: only the DELTA is processed (4 fresh + 1 exact dup of c0)
+    commit(Seq(("https://cdc.example/p/dup", textOf("c0"))) ++
+      (10 until 14).map(i => (s"https://cdc.example/p/$i", textOf(s"c$i"))))
+    val Some((seq2, r2)) = IncrementalCurate.ingestFromCommits(spark, table, state)
+    assert(seq2 == 2L && r2.nDrop == 5)
+    assert(r2.nStateLinked == 1 && r2.nAdmitted == 4, s"delta-only: $r2")
+
+    // crash AFTER drop commit, BEFORE checkpoint: wipe the checkpoint —
+    // the replayed delta is all-known (admits 0), then seq advances
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/_cdc"), true)
+    val Some((seqR, rR)) = IncrementalCurate.ingestFromCommits(spark, table, state)
+    assert(seqR == 2L && rR.nAdmitted == 0, s"replay must admit nothing: $rR")
+    assert(IncrementalCurate.ingestFromCommits(spark, table, state).isEmpty)
+
+    // log RESET (the compaction swap shape): fresh genesis, seqs restart —
+    // the stored log id mismatches, one idempotent full replay, admits 0
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/_commits"), true)
+    commit(Seq(("https://cdc.example/p/15", textOf("c15"))))
+    val Some((seqZ, rZ)) = IncrementalCurate.ingestFromCommits(spark, table, state)
+    assert(rZ.nAdmitted == 1, s"only the post-reset doc is new: $rZ")
+    assert(IncrementalCurate.ingestFromCommits(spark, table, state).isEmpty)
+    assert(seqZ >= 0L)
+  }
+
   test("prefilterState: bloom probe fires in-plan, keeps every true match, byte-cap bypasses") {
     val sp = spark; import sp.implicits._
     graft.functions.GraftExtensions.register(spark)
