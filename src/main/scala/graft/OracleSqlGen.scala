@@ -814,6 +814,44 @@ private[graft] object OracleSqlGen {
   /** Heavy-hitter 8-gram census over the near-dup corpus (ties broken
     * count-desc/gram-asc on both engines).
     */
+  /** Count-min-sketch census mirror: per-word buckets from the
+    * FNV+splitmix chain under each of the four row seeds (TextOps
+    * .CmsSeeds embedded as unsigned literals), cell counts = summed
+    * exact counts of the words sharing the cell (equivalent to
+    * counting occurrences directly), estimate = min over the four
+    * cells — the published CMS read path, integer-exact.
+    */
+  val cmsCensus: String = {
+    import graft.ops.TextOps
+    val chains = TextOps.CmsSeeds.zipWithIndex.map { case (s, d) =>
+      val su = s"${java.lang.Long.toUnsignedString(s)}::HUGEINT"
+      s"""x$d AS (SELECT w, ${xor64("x", su)} AS x FROM f),
+         |${splitmixCtes(s"m$d", s"x$d", "w")},
+         |b$d AS (SELECT w, $d AS d, CAST(hk % ${TextOps.CmsWidth}::HUGEINT AS BIGINT) AS bucket FROM m${d}6)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = TextOps.CmsSeeds.indices
+      .map(d => s"SELECT * FROM b$d").mkString(" UNION ALL ")
+    s"""WITH wx AS (
+       |  SELECT u.x AS w
+       |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(x)),
+       |cnt AS (SELECT w, count(*) AS exact FROM wx GROUP BY w),
+       |f AS (SELECT w, ${fnvU("w")} AS x FROM (SELECT DISTINCT w FROM wx) dw),
+       |$chains,
+       |wb AS ($union),
+       |cms AS (
+       |  SELECT d, bucket, CAST(sum(exact) AS BIGINT) AS c
+       |  FROM cnt JOIN wb USING (w) GROUP BY d, bucket),
+       |est AS (
+       |  SELECT wb.w, min(cms.c) AS cms_count
+       |  FROM wb JOIN cms USING (d, bucket) GROUP BY wb.w),
+       |top AS (SELECT w, exact FROM cnt ORDER BY exact DESC, w ASC LIMIT 10)
+       |SELECT t.w, CAST(t.exact AS BIGINT) AS exact_count, e.cms_count,
+       |  e.cms_count >= t.exact AS sound
+       |FROM top t JOIN est e USING (w)
+       |ORDER BY exact_count DESC, w ASC""".stripMargin
+  }
+
   val ngramCensus: String =
     s"""WITH $nearDupCorpus,
        |g AS (

@@ -506,6 +506,12 @@ object Queries {
   def lmScoreQ(s: SparkSession, d: String): DataFrame =
     TextOps.lmScore(TextOps.readDocs(s, d))
 
+  /** Count-min-sketch census with exact-count audit (see
+    * [[TextOps.cmsCensus]]).
+    */
+  def cmsCensusQ(s: SparkSession, d: String): DataFrame =
+    TextOps.cmsCensus(s, TextOps.readDocs(s, d))
+
   def tfidfTopTermsQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfidfTopTerms(TextOps.readDocs(s, d))
 

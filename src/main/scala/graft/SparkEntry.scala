@@ -52,6 +52,7 @@ object SparkEntry {
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
     "lm_score" -> (Queries.lmScoreQ _),
+    "cms_census" -> (Queries.cmsCensusQ _),
     "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
     "mix_balance" -> (Queries.mixBalanceQ _),
     "decontaminate" -> (Queries.decontaminateQ _),
@@ -942,6 +943,7 @@ object SparkEntry {
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,
+    "cms_census" -> OracleSqlGen.cmsCensus,
     "passage_dedup" -> OracleSqlGen.passageDedup,
     "dedup_spans" -> OracleSqlGen.dedupSpans,
     "dup_cluster" -> OracleSqlGen.dupCluster,

@@ -1223,6 +1223,62 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Count-min sketch census (bounded-memory heavy hitters)
+  // -------------------------------------------------------------------
+
+  /** Count-min geometry (public: the cms_census oracle embeds it). */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+  /** Row seeds: bucket_d(w) = splitmix64(fnv1a64(w) xor seed_d) mod W. */
+  val CmsSeeds: Array[Long] = Array(
+    0x9e3779b97f4a7c15L, 0xc2b2ae3d27d4eb4fL,
+    0x165667b19e3779f9L, 0x27d4eb2f165667c5L)
+
+  /** Count-min-sketch word census with a soundness audit — the
+    * bounded-memory answer to "count everything" at 100 TB: the exact
+    * census's state is vocabulary-sized (unbounded), the sketch's is
+    * FIXED at depth×width cells (4×1024 here), and map-side combine
+    * caps the shuffle at that cell count per task regardless of corpus
+    * size. Estimates are deterministic over-counts (est ≥ exact, the
+    * published CMS guarantee); this query reports the true top-`topK`
+    * words with exact and sketch counts side by side — the
+    * measurement a sketch user needs (ann_recall's analog for
+    * counting). All hashing is the FNV+splitmix integer kernel pair
+    * the DuckDB oracle replays bit-for-bit.
+    */
+  /** The CMS row buckets of one word (public: spec recomputes it). */
+  def cmsBucketsOf(w: String): Seq[(String, Int, Long)] = {
+    val base = fnv1a64(w)
+    CmsSeeds.toSeq.zipWithIndex.map { case (s, d) =>
+      (w, d, java.lang.Long.remainderUnsigned(
+        graft.sources.PageSource.splitmix64(base ^ s), CmsWidth))
+    }
+  }
+
+  def cmsCensus(spark: SparkSession, docs: DataFrame, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").as[String]
+    // sketch: one pass, (d, bucket) cells — ≤ CmsDepth·CmsWidth rows
+    // survive the (map-side combined) aggregate
+    val cells = words.flatMap(w => cmsBucketsOf(w).map { case (_, d, b) => (d, b) })
+      .toDF("d", "bucket")
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+    // audit side: exact census (vocabulary-sized — the thing the
+    // sketch replaces; computed here only to measure it)
+    val exact = words.toDF("w").groupBy(col("w")).agg(count(lit(1)).as("exact_count"))
+    val top = exact.orderBy(col("exact_count").desc, col("w").asc).limit(topK)
+    val probes = top.select(col("w")).as[String]
+      .flatMap(cmsBucketsOf _).toDF("w", "d", "bucket")
+    val est = probes.join(cells, Seq("d", "bucket"))
+      .groupBy(col("w")).agg(min(col("c")).as("cms_count"))
+    top.join(est, Seq("w"))
+      .select(col("w"), col("exact_count"), col("cms_count"),
+        (col("cms_count") >= col("exact_count")).as("sound"))
+      .orderBy(col("exact_count").desc, col("w").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Mixture balancing (per-stratum rate-balanced sampling)
   // -------------------------------------------------------------------
 

@@ -414,6 +414,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == re)
   }
 
+  test("cmsCensus: estimates are sound over-counts; JVM sketch recompute matches; partition-invariant") {
+    val sp = spark; import sp.implicits._
+    // skewed corpus: "hot" dominates, a long tail forces bucket sharing
+    val docs = ((1L to 40L).map(i => (i, "hot hot hot tail" + i)) :+
+      (99L, (1 to 300).map(k => s"u$k").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.cmsCensus(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got.head._1 == "hot" && got.head._2 == 120L)
+    assert(got.forall(_._4), s"CMS must never under-count: $got")
+    // JVM recompute of the full sketch for the reported words
+    val allWords = docs.select(explode(split(col("text"), " "))).as[String].collect()
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    allWords.foreach { w =>
+      val base = TextOps.fnv1a64(w)
+      TextOps.CmsSeeds.zipWithIndex.foreach { case (s, d) =>
+        val b = java.lang.Long.remainderUnsigned(
+          graft.sources.PageSource.splitmix64(base ^ s), TextOps.CmsWidth)
+        cells((d, b)) = cells.getOrElse((d, b), 0L) + 1L
+      }
+    }
+    got.foreach { case (w, _, est, _) =>
+      val base = TextOps.fnv1a64(w)
+      val want = TextOps.CmsSeeds.zipWithIndex.map { case (s, d) =>
+        cells((d, java.lang.Long.remainderUnsigned(
+          graft.sources.PageSource.splitmix64(base ^ s), TextOps.CmsWidth)))
+      }.min
+      assert(est == want, s"$w: est $est != sketch-min $want")
+    }
+    val re = TextOps.cmsCensus(spark, docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == re)
+  }
+
   test("mixBalance: every stratum is rate-limited toward the smallest") {
     val docs = TextOps.readDocs(spark, sfDir)
     val rows = Queries.mixBalanceQ(spark, sfDir).collect()
