@@ -512,6 +512,13 @@ object Queries {
   def cmsCensusQ(s: SparkSession, d: String): DataFrame =
     TextOps.cmsCensus(s, TextOps.readDocs(s, d))
 
+  /** Crawl-text cleanup round trip: the deterministic messy synth
+    * (tab/CRLF/doubled-space soup) must clean back to documents.text
+    * byte-identically (see [[TextOps.textClean]]).
+    */
+  def textCleanQ(s: SparkSession, d: String): DataFrame =
+    TextOps.textClean(TextOps.corpusWithMessyText(TextOps.readDocs(s, d)))
+
   def tfidfTopTermsQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfidfTopTerms(TextOps.readDocs(s, d))
 

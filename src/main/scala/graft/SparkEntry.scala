@@ -53,6 +53,7 @@ object SparkEntry {
     "oov_ratio" -> (Queries.oovRatioQ _),
     "lm_score" -> (Queries.lmScoreQ _),
     "cms_census" -> (Queries.cmsCensusQ _),
+    "text_clean" -> (Queries.textCleanQ _),
     "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
     "mix_balance" -> (Queries.mixBalanceQ _),
     "decontaminate" -> (Queries.decontaminateQ _),
@@ -944,6 +945,13 @@ object SparkEntry {
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,
     "cms_census" -> OracleSqlGen.cmsCensus,
+    // crawl-text cleanup ROUND TRIP: the Spark side dirties documents
+    // .text deterministically (tab + doubled spaces + trailing, CRLF
+    // joins) then cleans; the oracle is the original text — the
+    // extract_pipeline style of byte-identity contract.
+    "text_clean" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "passage_dedup" -> OracleSqlGen.passageDedup,
     "dedup_spans" -> OracleSqlGen.dedupSpans,
     "dup_cluster" -> OracleSqlGen.dupCluster,

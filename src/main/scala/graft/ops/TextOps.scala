@@ -1223,6 +1223,43 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Crawl-text normalization (control strip + whitespace collapse)
+  // -------------------------------------------------------------------
+
+  /** Control-character class, ONE regex string shared verbatim by the
+    * Spark Column and the DuckDB mirror (escape sequences interpreted
+    * by the regex engines — Java and RE2 agree on \xNN and ranges).
+    */
+  val CtrlClassPattern: String = "[\\x00-\\x1F\\x7F]"
+
+  /** Crawl-text cleanup — the normalization pass every web corpus
+    * applies before hashing/dedup (raw crawl text carries CR/LF/tab
+    * soup, NBSP-adjacent control bytes, ragged runs): control chars →
+    * space, space runs collapsed, ends trimmed. Pure per-row codegen
+    * regexes, zero shuffles; idempotent (clean(clean(x)) == clean(x)).
+    */
+  def textCleanCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, CtrlClassPattern, " "), " {2,}", " "))
+
+  /** Deterministic messy-crawl synth for the text_clean round-trip
+    * oracle (url_normalize's convention): tab/trailing + doubled
+    * spaces (id%3=0), CRLF joins (id%3=1), already-clean (else). The
+    * cleaner must reproduce documents.text BYTE-IDENTICALLY.
+    */
+  def corpusWithMessyText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("\t"), regexp_replace(col("text"), lit(" "), lit("  ")), lit(" ")))
+        .when(col("doc_id") % 3 === 1,
+          regexp_replace(col("text"), lit(" "), lit("\r\n")))
+        .otherwise(col("text")).as("dirty"))
+
+  def textClean(withDirty: DataFrame): DataFrame =
+    withDirty.select(col("doc_id"),
+      textCleanCol(col("dirty")).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------------------------
   // Count-min sketch census (bounded-memory heavy hitters)
   // -------------------------------------------------------------------
 

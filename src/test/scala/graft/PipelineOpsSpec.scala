@@ -414,6 +414,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == re)
   }
 
+  test("textClean: adversarial control soup normalizes; idempotent; empty-safe") {
+    val sp = spark; import sp.implicits._
+    val cases = Seq(
+      (1L, "\u0000a\u0001b", "a b"),  // NUL/SOH soup
+      (2L, "  lots   of\t\tgaps  ", "lots of gaps"),
+      (3L, "crlf\r\njoin\rand\nmore", "crlf join and more"),
+      (4L, "\u000Bvertical\ftab\u007Fdel", "vertical tab del"),
+      (5L, "", ""),
+      (6L, "already clean", "already clean"))
+    val got = TextOps.textClean(cases.map(c => (c._1, c._2)).toDF("doc_id", "dirty"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    cases.foreach { case (id, _, want) => assert(got(id) == want, s"doc $id") }
+    // idempotence: cleaning the cleaned output is a fixpoint
+    val again = TextOps.textClean(
+      got.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "dirty"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again == got)
+  }
+
   test("cmsCensus: estimates are sound over-counts; JVM sketch recompute matches; partition-invariant") {
     val sp = spark; import sp.implicits._
     // skewed corpus: "hot" dominates, a long tail forces bucket sharing
