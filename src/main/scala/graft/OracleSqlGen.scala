@@ -938,6 +938,49 @@ private[graft] object OracleSqlGen {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Paragraph-dedup mirror (TextOps.lineDedup over corpusWithParas
+    * recomputed): the SAME synth — ParaWords-word body chunks wrapped
+    * in the doc_id%7 nav header and the universal footer — FNV per
+    * distinct paragraph, keeper = first (doc_id, pos) per hash via
+    * row_number, clean_text re-joined by chr(10). Slices are 1-based
+    * inclusive in DuckDB, matching Scala grouped(ParaWords).
+    */
+  val lineDedup: String = {
+    val w = TextOps.ParaWords
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |body AS (
+       |  SELECT doc_id, CAST(u.i + 1 AS BIGINT) AS pos,
+       |    array_to_string(ws[CAST(u.i*$w+1 AS INTEGER):CAST(u.i*$w+$w AS INTEGER)], ' ') AS para
+       |  FROM base, UNNEST(range((len(ws) + ${w - 1}) // $w)) AS u(i)),
+       |paras AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+       |         '${TextOps.ParaHeaderPrefix}' || CAST(doc_id % 7 AS VARCHAR) AS para
+       |  FROM base
+       |  UNION ALL SELECT doc_id, pos, para FROM body
+       |  UNION ALL SELECT doc_id,
+       |         CAST((len(ws) + ${w - 1}) // $w + 1 AS BIGINT) AS pos,
+       |         '${TextOps.ParaFooter}' AS para
+       |  FROM base),
+       |fv AS (SELECT para, ${sb(fnvU("para"))} AS phash
+       |       FROM (SELECT DISTINCT para FROM paras) dp),
+       |ph AS (SELECT p.doc_id, p.pos, p.para, f.phash
+       |       FROM paras p JOIN fv f USING (para)),
+       |rn AS (SELECT doc_id, pos, para,
+       |         row_number() OVER (PARTITION BY phash ORDER BY doc_id, pos) AS rn
+       |       FROM ph),
+       |kept AS (SELECT doc_id, count(*) AS n_kept,
+       |                string_agg(para, chr(10) ORDER BY pos) AS clean_text
+       |         FROM rn WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n_paras AS BIGINT) AS n_paras,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Mixture balancing mirror: per-lang rate = min_n*1000 // n (all
     * positive, so `//` == Spark DIV), keep set via the splitmix chain.
     */

@@ -519,6 +519,13 @@ object Queries {
   def textCleanQ(s: SparkSession, d: String): DataFrame =
     TextOps.textClean(TextOps.corpusWithMessyText(TextOps.readDocs(s, d)))
 
+  /** Corpus-wide paragraph dedup over the planted-boilerplate
+    * paragraph synth (see [[TextOps.lineDedup]]): first occurrence per
+    * paragraph survives, clean_text reassembled byte-exactly.
+    */
+  def lineDedupQ(s: SparkSession, d: String): DataFrame =
+    TextOps.lineDedup(TextOps.corpusWithParas(TextOps.readDocs(s, d)))
+
   def tfidfTopTermsQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfidfTopTerms(TextOps.readDocs(s, d))
 

@@ -62,6 +62,7 @@ object SparkEntry {
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
     "dedup_spans" -> (Queries.dedupSpansQ _),
+    "line_dedup" -> (Queries.lineDedupQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -954,6 +955,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "passage_dedup" -> OracleSqlGen.passageDedup,
     "dedup_spans" -> OracleSqlGen.dedupSpans,
+    // paragraph-level corpus dedup over the planted-boilerplate synth;
+    // clean_text reassembly is byte-exact on both engines
+    "line_dedup" -> OracleSqlGen.lineDedup,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "dup_stats" -> OracleSqlGen.dupStats,
     "split_leakfree" -> OracleSqlGen.splitLeakfree,

@@ -1260,6 +1260,96 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   // -------------------------------------------------------------------
+  // Paragraph-level corpus dedup (the CCNet / RefinedWeb line dedup)
+  // -------------------------------------------------------------------
+
+  /** Words per synthesized body paragraph (public: the oracle embeds
+    * it).
+    */
+  val ParaWords = 10
+
+  /** Planted boilerplate (public: oracle literals). The header varies
+    * over doc_id % 7 — seven shared nav strings, each duplicated
+    * across ~1/7 of the corpus — and the footer is ONE string shared
+    * by every doc, the worst-case duplicated line.
+    */
+  val ParaHeaderPrefix = "shared nav menu home about contact edition "
+  val ParaFooter = "all rights reserved copyright footer boilerplate"
+
+  /** The paragraph list of one synthesized multi-paragraph doc
+    * (public: the flatMap kernel and the specs share it).
+    */
+  def paragraphsOf(id: Long, text: String): Seq[String] = {
+    val words = text.split(' ').filter(_.nonEmpty)
+    val body = words.grouped(ParaWords).map(_.mkString(" ")).toSeq
+    (ParaHeaderPrefix + (id % 7)) +: body :+ ParaFooter
+  }
+
+  /** Deterministic multi-paragraph synth for line_dedup
+    * (corpusWithMessyText's convention): corpus text regrouped into
+    * ParaWords-word body paragraphs wrapped in a planted nav header
+    * (7 variants keyed doc_id % 7) and one universal footer,
+    * newline-joined — web pages as a paragraph stream with cross-site
+    * boilerplate, the input shape paragraph dedup exists for.
+    */
+  def corpusWithParas(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, paragraphsOf(id, text).mkString("\n")) }
+      .toDF("doc_id", "ptext")
+  }
+
+  /** Paragraph-level exact dedup across the whole corpus — the
+    * CCNet-family "remove duplicated lines/paragraphs" pass that web
+    * pipelines run before document-level dedup: a paragraph OCCURRENCE
+    * survives iff it is the globally FIRST occurrence of that
+    * paragraph, ordered by (doc_id, pos), so boilerplate shared across
+    * pages is kept exactly once corpus-wide and every later copy is
+    * cut (a doc re-quoting its own earlier paragraph loses the repeat
+    * too). Emits per doc the paragraph counts and the deduped text
+    * reassembled in original order — clean_text is byte-exact and the
+    * oracle re-derives it, so reassembly is verified end-to-end.
+    *
+    * Scale shape: paragraphs are FNV-hashed inside the flatMap, so the
+    * keeper census shuffles (phash, doc_id, pos) 24-byte rows — never
+    * text — into ONE min(struct) aggregate (map-side combined, the
+    * first-occurrence rule with no corpus-wide window or sort).
+    * Paragraph text rides only the hash-keyed join back and the
+    * per-doc reassembly groupBy, the same volume as the input scan;
+    * dedup decisions key on the 64-bit hash alone (the CCNet design —
+    * a collision merges two paragraphs identically on both engines).
+    */
+  def lineDedup(withParas: DataFrame): DataFrame = {
+    import withParas.sparkSession.implicits._
+    val paras = withParas.select(col("doc_id").cast("long"), col("ptext"))
+      .as[(Long, String)]
+      .flatMap { case (id, ptext) =>
+        ptext.split('\n').iterator.zipWithIndex.map { case (p, i) =>
+          (id, i.toLong, p, fnv1a64(p))
+        }
+      }
+      .toDF("doc_id", "pos", "para", "phash")
+    val keeper = paras
+      .select(col("phash"), struct(col("doc_id"), col("pos")).as("occ"))
+      .groupBy(col("phash")).agg(min(col("occ")).as("keep_occ"))
+    val kept = paras.join(keeper, Seq("phash"))
+      .filter(struct(col("doc_id"), col("pos")) === col("keep_occ"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para"))).as("clean_text"))
+    paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_paras").cast("long").as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
   // Count-min sketch census (bounded-memory heavy hitters)
   // -------------------------------------------------------------------
 

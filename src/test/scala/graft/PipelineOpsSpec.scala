@@ -433,6 +433,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == got)
   }
 
+  test("lineDedup: first occurrence survives, later copies cut, reassembly byte-exact") {
+    val sp = spark; import sp.implicits._
+    // hand corpus on pre-split paragraphs (no synth): doc 1 owns A,B;
+    // doc 2 repeats A (cross-doc dup) and its own C twice (in-doc dup);
+    // doc 3 is ALL repeats — every paragraph must vanish
+    val withParas = Seq(
+      (1L, "alpha one\nbeta two"),
+      (2L, "alpha one\ngamma three\ngamma three"),
+      (3L, "alpha one\nbeta two")).toDF("doc_id", "ptext")
+    val got = TextOps.lineDedup(withParas).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "alpha one\nbeta two"),
+      (2L, 3L, 1L, "gamma three"),
+      (3L, 2L, 0L, "")))
+    // the synth corpus: header shared across doc_id%7, footer across ALL
+    val docs = TextOps.readDocs(spark, sfDir)
+    val deduped = TextOps.lineDedup(TextOps.corpusWithParas(docs)).collect()
+    val nDocs = deduped.length
+    val footerKept = deduped.map(_.getString(3))
+      .count(_.split('\n').contains(TextOps.ParaFooter))
+    assert(footerKept == 1, s"universal footer must survive exactly once, got $footerKept")
+    val headersKept = deduped.map(_.getString(3)).flatMap(_.split('\n'))
+      .count(_.startsWith(TextOps.ParaHeaderPrefix))
+    assert(headersKept == math.min(7, nDocs), s"one survivor per header variant, got $headersKept")
+    // partition-invariance (first-occurrence rule is data-, not order-, defined)
+    val re = TextOps.lineDedup(TextOps.corpusWithParas(docs.repartition(7))).collect()
+    assert(deduped.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
+  }
+
   test("cmsCensus: estimates are sound over-counts; JVM sketch recompute matches; partition-invariant") {
     val sp = spark; import sp.implicits._
     // skewed corpus: "hot" dominates, a long tail forces bucket sharing
