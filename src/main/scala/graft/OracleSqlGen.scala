@@ -981,6 +981,63 @@ private[graft] object OracleSqlGen {
        |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin
   }
 
+  /** BPE-trainer mirror (ops.Bpe.bpeTrain recomputed): the capped word
+    * census, then Bpe.Merges unrolled iterations — adjacent-pair
+    * counts weighted by word frequency, winner by (count desc, left,
+    * right), greedy application via the run-parity rule (within each
+    * run of consecutive match positions — possible only when left ==
+    * right — keep even offsets; a kept position merges (i, i+1) and
+    * shadows i+1).
+    */
+  val bpeTrain: String = {
+    val iters = (0 until graft.ops.Bpe.Merges).map { k =>
+      s"""e$k AS (
+         |  SELECT word, c, CAST(u.i AS BIGINT) AS i,
+         |         syms[CAST(u.i + 1 AS INTEGER)] AS sym
+         |  FROM (SELECT word, c, string_split(sym_str, ' ') AS syms FROM v$k) t,
+         |       UNNEST(range(len(syms))) AS u(i)),
+         |a$k AS MATERIALIZED (
+         |  SELECT word, c, i, sym,
+         |         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nx
+         |  FROM e$k),
+         |b$k AS MATERIALIZED (
+         |  SELECT sym AS l, nx AS r, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM a$k WHERE nx IS NOT NULL
+         |  GROUP BY sym, nx ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$k AS (SELECT a.word, a.i FROM a$k a, b$k b
+         |        WHERE a.sym = b.l AND a.nx = b.r),
+         |g$k AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, i - min(i) OVER (PARTITION BY word, rid) AS off
+         |    FROM (SELECT word, i,
+         |                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS rid
+         |          FROM m$k) rr) oo
+         |  WHERE off % 2 = 0),
+         |v${k + 1} AS MATERIALIZED (
+         |  SELECT a.word, any_value(a.c) AS c,
+         |         string_agg(CASE WHEN g.i IS NOT NULL THEN a.sym || a.nx
+         |                         ELSE a.sym END, ' ' ORDER BY a.i) AS sym_str
+         |  FROM a$k a
+         |  LEFT JOIN g$k g ON a.word = g.word AND a.i = g.i
+         |  LEFT JOIN g$k s ON a.word = s.word AND a.i = s.i + 1
+         |  WHERE s.i IS NULL
+         |  GROUP BY a.word)""".stripMargin
+    }.mkString(",\n")
+    val steps = (0 until graft.ops.Bpe.Merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l AS pair_left, r AS pair_right, l || r AS merged, cnt AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH cen AS (
+       |  SELECT u.w AS word, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+       |  GROUP BY u.w ORDER BY c DESC, word LIMIT ${graft.ops.Bpe.VocabCap}),
+       |v0 AS (SELECT word, c,
+       |         array_to_string(string_split(word, ''), ' ') AS sym_str
+       |       FROM cen),
+       |$iters
+       |$steps
+       |ORDER BY step""".stripMargin
+  }
+
   /** Mixture balancing mirror: per-lang rate = min_n*1000 // n (all
     * positive, so `//` == Spark DIV), keep set via the splitmix chain.
     */

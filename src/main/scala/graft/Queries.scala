@@ -526,6 +526,13 @@ object Queries {
   def lineDedupQ(s: SparkSession, d: String): DataFrame =
     TextOps.lineDedup(TextOps.corpusWithParas(TextOps.readDocs(s, d)))
 
+  /** BPE tokenizer induction: one corpus word census, then the
+    * driver-side merge loop over the capped dictionary (see
+    * [[graft.ops.Bpe]]); the oracle unrolls all merge iterations.
+    */
+  def bpeTrainQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Bpe.bpeTrain(s, TextOps.readDocs(s, d))
+
   def tfidfTopTermsQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfidfTopTerms(TextOps.readDocs(s, d))
 

@@ -63,6 +63,7 @@ object SparkEntry {
     "passage_dedup" -> (Queries.passageDedupQ _),
     "dedup_spans" -> (Queries.dedupSpansQ _),
     "line_dedup" -> (Queries.lineDedupQ _),
+    "bpe_train" -> (Queries.bpeTrainQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -958,6 +959,9 @@ object SparkEntry {
     // paragraph-level corpus dedup over the planted-boilerplate synth;
     // clean_text reassembly is byte-exact on both engines
     "line_dedup" -> OracleSqlGen.lineDedup,
+    // BPE trainer: the merge loop unrolled in SQL over the same capped
+    // word census — the merge table must match row-for-row
+    "bpe_train" -> OracleSqlGen.bpeTrain,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "dup_stats" -> OracleSqlGen.dupStats,
     "split_leakfree" -> OracleSqlGen.splitLeakfree,

@@ -463,6 +463,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deduped.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
   }
 
+  test("bpeTrain: weighted pair counts, ASCII tie-break, greedy run-parity application") {
+    val sp = spark; import sp.implicits._
+    import graft.ops.Bpe
+    // census: aaab ×2, aab ×1 → (a,a) counts 2·2+1 = 5 beats (a,b) 3;
+    // after the merge, (aa,a) and (a,b) tie at 2 → left "a" < "aa"
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val got = Bpe.bpeTrain(spark, docs, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((0L, "a", "a", "aa", 5L), (1L, "a", "b", "ab", 2L)))
+    // run parity: "aaaa" has three overlapping (a,a) positions — greedy
+    // keeps offsets 0 and 2 → [aa, aa], so the next best pair is (aa, aa)
+    val runs = Bpe.bpeTrain(spark, Seq((1L, "aaaa")).toDF("doc_id", "text"), merges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(runs == Seq((0L, "a", "a", "aa", 3L), (1L, "aa", "aa", "aaaa", 1L)))
+    // the encoder applies merges in learned order
+    assert(Bpe.encode("aaab", Seq(("a", "a"), ("a", "b"))).toSeq == Seq("aa", "ab"))
+    assert(Bpe.encode("aaaa", Seq(("a", "a"), ("aa", "aa"))).toSeq == Seq("aaaa"))
+    // partition invariance on the real corpus (census is order-free)
+    val corpus = TextOps.readDocs(spark, sfDir)
+    val a = Bpe.bpeTrain(spark, corpus).collect().map(_.toSeq).toSeq
+    val b = Bpe.bpeTrain(spark, corpus.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a == b && a.length == Bpe.Merges)
+  }
+
   test("cmsCensus: estimates are sound over-counts; JVM sketch recompute matches; partition-invariant") {
     val sp = spark; import sp.implicits._
     // skewed corpus: "hot" dominates, a long tail forces bucket sharing
