@@ -989,53 +989,111 @@ private[graft] object OracleSqlGen {
     * right — keep even offsets; a kept position merges (i, i+1) and
     * shadows i+1).
     */
-  val bpeTrain: String = {
+  /** The greedy run-parity rewrite of one merge step over a vocab CTE
+    * `$src`(word[, c], sym_str), with the winning pair read from CTE
+    * `$best`(l, r): explode positions, match adjacent (l, r), keep
+    * even offsets within each consecutive run, rebuild `$dst`. The
+    * `$p` prefix keeps the training and encode chains' CTE names
+    * disjoint; `carryC` threads the census count through (training
+    * chain) or not (encode chain).
+    */
+  private def bpeRewrite(p: String, k: Int, src: String, dst: String,
+                         best: String, carryC: Boolean): String = {
+    val cSel = if (carryC) "c, " else ""
+    val cAgg = if (carryC) "any_value(a.c) AS c, " else ""
+    s"""${p}e$k AS (
+       |  SELECT word, ${cSel}CAST(u.i AS BIGINT) AS i,
+       |         syms[CAST(u.i + 1 AS INTEGER)] AS sym
+       |  FROM (SELECT word, ${cSel}string_split(sym_str, ' ') AS syms FROM $src) t,
+       |       UNNEST(range(len(syms))) AS u(i)),
+       |${p}a$k AS MATERIALIZED (
+       |  SELECT word, ${cSel}i, sym,
+       |         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nx
+       |  FROM ${p}e$k),
+       |${p}m$k AS (SELECT a.word, a.i FROM ${p}a$k a, $best b
+       |        WHERE a.sym = b.l AND a.nx = b.r),
+       |${p}g$k AS MATERIALIZED (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, i - min(i) OVER (PARTITION BY word, rid) AS off
+       |    FROM (SELECT word, i,
+       |                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS rid
+       |          FROM ${p}m$k) rr) oo
+       |  WHERE off % 2 = 0),
+       |$dst AS MATERIALIZED (
+       |  SELECT a.word, ${cAgg}
+       |         string_agg(CASE WHEN g.i IS NOT NULL THEN a.sym || a.nx
+       |                         ELSE a.sym END, ' ' ORDER BY a.i) AS sym_str
+       |  FROM ${p}a$k a
+       |  LEFT JOIN ${p}g$k g ON a.word = g.word AND a.i = g.i
+       |  LEFT JOIN ${p}g$k s ON a.word = s.word AND a.i = s.i + 1
+       |  WHERE s.i IS NULL
+       |  GROUP BY a.word)""".stripMargin
+  }
+
+  /** The training chain: capped census `cen`, symbolized `v0`, and per
+    * step k the winning-pair CTE `b$k` (from the pre-rewrite adjacency
+    * `a$k`) plus the rewritten vocab `v${k+1}`.
+    */
+  private def bpeTrainChain: String = {
     val iters = (0 until graft.ops.Bpe.Merges).map { k =>
-      s"""e$k AS (
-         |  SELECT word, c, CAST(u.i AS BIGINT) AS i,
-         |         syms[CAST(u.i + 1 AS INTEGER)] AS sym
-         |  FROM (SELECT word, c, string_split(sym_str, ' ') AS syms FROM v$k) t,
-         |       UNNEST(range(len(syms))) AS u(i)),
-         |a$k AS MATERIALIZED (
-         |  SELECT word, c, i, sym,
-         |         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nx
-         |  FROM e$k),
+      // b$k must see THIS step's adjacency — emitted between the
+      // rewrite's a$k and its pair-match m$k, so order the fragments
+      val rw = bpeRewrite("", k, s"v$k", s"v${k + 1}", s"b$k", carryC = true)
+      val Array(pre, post) = rw.split(s"\\n\\|?m$k AS ", 2)
+      s"""$pre
          |b$k AS MATERIALIZED (
          |  SELECT sym AS l, nx AS r, CAST(sum(c) AS BIGINT) AS cnt
          |  FROM a$k WHERE nx IS NOT NULL
          |  GROUP BY sym, nx ORDER BY cnt DESC, l, r LIMIT 1),
-         |m$k AS (SELECT a.word, a.i FROM a$k a, b$k b
-         |        WHERE a.sym = b.l AND a.nx = b.r),
-         |g$k AS MATERIALIZED (
-         |  SELECT word, i FROM (
-         |    SELECT word, i, i - min(i) OVER (PARTITION BY word, rid) AS off
-         |    FROM (SELECT word, i,
-         |                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS rid
-         |          FROM m$k) rr) oo
-         |  WHERE off % 2 = 0),
-         |v${k + 1} AS MATERIALIZED (
-         |  SELECT a.word, any_value(a.c) AS c,
-         |         string_agg(CASE WHEN g.i IS NOT NULL THEN a.sym || a.nx
-         |                         ELSE a.sym END, ' ' ORDER BY a.i) AS sym_str
-         |  FROM a$k a
-         |  LEFT JOIN g$k g ON a.word = g.word AND a.i = g.i
-         |  LEFT JOIN g$k s ON a.word = s.word AND a.i = s.i + 1
-         |  WHERE s.i IS NULL
-         |  GROUP BY a.word)""".stripMargin
+         |m$k AS $post""".stripMargin
     }.mkString(",\n")
-    val steps = (0 until graft.ops.Bpe.Merges).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS step, l AS pair_left, r AS pair_right, l || r AS merged, cnt AS pair_count FROM b$k"
-    }.mkString("\nUNION ALL ")
-    s"""WITH cen AS (
+    s"""cen AS (
        |  SELECT u.w AS word, CAST(count(*) AS BIGINT) AS c
        |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
        |  GROUP BY u.w ORDER BY c DESC, word LIMIT ${graft.ops.Bpe.VocabCap}),
        |v0 AS (SELECT word, c,
        |         array_to_string(string_split(word, ''), ' ') AS sym_str
        |       FROM cen),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val bpeTrain: String = {
+    val steps = (0 until graft.ops.Bpe.Merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l AS pair_left, r AS pair_right, l || r AS merged, cnt AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainChain
        |$steps
        |ORDER BY step""".stripMargin
+  }
+
+  /** BPE corpus encoding mirror (ops.Bpe.bpeTokenCount recomputed):
+    * the training chain's learned pairs b0..b{K-1} re-applied — in
+    * learned order, same run-parity rewrite — to EVERY distinct
+    * corpus word (not just the capped census), then tokens-per-word
+    * joined back to the word stream and summed per doc.
+    */
+  val bpeEncode: String = {
+    val k = graft.ops.Bpe.Merges
+    val encIters = (0 until k).map { i =>
+      bpeRewrite("x", i, s"w$i", s"w${i + 1}", s"b$i", carryC = false)
+    }.mkString(",\n")
+    s"""WITH $bpeTrainChain,
+       |wd AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.w AS w
+       |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)),
+       |w0 AS (SELECT w AS word,
+       |         array_to_string(string_split(w, ''), ' ') AS sym_str
+       |       FROM (SELECT DISTINCT w FROM wd) dw),
+       |$encIters,
+       |tok AS (SELECT word,
+       |          CAST(len(string_split(sym_str, ' ')) AS BIGINT) AS n_toks
+       |        FROM w$k),
+       |per AS (SELECT wd.doc_id, count(*) AS n_words, sum(t.n_toks) AS n_bpe_tokens
+       |        FROM wd JOIN tok t ON wd.w = t.word GROUP BY wd.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+       |LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
   /** Mixture balancing mirror: per-lang rate = min_n*1000 // n (all

@@ -533,6 +533,13 @@ object Queries {
   def bpeTrainQ(s: SparkSession, d: String): DataFrame =
     graft.ops.Bpe.bpeTrain(s, TextOps.readDocs(s, d))
 
+  /** Tokens-per-doc under the trained BPE tokenizer (see
+    * [[graft.ops.Bpe.bpeTokenCount]]); the oracle re-applies the
+    * learned merges to every distinct corpus word.
+    */
+  def bpeEncodeQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Bpe.bpeTokenCount(s, TextOps.readDocs(s, d))
+
   def tfidfTopTermsQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfidfTopTerms(TextOps.readDocs(s, d))
 

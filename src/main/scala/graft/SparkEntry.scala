@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_spans" -> (Queries.dedupSpansQ _),
     "line_dedup" -> (Queries.lineDedupQ _),
     "bpe_train" -> (Queries.bpeTrainQ _),
+    "bpe_encode" -> (Queries.bpeEncodeQ _),
     "ngram_jaccard" -> (Queries.ngramJaccard _),
     "token_count" -> (Queries.tokenCount _),
     "quality_score" -> (Queries.qualityScore _),
@@ -962,6 +963,9 @@ object SparkEntry {
     // BPE trainer: the merge loop unrolled in SQL over the same capped
     // word census — the merge table must match row-for-row
     "bpe_train" -> OracleSqlGen.bpeTrain,
+    // tokens-per-doc under the learned merges (encode replayed in SQL
+    // over every distinct corpus word)
+    "bpe_encode" -> OracleSqlGen.bpeEncode,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "dup_stats" -> OracleSqlGen.dupStats,
     "split_leakfree" -> OracleSqlGen.splitLeakfree,

@@ -119,4 +119,36 @@ object Bpe {
     merges.foldLeft(word.toCharArray.map(_.toString)) {
       case (syms, (l, r)) => applyMerge(syms, l, r)
     }
+
+  /** Corpus-wide token counting under the TRAINED tokenizer — the
+    * number token budgeting, shard packing and mixture math should
+    * use (whitespace counts over-estimate tokens for common words and
+    * under-estimate for rare ones). Trains first (one census pass),
+    * then one per-row encode pass: the ≤merges-row merge table rides
+    * the task closure, and a per-partition memo caches each distinct
+    * word's token count — Zipf makes the cache hit rate ~1 at web
+    * scale, so the encode cost is O(distinct words per partition),
+    * not O(corpus tokens). Zero shuffles on the encode pass.
+    */
+  def bpeTokenCount(spark: SparkSession, docs: DataFrame,
+                    merges: Int = Merges, cap: Int = VocabCap): DataFrame = {
+    import spark.implicits._
+    val table = trainMerges(wordCensus(docs, cap), merges)
+      .map { case (_, l, r, _, _) => (l, r) }
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.Map.empty[String, Long]
+        it.map { case (id, text) =>
+          val words = text.split(' ').filter(_.nonEmpty)
+          var toks = 0L
+          words.foreach { w =>
+            toks += memo.getOrElseUpdate(w, encode(w, table).length.toLong)
+          }
+          (id, words.length.toLong, toks)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -487,6 +487,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.length == Bpe.Merges)
   }
 
+  test("bpeTokenCount: per-doc counts == driver encode recompute; merges only shrink") {
+    val sp = spark; import sp.implicits._
+    import graft.ops.Bpe
+    val docs = TextOps.readDocs(spark, sfDir)
+    val got = Bpe.bpeTokenCount(spark, docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val table = Bpe.trainMerges(Bpe.wordCensus(docs), Bpe.Merges)
+      .map { case (_, l, r, _, _) => (l, r) }
+    val sample = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().take(20)
+    sample.foreach { case (id, text) =>
+      val words = text.split(' ').filter(_.nonEmpty)
+      val want = words.map(w => Bpe.encode(w, table).length.toLong).sum
+      assert(got(id) == ((words.length.toLong, want)), s"doc $id")
+      // merging never grows a word, and every word is >= 1 token
+      assert(want >= words.length && want <= text.length)
+    }
+  }
+
   test("cmsCensus: estimates are sound over-counts; JVM sketch recompute matches; partition-invariant") {
     val sp = spark; import sp.implicits._
     // skewed corpus: "hot" dominates, a long tail forces bucket sharing
