@@ -367,6 +367,40 @@ object CurateJob {
     FunnelFrames(urlDeduped, gated, canonicalC, packed)
   }
 
+  /** Per-doc funnel AUDIT — the debugging view a pipeline owner reads
+    * when "why did my corpus shrink 40%?" lands: every url-deduped doc
+    * labeled with the FIRST stage that rejected it (`quality`,
+    * `duplicate`, `sampled_out`) or `admitted`. Derived from the SAME
+    * [[FunnelFrames]] a funnel run produced — the audit cannot drift
+    * from the real funnel's judgment because it IS the funnel's
+    * frames, joined by id (ids-only joins; text never rides them).
+    * The sampling verdict is recomputed from the hash expression
+    * (deterministic by construction) so the packed frame's windowing
+    * machinery stays out of the audit plan.
+    *
+    * Plan note: the three branches share the funnel lineage — run the
+    * producing funnel with cache=true at scale (it persists the
+    * url-deduped frame; component labels are checkpoint-truncated
+    * already) or audit a funnel output that was written to a table.
+    */
+  def auditFunnel(frames: FunnelFrames,
+                  samplePermille: Long = 900L): DataFrame = {
+    val ids = frames.urlDeduped.select(col("doc_id").cast("long").as("doc_id"))
+    val g = frames.gated.select(col("doc_id").cast("long").as("doc_id"),
+      lit(true).as("is_gated"))
+    val c = frames.canonical.select(col("doc_id").cast("long").as("doc_id"),
+      lit(true).as("is_canonical"))
+    val sampleKey = TextOps.unsignedMod1000(
+      TextOps.splitmixCol(col("doc_id").bitwiseXOR(lit(TextOps.SampleSeed))))
+    ids.join(g, Seq("doc_id"), "left").join(c, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_gated").isNull, "quality")
+          .when(col("is_canonical").isNull, "duplicate")
+          .when(sampleKey < lit(samplePermille), "admitted")
+          .otherwise("sampled_out").as("stage"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CLI link-graph argument: a parquet of (src, dst) host edges, or
     * `pages:<dir>` — a pages table whose raw html is link-extracted on
     * the fly (the crawl-derived authority path as one CLI flag).

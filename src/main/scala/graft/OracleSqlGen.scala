@@ -1349,14 +1349,13 @@ private[graft] object OracleSqlGen {
     * table (see [[curateFunnel]] for the measured plan-shape
     * constraints that force this structure).
     */
-  private val curateS0: String = {
-    val seedU = java.lang.Long.toUnsignedString(TextOps.SampleSeed)
+  private def curateDerived(cteName: String, outerCols: String,
+                            innerSelect: String): String = {
     val nw = "(length(text) - length(replace(text, ' ', '')) + 1)"
     val np = "(length(text) - length(replace(replace(replace(replace(replace(replace(" +
       "text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')))"
-    s"""s0 AS MATERIALIZED (
-       |  SELECT doc_id, nw,
-       |         ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+    s"""$cteName AS MATERIALIZED (
+       |  SELECT $outerCols
        |  FROM (
        |    WITH RECURSIVE corpus0 AS (
        |      SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
@@ -1403,8 +1402,16 @@ private[graft] object OracleSqlGen {
        |      UNION
        |      SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
        |    lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
-       |    SELECT g.doc_id, g.nw FROM gcorp g JOIN lab l USING (doc_id)
-       |    WHERE l.doc_id = l.cluster_id) surv)""".stripMargin
+       |    $innerSelect) surv)""".stripMargin
+  }
+
+  private val curateS0: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.SampleSeed)
+    curateDerived("s0",
+      s"""doc_id, nw,
+         |         ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x""".stripMargin,
+      """SELECT g.doc_id, g.nw FROM gcorp g JOIN lab l USING (doc_id)
+        |    WHERE l.doc_id = l.cluster_id""".stripMargin)
   }
 
   val curateFunnel: String =
@@ -1489,6 +1496,35 @@ private[graft] object OracleSqlGen {
        |  CAST(doc_id % 8 AS BIGINT) AS bucket,
        |  CAST((sum(nw) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nw) // 4096 AS BIGINT) AS shard
        |FROM kept ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-doc funnel audit mirror (CurateJob.auditFunnel recomputed):
+    * the SAME derived-table body as the funnel oracles
+    * ([[curateDerived]]) with an audit tail — every url-deduped doc
+    * labeled with the FIRST stage that rejected it (quality /
+    * duplicate), survivors split admitted vs sampled_out by the same
+    * splitmix chain the funnel samples with.
+    */
+  val curateAudit: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.SampleSeed)
+    val s0a = curateDerived("s0a",
+      s"""doc_id, stage0,
+         |         ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x""".stripMargin,
+      """SELECT u.doc_id,
+        |      CASE WHEN g.doc_id IS NULL THEN 'quality'
+        |           WHEN k.doc_id IS NULL THEN 'duplicate'
+        |           ELSE 'canonical' END AS stage0
+        |    FROM urld u
+        |    LEFT JOIN gcorp g ON u.doc_id = g.doc_id
+        |    LEFT JOIN (SELECT doc_id FROM lab WHERE doc_id = cluster_id) k
+        |           ON u.doc_id = k.doc_id""".stripMargin)
+    s"""WITH $s0a,
+       |${splitmixCtes("ca", "s0a", "doc_id, stage0")}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CASE WHEN stage0 <> 'canonical' THEN stage0
+       |       WHEN hk % 1000 < 900 THEN 'admitted'
+       |       ELSE 'sampled_out' END AS stage
+       |FROM ca6 ORDER BY doc_id""".stripMargin
   }
 
   /** Morton bit-spread of a 16-bit SQL expression, generated from the

@@ -212,6 +212,12 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
       .orderBy(col("doc_id"))
 
+  /** Per-doc audit of [[curateFunnelQ]]'s run: first rejecting stage
+    * per url-deduped doc (see [[CurateJob.auditFunnel]]).
+    */
+  def curateAuditQ(s: SparkSession, d: String): DataFrame =
+    CurateJob.auditFunnel(CurateJob.funnel(s, curateCorpus(s, d), cache = false))
+
   /** [[curateFunnelQ]] with authority-weighted sampling ON (rates
     * 1000/600/200‰ over 3 ntile tiers of the planted-arithmetic
     * host_rank) — the funnel's authority branch, oracle-replayed: the

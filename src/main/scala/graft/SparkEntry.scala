@@ -34,6 +34,7 @@ object SparkEntry {
     "split_leakfree" -> (Queries.splitLeakfree _),
     "curate_funnel" -> (Queries.curateFunnelQ _),
     "curate_funnel_auth" -> (Queries.curateFunnelAuthQ _),
+    "curate_audit" -> (Queries.curateAuditQ _),
     "curate_funnel_cap" -> (Queries.curateFunnelCapQ _),
     "rep_ratio" -> (Queries.repRatio _),
     "shard_pack" -> (Queries.shardPack _),
@@ -978,6 +979,8 @@ object SparkEntry {
     // the funnel's per-domain-cap branch: survivor CTE + the cap
     // window (doc_id%7 == the parsed host partition on these urls)
     "curate_funnel_cap" -> OracleSqlGen.curateFunnelCap,
+    // per-doc first-rejecting-stage audit of the same funnel run
+    "curate_audit" -> OracleSqlGen.curateAudit,
     "strat_sample" -> OracleSqlGen.stratSample,
     "mix_balance" -> OracleSqlGen.mixBalance,
     "lang_id" -> OracleSqlGen.langId,

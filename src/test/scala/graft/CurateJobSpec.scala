@@ -115,6 +115,29 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(key(jrows) == key(rows))
   }
 
+  test("auditFunnel: stages partition the url-deduped ids and agree with the frames") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val input = spark.read.parquet(inputDir).select(col("url"), col("text"))
+    val normed = graft.ops.TextOps.withUrlNorm(input.withColumnRenamed("url", "url_messy"))
+      .select(xxhash64(col("url_norm")).as("doc_id"), col("url_norm"), col("text"))
+    val f = CurateJob.funnel(spark, normed)
+    val audit = CurateJob.auditFunnel(f).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // exactly one verdict per url-deduped doc
+    val urlIds = f.urlDeduped.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(audit.keySet == urlIds)
+    // the 'admitted' set IS the packed set (sampling recompute == funnel filter)
+    val packedIds = f.packed.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(audit.filter(_._2 == "admitted").keySet == packedIds)
+    // 'duplicate' = gated minus canonical, 'quality' = urlDeduped minus gated
+    val gatedIds = f.gated.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    val canonIds = f.canonical.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(audit.filter(_._2 == "duplicate").keySet == gatedIds -- canonIds)
+    assert(audit.filter(_._2 == "quality").keySet == urlIds -- gatedIds)
+    assert(audit.filter(_._2 == "sampled_out").keySet == canonIds -- packedIds)
+  }
+
   test("authority-weighted sampling: tier rates bind, deterministic, off-path unchanged") {
     def run(out: String, auth: Option[Seq[Long]]) =
       CurateJob.run(spark, inputDir, out, samplePermille = 1000L,
