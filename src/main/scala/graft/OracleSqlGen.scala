@@ -897,10 +897,12 @@ private[graft] object OracleSqlGen {
     * exceeds w; island coverage = max-min+w). Window slice is 1-based
     * inclusive in DuckDB, matching Scala slice(i, i+w).
     */
-  val dedupSpans: String = {
-    val w = 16
-    s"""WITH $nearDupCorpus,
-       |pw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+  /** The shared window/island chain of the dedup_spans and dedup_cut
+    * mirrors: pw → win → fv → wh → dup → dw2 → isl → isl2 over the
+    * near-dup corpus CTE (caller supplies that).
+    */
+  private def dupSpanChain(w: Int): String =
+    s"""pw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
        |win AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, len(ws) AS n_words,
        |    array_to_string(ws[CAST(u.i+1 AS INTEGER):CAST(u.i+$w AS INTEGER)], ' ') AS wstr
@@ -920,7 +922,12 @@ private[graft] object OracleSqlGen {
        |isl2 AS (
        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |  FROM isl),
+       |  FROM isl)""".stripMargin
+
+  val dedupSpans: String = {
+    val w = 16
+    s"""WITH $nearDupCorpus,
+       |${dupSpanChain(w)},
        |sp AS (SELECT doc_id, island, max(pos) - min(pos) + $w AS span_tokens
        |       FROM isl2 GROUP BY doc_id, island),
        |per AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
@@ -936,6 +943,35 @@ private[graft] object OracleSqlGen {
        |  CAST(coalesce(p.dup_tokens, 0) * 1000 // b.n_words AS BIGINT) AS dup_token_permille
        |FROM base b LEFT JOIN dcnt dc USING (doc_id) LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Duplicate-span CUT mirror (TextOps.dedupCut recomputed): the same
+    * window/island chain, then one coverage row per cut position over
+    * the merged [s, e) islands, kept words by position anti-join,
+    * clean_text re-joined in position order.
+    */
+  val dedupCut: String = {
+    val w = 16
+    s"""WITH $nearDupCorpus,
+       |${dupSpanChain(w)},
+       |sp2 AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $w AS e
+       |        FROM isl2 GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, s + u.i AS p FROM sp2, UNNEST(range(e - s)) AS u(i)),
+       |wordsq AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS p, ws[CAST(u.i+1 AS INTEGER)] AS word
+       |  FROM pw, UNNEST(range(len(ws))) AS u(i)),
+       |keptw AS (
+       |  SELECT wq.doc_id, wq.p, wq.word FROM wordsq wq
+       |  LEFT JOIN cov c ON wq.doc_id = c.doc_id AND wq.p = c.p
+       |  WHERE c.p IS NULL),
+       |cl AS (SELECT doc_id, count(*) AS n_kept,
+       |              string_agg(word, ' ' ORDER BY p) AS clean_text
+       |       FROM keptw GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       |  CAST(b.n_words - coalesce(cl.n_kept, 0) AS BIGINT) AS n_cut,
+       |  coalesce(cl.clean_text, '') AS clean_text
+       |FROM (SELECT doc_id, len(ws) AS n_words FROM pw) b
+       |LEFT JOIN cl USING (doc_id) ORDER BY b.doc_id""".stripMargin
   }
 
   /** Paragraph-dedup mirror (TextOps.lineDedup over corpusWithParas

@@ -503,6 +503,13 @@ object Queries {
   def dedupSpansQ(s: SparkSession, d: String): DataFrame =
     TextOps.dedupSpans(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
 
+  /** Duplicate-span CUTTING (see [[TextOps.dedupCut]]): the rewrite
+    * that removes every cross-doc duplicated window's tokens,
+    * clean_text byte-exact on both engines.
+    */
+  def dedupCutQ(s: SparkSession, d: String): DataFrame =
+    TextOps.dedupCut(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 

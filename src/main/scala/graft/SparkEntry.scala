@@ -63,6 +63,7 @@ object SparkEntry {
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
     "dedup_spans" -> (Queries.dedupSpansQ _),
+    "dedup_cut" -> (Queries.dedupCutQ _),
     "line_dedup" -> (Queries.lineDedupQ _),
     "bpe_train" -> (Queries.bpeTrainQ _),
     "bpe_encode" -> (Queries.bpeEncodeQ _),
@@ -958,6 +959,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "passage_dedup" -> OracleSqlGen.passageDedup,
     "dedup_spans" -> OracleSqlGen.dedupSpans,
+    // the span CUT applied: clean_text byte-exact after removing every
+    // cross-doc duplicated window's tokens
+    "dedup_cut" -> OracleSqlGen.dedupCut,
     // paragraph-level corpus dedup over the planted-boilerplate synth;
     // clean_text reassembly is byte-exact on both engines
     "line_dedup" -> OracleSqlGen.lineDedup,

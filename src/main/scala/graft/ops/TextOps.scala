@@ -1054,7 +1054,14 @@ object TextOps {
     * [min, max+w) contiguously because every kept gap <= w), bounded
     * by doc length — never a corpus-wide sort.
     */
-  def dedupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
+  /** Shared window machinery for dedupSpans/dedupCut: stride-1 w-word
+    * window hashes `wh(doc_id, pos, n_words, whash)`, cross-doc
+    * duplicated positions `dupw`, and the merged gaps-and-islands
+    * coverage `islands(doc_id, island, s, e)` — contiguous [s, e) cut
+    * ranges, disjoint per doc by construction (islands break only
+    * when the gap exceeds w, so every kept gap is bridged).
+    */
+  private def dupIslands(docs: DataFrame, w: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import docs.sparkSession.implicits._
     val wh = docs.select(col("doc_id").cast("long"), col("text"))
@@ -1074,14 +1081,67 @@ object TextOps {
       .select(col("whash"))
     val dupw = wh.join(dup, Seq("whash"))
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val spans = dupw
+    val islands = dupw
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(ord) > w, 1L)
           .otherwise(lit(0L)))
       .withColumn("island", sum(col("brk"))
         .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) - min(col("pos")) + w).as("span_tokens"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w).as("e"))
+    (wh, dupw, islands)
+  }
+
+  /** The CUTTING form of exact-substring dedup — where [[dedupSpans]]
+    * reports coordinates, dedupCut APPLIES them: every token position
+    * covered by a cross-doc duplicated window is removed from every
+    * doc, and the surviving words are reassembled in order (clean_text
+    * is byte-exact; the oracle re-derives it, so the rewrite is
+    * verified end-to-end). Docs shorter than one window have no
+    * windows and pass through whole.
+    *
+    * Scale shape: the only additions over the dedupSpans chain are the
+    * coverage explode — one row per CUT token, over the MERGED islands
+    * (never per overlapping window, so coverage is bounded by corpus
+    * tokens) — and one word-position explode for the rebuild (the
+    * tokenize volume the engine already pays elsewhere). The kept-word
+    * filter is an id+position anti-join; clean_text rides only the
+    * per-doc reassembly groupBy.
+    */
+  def dedupCut(docs: DataFrame, w: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (_, _, islands) = dupIslands(docs, w)
+    val cov = islands.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") - 1L)).as("p"))
+    val words = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(' ').filter(_.nonEmpty).iterator.zipWithIndex
+          .map { case (wd, i) => (id, i.toLong, wd) }
+      }
+      .toDF("doc_id", "p", "word")
+    val kept = words.join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("word")))),
+            x => x.getField("word"))).as("clean_text"))
+    // base from the corpus itself, not the word explode — a zero-word
+    // doc must still emit its (0, 0, '') row on both engines
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(array_remove(split(col("text"), " "), "")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
+    val (wh, dupw, islands) = dupIslands(docs, w)
+    val spans = islands.select(col("doc_id"), col("island"),
+      (col("e") - col("s")).as("span_tokens"))
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
     val dcnt = dupw.groupBy(col("doc_id"))

@@ -631,6 +631,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toMap
     assert(again == got)
+
+    // the CUT applies those coordinates: shared runs vanish from BOTH
+    // docs, unique content survives byte-exactly in order
+    val cut = TextOps.dedupCut(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut(1L) == (61L, 36L,
+      (words("a", 10) ++ words("b", 10) ++ words("c", 5)).mkString(" ")))
+    assert(cut(2L) == (49L, 36L,
+      (words("d", 5) ++ words("e", 8)).mkString(" ")))
+    // full-doc duplicates lose everything
+    assert(cut(3L) == (30L, 30L, "")); assert(cut(4L) == (30L, 30L, ""))
+    // a short doc (< one window) passes through whole
+    val short = Seq((1L, "tiny doc few words")).toDF("doc_id", "text")
+    val sgot = TextOps.dedupCut(short).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(sgot == Seq((1L, 4L, 0L, "tiny doc few words")))
   }
 
   test("eventsAsof matches a sequential per-user scan; single user-keyed shuffle, no join") {
