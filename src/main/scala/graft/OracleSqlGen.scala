@@ -231,7 +231,15 @@ private[graft] object OracleSqlGen {
     * dedup_minhash oracle and the curate_funnel oracle (which gates
     * the corpus first) replay the SAME kernel SQL.
     */
-  private val minhashEdgeCtes: String = {
+  private val minhashEdgeCtes: String =
+    minhashEdgeCtesWith("x.doc_id < y.doc_id")
+
+  /** [[minhashEdgeCtes]] with the candidate-pair predicate
+    * parameterized (x = left/query side): the default `x.doc_id <
+    * y.doc_id` branch is byte-identical to the historical string;
+    * neardup_search re-keys it to a query slice.
+    */
+  private def minhashEdgeCtesWith(pairCond: String): String = {
     val seedVals = TextOps.minhashSeeds.zipWithIndex.map { case (s, k) =>
       s"($k, ${java.lang.Long.toUnsignedString(s)}::HUGEINT)"
     }.mkString(", ")
@@ -251,7 +259,7 @@ private[graft] object OracleSqlGen {
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM slices x JOIN slices y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |    ON x.band = y.band AND x.bucket = y.bucket AND $pairCond),
        |sets AS (SELECT doc_id, list(sh) AS ss FROM shd GROUP BY doc_id),
        |jac AS (
        |  SELECT p.doc_a, p.doc_b,
@@ -265,6 +273,18 @@ private[graft] object OracleSqlGen {
        |$minhashEdgeCtes
        |SELECT doc_a, doc_b, jaccard_milli FROM jac WHERE jaccard_milli >= 700
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup SEARCH mirror (TextOps.neardupSearch recomputed): the
+    * same band/verify chain with the pair predicate re-keyed to the
+    * query slice (doc_id % 50 = 0, self excluded) — "find my
+    * near-duplicates" answered for a bounded request batch.
+    */
+  val neardupSearch: String =
+    s"""WITH $nearDupCorpus,
+       |${minhashEdgeCtesWith("x.doc_id % 50 = 0 AND x.doc_id <> y.doc_id")}
+       |SELECT doc_a AS query_id, doc_b AS doc_id, jaccard_milli
+       |FROM jac WHERE jaccard_milli >= 700
+       |ORDER BY query_id, doc_id""".stripMargin
 
   val ngramJaccard: String =
     s"""WITH pairs AS (

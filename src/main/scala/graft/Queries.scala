@@ -510,6 +510,17 @@ object Queries {
   def dedupCutQ(s: SparkSession, d: String): DataFrame =
     TextOps.dedupCut(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
 
+  /** Near-dup retrieval for a query batch (doc_id % 50 slice of the
+    * mutated corpus — every query has a planted mirror partner); see
+    * [[TextOps.neardupSearch]].
+    */
+  def neardupSearchQ(s: SparkSession, d: String): DataFrame = {
+    val corpus = TextOps.corpusWithNearDups(TextOps.readDocs(s, d))
+    TextOps.neardupSearch(s, corpus,
+      corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text")))
+  }
+
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 

@@ -64,6 +64,7 @@ object SparkEntry {
     "passage_dedup" -> (Queries.passageDedupQ _),
     "dedup_spans" -> (Queries.dedupSpansQ _),
     "dedup_cut" -> (Queries.dedupCutQ _),
+    "neardup_search" -> (Queries.neardupSearchQ _),
     "line_dedup" -> (Queries.lineDedupQ _),
     "bpe_train" -> (Queries.bpeTrainQ _),
     "bpe_encode" -> (Queries.bpeEncodeQ _),
@@ -962,6 +963,9 @@ object SparkEntry {
     // the span CUT applied: clean_text byte-exact after removing every
     // cross-doc duplicated window's tokens
     "dedup_cut" -> OracleSqlGen.dedupCut,
+    // near-dup retrieval for a query slice — same band chain, pair
+    // predicate re-keyed (SAME kernel SQL as dedup_minhash)
+    "neardup_search" -> OracleSqlGen.neardupSearch,
     // paragraph-level corpus dedup over the planted-boilerplate synth;
     // clean_text reassembly is byte-exact on both engines
     "line_dedup" -> OracleSqlGen.lineDedup,

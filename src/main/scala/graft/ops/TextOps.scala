@@ -325,6 +325,60 @@ object TextOps {
       .filter(col("jaccard_milli") >= minJaccardMilli)
   }
 
+  /** Near-duplicate SEARCH — the request-time form of MinHash dedup:
+    * for every query doc, the corpus docs whose exact Jaccard clears
+    * the floor, found through the SAME band-bucket candidate geometry
+    * dedupMinhashEdges dedups with ("is this draft already in the
+    * corpus?" / contamination triage, answered per request instead of
+    * corpus-wide). Self-matches are excluded by id.
+    *
+    * Scale shape: the query side is a bounded request batch; the
+    * corpus band relation carries (band, 32-byte slice, id) rows and
+    * keeps the hot-bucket cap BEFORE the probe join (a degenerate
+    * bucket would otherwise fan every query into it); candidates are
+    * DISTINCT id pairs; only candidates pay the exact-Jaccard verify,
+    * and candidate TEXTS are fetched by ids-only semi-joins — no
+    * text-carrying relation is ever broadcast.
+    */
+  def neardupSearch(spark: SparkSession, docs: DataFrame, queries: DataFrame,
+                    minJaccardMilli: Long = 700L, maxBucket: Int = 4096): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def bandsOf(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol).cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => (id, minhashSignature(text)) })
+        .toDF(idCol, "sig")
+        .select(col(idCol), posexplode(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b*$RowsPerBand + 1, $RowsPerBand))"
+        )).as(Seq("band", "bucket")))
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val corpusBands = bandsOf(docs, "doc_id")
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val queryBands = bandsOf(queries, "query_id")
+    val cands = queryBands.join(corpusBands, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+    val qIds = cands.select(col("query_id")).distinct()
+    val dIds = cands.select(col("doc_id")).distinct()
+    val qTexts = queries.select(col("query_id").cast("long").as("query_id"), col("text").as("q_text"))
+      .join(broadcast(qIds), Seq("query_id"), "left_semi")
+    val dTexts = docs.select(col("doc_id").cast("long").as("doc_id"), col("text").as("d_text"))
+      .join(broadcast(dIds), Seq("doc_id"), "left_semi")
+    cands.join(qTexts, Seq("query_id")).join(dTexts, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("q_text"), col("d_text"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (q, d, tq, td) =>
+        (q, d, math.floor(exactJaccard(tq, td) * 1000.0).toLong)
+      })
+      .toDF("query_id", "doc_id", "jaccard_milli")
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** SimHash near-dup pairs via 4×16-bit segment blocking: Hamming
     * distance <= maxHamming (pigeonhole: some segment matches exactly),
     * equi-join on (segment index, segment value), then verify Hamming.

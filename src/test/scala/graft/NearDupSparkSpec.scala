@@ -59,6 +59,31 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"broadcast hint carries text columns: ${badHints.map(_.output.map(_.name))}")
   }
 
+  test("neardupSearch: every query recovers its planted mirror; self excluded; no text broadcast") {
+    val sp = spark; import sp.implicits._
+    val queries = corpus.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val res = TextOps.neardupSearch(spark, corpus, queries)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no self matches, all results clear the floor
+    assert(got.forall { case (q, d, j) => q != d && j >= 700L })
+    // each planted query (base doc with a +1e6 mirror, or the mirror
+    // itself) finds its partner
+    val qids = queries.select("query_id").as[Long].collect()
+    qids.foreach { q =>
+      val partner = if (q >= 1000000L) q - 1000000L
+                    else if (q % 10 == 0) q + 1000000L else -1L
+      if (partner >= 0)
+        assert(got.exists { case (qq, d, _) => qq == q && d == partner },
+          s"query $q missed partner $partner")
+    }
+    // the serve chain inherits the no-text-broadcast discipline
+    val badHints = res.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.output.exists(_.name.toLowerCase.contains("text")) => h
+    }
+    assert(badHints.isEmpty)
+  }
+
   test("dedupSimhash equals brute-force Hamming<=3 (pigeonhole recall 1)") {
     val docs = corpus.select(col("doc_id").cast("long"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
