@@ -120,6 +120,26 @@ object Bpe {
       case (syms, (l, r)) => applyMerge(syms, l, r)
     }
 
+  /** Persist a trained merge table (the tokenizer artifact —
+    * Classifier.saveModel's convention): a tiny step-ordered parquet
+    * that travels with the corpus it tokenizes.
+    */
+  def saveMerges(spark: SparkSession, dir: String,
+                 merges: Seq[(Long, String, String, String, Long)]): Unit = {
+    import spark.implicits._
+    merges.toDF("step", "pair_left", "pair_right", "merged", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a stored merge table in learned order — encoding under the
+    * loaded table is spec-pinned equal to train-time encoding.
+    */
+  def loadMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir)
+      .select(col("step"), col("pair_left"), col("pair_right"))
+      .orderBy(col("step"))
+      .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+
   /** Corpus-wide token counting under the TRAINED tokenizer — the
     * number token budgeting, shard packing and mixture math should
     * use (whitespace counts over-estimate tokens for common words and

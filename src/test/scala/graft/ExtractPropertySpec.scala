@@ -122,4 +122,42 @@ class ExtractPropertySpec extends AnyFunSuite {
       assert(out == text)
     }
   }
+
+  /** The relational run-parity rule the bpe_train/bpe_encode SQL
+    * mirrors compute: match positions grouped into consecutive runs,
+    * even offsets kept, kept merges shadow the following position.
+    * Independent formulation of Bpe.applyMerge's greedy scan.
+    */
+  private def runParityMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val matches = (0 until syms.length - 1).filter(i => syms(i) == l && syms(i + 1) == r)
+    val keep = scala.collection.mutable.Set.empty[Int]
+    var runStart = -2
+    var prev = -2
+    matches.foreach { i =>
+      if (i != prev + 1) runStart = i
+      if ((i - runStart) % 2 == 0) keep += i
+      prev = i
+    }
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (keep(i)) { out += (l + r); i += 2 } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  test("BPE greedy scan == the SQL mirror's run-parity rule on adversarial runs") {
+    // 2-symbol alphabet maximizes overlapping-run collisions (l == r
+    // runs are the only case where greedy and naive-all-matches differ)
+    val symSeq = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "ba"))
+      .map(_.toArray)
+    val pair = Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "ab"),
+      ("a", "ab"), ("ab", "a"), ("b", "b"))
+    forAll(Gen.zip(symSeq, pair), n = 400) { case (syms, (l, r)) =>
+      val greedy = graft.ops.Bpe.applyMerge(syms, l, r)
+      val parity = runParityMerge(syms, l, r)
+      assert(greedy.toSeq == parity.toSeq,
+        s"diverged on ${syms.mkString("[", " ", "]")} merging ($l,$r)")
+    }
+  }
 }

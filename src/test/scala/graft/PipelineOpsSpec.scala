@@ -487,6 +487,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.length == Bpe.Merges)
   }
 
+  test("bpe merge table round-trips through parquet; stored-table encoding == train-time") {
+    import graft.ops.Bpe
+    val docs = TextOps.readDocs(spark, sfDir)
+    val trained = Bpe.trainMerges(Bpe.wordCensus(docs), Bpe.Merges)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-merges").toString
+    Bpe.saveMerges(spark, dir, trained)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == trained.map { case (_, l, r, _, _) => (l, r) })
+    // encoding under the stored artifact is identical
+    val sample = Bpe.wordCensus(docs, 50).map(_._1)
+    sample.foreach { w =>
+      assert(Bpe.encode(w, loaded).toSeq ==
+        Bpe.encode(w, trained.map { case (_, l, r, _, _) => (l, r) }).toSeq)
+    }
+  }
+
   test("bpeTokenCount: per-doc counts == driver encode recompute; merges only shrink") {
     val sp = spark; import sp.implicits._
     import graft.ops.Bpe
