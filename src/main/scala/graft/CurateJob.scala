@@ -370,15 +370,21 @@ object CurateJob {
   /** Per-doc funnel AUDIT — the debugging view a pipeline owner reads
     * when "why did my corpus shrink 40%?" lands: every url-deduped doc
     * labeled with the FIRST stage that rejected it (`quality`,
-    * `duplicate`, `sampled_out`) or `admitted`. Derived from the SAME
-    * [[FunnelFrames]] a funnel run produced — the audit cannot drift
-    * from the real funnel's judgment because it IS the funnel's
-    * frames, joined by id (ids-only joins; text never rides them).
-    * The sampling verdict is recomputed from the hash expression
-    * (deterministic by construction) so the packed frame's windowing
-    * machinery stays out of the audit plan.
+    * `duplicate`, `sampled_out`, `post_canonical`) or `admitted`.
+    * Derived from the SAME [[FunnelFrames]] a funnel run produced —
+    * the admitted set IS the packed frame's id set by join, so the
+    * audit cannot drift from the real funnel's judgment under ANY
+    * branch combination (passage gate, host cap, authority tiers).
+    * Among non-admitted survivors, the flat-sampling verdict is
+    * recomputed from the deterministic hash expression: under the
+    * default funnel it explains every post-canonical drop (the
+    * `post_canonical` label never appears — spec-pinned); with
+    * optional stages ON, docs the hash would have kept but an
+    * optional stage cut are labeled `post_canonical` honestly instead
+    * of being misattributed to sampling. All joins are ids-only; text
+    * never rides them.
     *
-    * Plan note: the three branches share the funnel lineage — run the
+    * Plan note: the branches share the funnel lineage — run the
     * producing funnel with cache=true at scale (it persists the
     * url-deduped frame; component labels are checkpoint-truncated
     * already) or audit a funnel output that was written to a table.
@@ -390,14 +396,18 @@ object CurateJob {
       lit(true).as("is_gated"))
     val c = frames.canonical.select(col("doc_id").cast("long").as("doc_id"),
       lit(true).as("is_canonical"))
+    val p = frames.packed.select(col("doc_id").cast("long").as("doc_id"),
+      lit(true).as("is_packed"))
     val sampleKey = TextOps.unsignedMod1000(
       TextOps.splitmixCol(col("doc_id").bitwiseXOR(lit(TextOps.SampleSeed))))
     ids.join(g, Seq("doc_id"), "left").join(c, Seq("doc_id"), "left")
+      .join(p, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_gated").isNull, "quality")
           .when(col("is_canonical").isNull, "duplicate")
-          .when(sampleKey < lit(samplePermille), "admitted")
-          .otherwise("sampled_out").as("stage"))
+          .when(col("is_packed").isNotNull, "admitted")
+          .when(sampleKey >= lit(samplePermille), "sampled_out")
+          .otherwise("post_canonical").as("stage"))
       .orderBy(col("doc_id"))
   }
 

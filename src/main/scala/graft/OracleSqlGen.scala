@@ -237,9 +237,17 @@ private[graft] object OracleSqlGen {
   /** [[minhashEdgeCtes]] with the candidate-pair predicate
     * parameterized (x = left/query side): the default `x.doc_id <
     * y.doc_id` branch is byte-identical to the historical string;
-    * neardup_search re-keys it to a query slice.
+    * neardup_search re-keys it to a query slice. With `capped`, the
+    * slices CTE carries a per-(band, bucket) count so the pair
+    * predicate can mirror TextOps.MinhashMaxBucket (x and y share the
+    * bucket, so one `y.cnt <=` term equals Spark's bucket drop); the
+    * curate-funnel mirrors stay on the uncapped branch — their planted
+    * corpus has no hot buckets by construction, and the recursive
+    * funnel scope is plan-shape-fragile (see curateFunnel's measured
+    * constraints) so no window is added inside it.
     */
-  private def minhashEdgeCtesWith(pairCond: String): String = {
+  private def minhashEdgeCtesWith(pairCond: String,
+                                  capped: Boolean = false): String = {
     val seedVals = TextOps.minhashSeeds.zipWithIndex.map { case (s, k) =>
       s"($k, ${java.lang.Long.toUnsignedString(s)}::HUGEINT)"
     }.mkString(", ")
@@ -255,10 +263,13 @@ private[graft] object OracleSqlGen {
        |  FROM shd JOIN p6 USING (sh) GROUP BY shd.doc_id, p6.k),
        |slices AS (
        |  SELECT doc_id, CAST(k // 4 AS INTEGER) AS band, list(hk ORDER BY k) AS bucket
-       |  FROM sig GROUP BY doc_id, k // 4),
+       |  FROM sig GROUP BY doc_id, k // 4),${
+         if (capped)
+           "\n|slc AS (SELECT s.*, count(*) OVER (PARTITION BY band, bucket) AS cnt FROM slices s),"
+         else ""}
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM slices x JOIN slices y
+       |  FROM ${if (capped) "slc" else "slices"} x JOIN ${if (capped) "slc" else "slices"} y
        |    ON x.band = y.band AND x.bucket = y.bucket AND $pairCond),
        |sets AS (SELECT doc_id, list(sh) AS ss FROM shd GROUP BY doc_id),
        |jac AS (
@@ -270,18 +281,24 @@ private[graft] object OracleSqlGen {
 
   val dedupMinhash: String =
     s"""WITH $nearDupCorpus,
-       |$minhashEdgeCtes
+       |${minhashEdgeCtesWith(
+           s"x.doc_id < y.doc_id AND y.cnt <= ${TextOps.MinhashMaxBucket}",
+           capped = true)}
        |SELECT doc_a, doc_b, jaccard_milli FROM jac WHERE jaccard_milli >= 700
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-dup SEARCH mirror (TextOps.neardupSearch recomputed): the
     * same band/verify chain with the pair predicate re-keyed to the
-    * query slice (doc_id % 50 = 0, self excluded) — "find my
-    * near-duplicates" answered for a bounded request batch.
+    * query slice (doc_id % 50 = 0, self excluded) and the corpus-side
+    * hot-bucket cap mirrored — "find my near-duplicates" answered for
+    * a bounded request batch.
     */
   val neardupSearch: String =
     s"""WITH $nearDupCorpus,
-       |${minhashEdgeCtesWith("x.doc_id % 50 = 0 AND x.doc_id <> y.doc_id")}
+       |${minhashEdgeCtesWith(
+           "x.doc_id % 50 = 0 AND x.doc_id <> y.doc_id AND y.cnt <= " +
+             TextOps.MinhashMaxBucket,
+           capped = true)}
        |SELECT doc_a AS query_id, doc_b AS doc_id, jaccard_milli
        |FROM jac WHERE jaccard_milli >= 700
        |ORDER BY query_id, doc_id""".stripMargin
@@ -1054,7 +1071,8 @@ private[graft] object OracleSqlGen {
     * chain) or not (encode chain).
     */
   private def bpeRewrite(p: String, k: Int, src: String, dst: String,
-                         best: String, carryC: Boolean): String = {
+                         best: String, carryC: Boolean,
+                         injectAfterA: String = ""): String = {
     val cSel = if (carryC) "c, " else ""
     val cAgg = if (carryC) "any_value(a.c) AS c, " else ""
     s"""${p}e$k AS (
@@ -1065,7 +1083,7 @@ private[graft] object OracleSqlGen {
        |${p}a$k AS MATERIALIZED (
        |  SELECT word, ${cSel}i, sym,
        |         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nx
-       |  FROM ${p}e$k),
+       |  FROM ${p}e$k),$injectAfterA
        |${p}m$k AS (SELECT a.word, a.i FROM ${p}a$k a, $best b
        |        WHERE a.sym = b.l AND a.nx = b.r),
        |${p}g$k AS MATERIALIZED (
@@ -1092,16 +1110,16 @@ private[graft] object OracleSqlGen {
     */
   private def bpeTrainChain: String = {
     val iters = (0 until graft.ops.Bpe.Merges).map { k =>
-      // b$k must see THIS step's adjacency — emitted between the
-      // rewrite's a$k and its pair-match m$k, so order the fragments
-      val rw = bpeRewrite("", k, s"v$k", s"v${k + 1}", s"b$k", carryC = true)
-      val Array(pre, post) = rw.split(s"\\n\\|?m$k AS ", 2)
-      s"""$pre
-         |b$k AS MATERIALIZED (
-         |  SELECT sym AS l, nx AS r, CAST(sum(c) AS BIGINT) AS cnt
-         |  FROM a$k WHERE nx IS NOT NULL
-         |  GROUP BY sym, nx ORDER BY cnt DESC, l, r LIMIT 1),
-         |m$k AS $post""".stripMargin
+      // b$k must see THIS step's adjacency — injected between the
+      // rewrite's a$k and its pair-match m$k through the seam
+      val bCte =
+        s"""
+           |b$k AS MATERIALIZED (
+           |  SELECT sym AS l, nx AS r, CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM a$k WHERE nx IS NOT NULL
+           |  GROUP BY sym, nx ORDER BY cnt DESC, l, r LIMIT 1),""".stripMargin
+      bpeRewrite("", k, s"v$k", s"v${k + 1}", s"b$k", carryC = true,
+        injectAfterA = bCte)
     }.mkString(",\n")
     s"""cen AS (
        |  SELECT u.w AS word, CAST(count(*) AS BIGINT) AS c

@@ -150,6 +150,12 @@ object Bpe {
     * scale, so the encode cost is O(distinct words per partition),
     * not O(corpus tokens). Zero shuffles on the encode pass.
     */
+  /** Per-partition memo bound for [[bpeTokenCount]] — a partition of
+    * unique junk tokens (random ids, base64 blobs) must not grow the
+    * memo without limit; past the cap, words are encoded directly.
+    */
+  val MemoCap = 1 << 16
+
   def bpeTokenCount(spark: SparkSession, docs: DataFrame,
                     merges: Int = Merges, cap: Int = VocabCap): DataFrame = {
     import spark.implicits._
@@ -159,12 +165,17 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = scala.collection.mutable.Map.empty[String, Long]
+        def tokensOf(w: String): Long = memo.get(w) match {
+          case Some(n) => n
+          case None =>
+            val n = encode(w, table).length.toLong
+            if (memo.size < MemoCap) memo.update(w, n)
+            n
+        }
         it.map { case (id, text) =>
           val words = text.split(' ').filter(_.nonEmpty)
           var toks = 0L
-          words.foreach { w =>
-            toks += memo.getOrElseUpdate(w, encode(w, table).length.toLong)
-          }
+          words.foreach { w => toks += tokensOf(w) }
           (id, words.length.toLong, toks)
         }
       }

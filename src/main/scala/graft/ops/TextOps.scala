@@ -275,25 +275,37 @@ object TextOps {
     * order-insensitive (union → groupBy) and a Sort below the union
     * would be wasted work the optimizer only *usually* removes.
     */
-  def dedupMinhashEdges(spark: SparkSession, docs: DataFrame,
-                        minJaccardMilli: Long = 700L, maxBucket: Int = 4096): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val withSig = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, minhashSignature(text))
-      })
-      .toDF("doc_id", "sig")
+  /** Hot-bucket cap default for the MinHash candidate joins (public:
+    * the dedup_minhash / neardup_search oracles mirror it — a corpus
+    * with a >cap bucket would otherwise diverge).
+    */
+  val MinhashMaxBucket = 4096
 
-    // band bucket = the RAW signature slice (array<long> of RowsPerBand
-    // values) — grouping on the slice is candidate-equivalent to
-    // hashing it, with no collision term and an exact SQL mirror
-    val w = Window.partitionBy(col("band"), col("bucket"))
-    val buckets = withSig
-      .select(col("doc_id"), posexplode(expr(
+  /** The (id, band, bucket) LSH band relation of a corpus — band
+    * bucket = the RAW signature slice (array<long> of RowsPerBand
+    * values): grouping on the slice is candidate-equivalent to
+    * hashing it, with no collision term and an exact SQL mirror. ONE
+    * definition feeds dedupMinhashEdges AND neardupSearch — a band
+    * geometry change cannot desynchronize them.
+    */
+  private def bandRelation(df: DataFrame, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, minhashSignature(text)) })
+      .toDF(idCol, "sig")
+      .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b*$RowsPerBand + 1, $RowsPerBand))"
       )).as(Seq("band", "bucket")))
+  }
+
+  def dedupMinhashEdges(spark: SparkSession, docs: DataFrame,
+                        minJaccardMilli: Long = 700L,
+                        maxBucket: Int = MinhashMaxBucket): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val buckets = bandRelation(docs, "doc_id")
       .withColumn("cnt", count(lit(1)).over(w))
       .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
       .groupBy(col("band"), col("bucket"))
@@ -341,23 +353,16 @@ object TextOps {
     * text-carrying relation is ever broadcast.
     */
   def neardupSearch(spark: SparkSession, docs: DataFrame, queries: DataFrame,
-                    minJaccardMilli: Long = 700L, maxBucket: Int = 4096): DataFrame = {
+                    minJaccardMilli: Long = 700L,
+                    maxBucket: Int = MinhashMaxBucket): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    def bandsOf(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol).cast("long"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) => (id, minhashSignature(text)) })
-        .toDF(idCol, "sig")
-        .select(col(idCol), posexplode(expr(
-          s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b*$RowsPerBand + 1, $RowsPerBand))"
-        )).as(Seq("band", "bucket")))
     val w = Window.partitionBy(col("band"), col("bucket"))
-    val corpusBands = bandsOf(docs, "doc_id")
+    val corpusBands = bandRelation(docs, "doc_id")
       .withColumn("cnt", count(lit(1)).over(w))
       .filter(col("cnt") <= maxBucket)
       .select(col("doc_id"), col("band"), col("bucket"))
-    val queryBands = bandsOf(queries, "query_id")
+    val queryBands = bandRelation(queries, "query_id")
     val cands = queryBands.join(corpusBands, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("doc_id"))
       .select(col("query_id"), col("doc_id"))
@@ -1085,29 +1090,6 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact duplicate-SPAN coordinates (the sub-document removal form
-    * of exact-substring dedup, after Lee et al. "Deduplicating
-    * Training Data Makes Language Models Better"): every SLIDING
-    * w-word window (stride 1) is hashed; a window is duplicated if it
-    * occurs verbatim in >= 2 distinct docs; per doc, overlapping or
-    * touching duplicated windows merge into maximal spans — the
-    * (start, length) coordinates a curation pipeline CUTS, where
-    * passage_dedup can only score or drop whole docs. Emits per doc:
-    * window/dup-window counts, merged span count, duplicated token
-    * mass and its permille of the doc.
-    *
-    * Scale shape: windows are FNV-hashed inside the flatMap so the
-    * corpus-scale shuffle carries (doc_id, pos, 8-byte hash) — stride-1
-    * windows cost one row per corpus token, the same order as the
-    * tokenize explode the engine already pays elsewhere. Per-doc
-    * repeats collapse BEFORE the cross-doc census (a doc repeating its
-    * own boilerplate is not a cross-doc duplicate); the dup-hash set
-    * joins back by hash with NO forced broadcast. Span merging is a
-    * per-doc window over only the DUPLICATED positions
-    * (gaps-and-islands: break when the gap exceeds w, islands cover
-    * [min, max+w) contiguously because every kept gap <= w), bounded
-    * by doc length — never a corpus-wide sort.
-    */
   /** Shared window machinery for dedupSpans/dedupCut: stride-1 w-word
     * window hashes `wh(doc_id, pos, n_words, whash)`, cross-doc
     * duplicated positions `dupw`, and the merged gaps-and-islands
@@ -1192,6 +1174,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicate-SPAN coordinates (the sub-document removal form
+    * of exact-substring dedup, after Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better"): every SLIDING
+    * w-word window (stride 1) is hashed; a window is duplicated if it
+    * occurs verbatim in >= 2 distinct docs; per doc, overlapping or
+    * touching duplicated windows merge into maximal spans — the
+    * (start, length) coordinates a curation pipeline CUTS (see
+    * [[dedupCut]] for the rewrite that applies them). Emits per doc:
+    * window/dup-window counts, merged span count, duplicated token
+    * mass and its permille of the doc.
+    *
+    * Scale shape: windows are FNV-hashed inside the flatMap so the
+    * corpus-scale shuffle carries (doc_id, pos, 8-byte hash) — stride-1
+    * windows cost one row per corpus token, the same order as the
+    * tokenize explode the engine already pays elsewhere. Per-doc
+    * repeats collapse BEFORE the cross-doc census (a doc repeating its
+    * own boilerplate is not a cross-doc duplicate); the dup-hash set
+    * joins back by hash with NO forced broadcast. Span merging is a
+    * per-doc window over only the DUPLICATED positions
+    * (gaps-and-islands, [[dupIslands]]), bounded by doc length —
+    * never a corpus-wide sort.
+    */
   def dedupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
     val (wh, dupw, islands) = dupIslands(docs, w)
     val spans = islands.select(col("doc_id"), col("island"),

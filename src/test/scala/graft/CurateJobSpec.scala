@@ -136,6 +136,22 @@ class CurateJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(audit.filter(_._2 == "duplicate").keySet == gatedIds -- canonIds)
     assert(audit.filter(_._2 == "quality").keySet == urlIds -- gatedIds)
     assert(audit.filter(_._2 == "sampled_out").keySet == canonIds -- packedIds)
+    // default funnel: flat sampling explains every post-canonical drop
+    assert(!audit.values.exists(_ == "post_canonical"))
+
+    // optional-stage funnel: admitted still IS the packed set (the
+    // regression this pins: a hash-recomputed 'admitted' would claim
+    // host-capped docs were admitted), and docs an optional stage cut
+    // that sampling would have kept are labeled post_canonical
+    val fc = CurateJob.funnel(spark, normed, maxDocsPerHost = Some(3))
+    val auditC = CurateJob.auditFunnel(fc).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val packedC = fc.packed.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(auditC.filter(_._2 == "admitted").keySet == packedC)
+    val canonC = fc.canonical.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(canonC.size > packedC.size, "cap must bind for this case to test anything")
+    val late = auditC.filter(_._2 == "post_canonical").keySet
+    assert(late.nonEmpty && late.subsetOf(canonC -- packedC))
   }
 
   test("authority-weighted sampling: tier rates bind, deterministic, off-path unchanged") {
