@@ -157,10 +157,18 @@ object Bpe {
   val MemoCap = 1 << 16
 
   def bpeTokenCount(spark: SparkSession, docs: DataFrame,
-                    merges: Int = Merges, cap: Int = VocabCap): DataFrame = {
+                    merges: Int = Merges, cap: Int = VocabCap): DataFrame =
+    bpeTokenCountWith(spark, docs,
+      trainMerges(wordCensus(docs, cap), merges)
+        .map { case (_, l, r, _, _) => (l, r) })
+
+  /** [[bpeTokenCount]] under an ALREADY-trained (or loaded) merge
+    * table — the serving form (TokenizerJob trains once, then counts;
+    * a stored tokenizer counts without retraining).
+    */
+  def bpeTokenCountWith(spark: SparkSession, docs: DataFrame,
+                        table: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    val table = trainMerges(wordCensus(docs, cap), merges)
-      .map { case (_, l, r, _, _) => (l, r) }
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

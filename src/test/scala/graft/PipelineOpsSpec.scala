@@ -503,6 +503,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TokenizerJob: trains once, persists the artifact, counts under it") {
+    val sp = spark; import sp.implicits._
+    import graft.ops.Bpe
+    val in = java.nio.file.Files.createTempDirectory("tok-in").toString
+    val docs = TextOps.readDocs(spark, sfDir)
+    docs.select(concat(lit("https://t.example/"), col("doc_id")).as("url"), col("text"))
+      .write.mode("overwrite").parquet(in)
+    val mergesDir = java.nio.file.Files.createTempDirectory("tok-merges").toString
+    val r = TokenizerJob.run(spark, in, mergesDir)
+    assert(r.nDocs == docs.count() && r.nMerges == Bpe.Merges)
+    assert(r.nBpeTokens >= r.nWords && r.nBpeTokens > 0)
+    // the stored artifact reproduces the job's own counts (and a fresh
+    // in-memory train over the same corpus agrees)
+    val keyed = spark.read.parquet(in)
+      .select(xxhash64(col("url")).as("doc_id"), col("text"))
+    val under = Bpe.bpeTokenCountWith(spark, keyed, Bpe.loadMerges(spark, mergesDir))
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+    assert(under == r.nBpeTokens)
+    val fresh = Bpe.bpeTokenCount(spark, keyed)
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+    assert(fresh == r.nBpeTokens)
+  }
+
   test("bpeTokenCount: per-doc counts == driver encode recompute; merges only shrink") {
     val sp = spark; import sp.implicits._
     import graft.ops.Bpe
