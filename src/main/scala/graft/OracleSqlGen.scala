@@ -105,7 +105,7 @@ private[graft] object OracleSqlGen {
   /** Left-fold dot product of two FLOAT[] columns in DOUBLE — the
     * exact mirror of VectorOps.dot (zip_with + aggregate left fold).
     */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        |      list_transform(range(1, len($a)+1),
        |        i -> CAST($a[CAST(i AS INTEGER)] AS DOUBLE) * CAST($b[CAST(i AS INTEGER)] AS DOUBLE))),
@@ -1648,5 +1648,88 @@ private[graft] object OracleSqlGen {
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
        |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** RAG-chunking mirror (TextOps.chunkOverlap): same word windows,
+    * but begin_char derived by a DIFFERENT route — length of the
+    * joined word prefix + 1 vs Spark's fold of len(word)+1 — so the
+    * offset contract is cross-verified, not echoed. Geometry embedded
+    * from the ONE Scala constant pair (ChunkWords/ChunkStride).
+    */
+  val chunkOverlap: String = {
+    val w = TextOps.ChunkWords
+    val s = TextOps.ChunkStride
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, ws,
+       |    CASE WHEN len(ws) <= $w THEN 1
+       |         ELSE 1 + (len(ws) - $w + ${s - 1}) // $s END AS nk
+       |  FROM base),
+       |c AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+       |    CAST(u.i * $s AS BIGINT) AS begin_word,
+       |    CASE WHEN u.i = 0 THEN 0
+       |         ELSE length(array_to_string(ws[1:CAST(u.i * $s AS INTEGER)], ' ')) + 1 END AS begin_char,
+       |    ws[CAST(u.i * $s + 1 AS INTEGER):CAST(u.i * $s + $w AS INTEGER)] AS cw
+       |  FROM k, UNNEST(range(nk)) AS u(i))
+       |SELECT doc_id, chunk_id, begin_word,
+       |  CAST(begin_char AS BIGINT) AS begin_char,
+       |  CAST(len(cw) AS BIGINT) AS n_words,
+       |  array_to_string(cw, ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Quota-sample mirror (TextOps.quotaSample): the splitmix chain
+    * over doc_id xor QuotaSeed, ranked per lang by the SIGNED
+    * two's-complement view of the hash (Spark orders the native
+    * expression's Long), quota k kept.
+    */
+  val quotaSample: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.QuotaSeed)
+    val k = TextOps.QuotaK
+    s"""WITH s0 AS (
+       |  SELECT lang, doc_id,
+       |         ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |  FROM documents),
+       |${splitmixCtes("qs", "s0", "lang, doc_id")},
+       |r AS (
+       |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${sb("hk")} ASC, doc_id ASC) AS rn
+       |  FROM qs6)
+       |SELECT lang, doc_id, CAST(rn AS BIGINT) AS smp_rank
+       |FROM r WHERE rn <= $k ORDER BY lang, doc_id""".stripMargin
+  }
+
+  /** Embedding-decontamination mirror (VectorOps.decontaminateEmbed):
+    * eval slice, double-fold cosine, micro floor, threshold, then the
+    * per-doc argmax replayed as max over (sim, -eval_id) — the same
+    * struct-max rule the Spark aggregate uses. Constants embedded
+    * from the ONE Scala pair (DecontamEvalEvery/DecontamMinSimMicro).
+    */
+  val decontaminateEmbed: String = {
+    val every = VectorOps.DecontamEvalEvery
+    val minSim = VectorOps.DecontamMinSimMicro
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, embedding AS e_emb, norm AS e_norm
+       |       FROM normed WHERE vec_id % $every = 0),
+       |scored AS (
+       |  SELECT n.vec_id, ev.eval_id,
+       |    CAST(floor(${dotSql("n.embedding", "ev.e_emb")} / (n.norm * ev.e_norm) * 1000000.0) AS BIGINT) AS sim_micro
+       |  FROM normed n, ev),
+       |hits AS (SELECT * FROM scored WHERE sim_micro >= $minSim)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |  CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(max(sim_micro) AS BIGINT) AS max_sim_micro,
+       |  CAST(min(CASE WHEN sim_micro = m THEN eval_id END) AS BIGINT) AS top_eval_id
+       |FROM (SELECT vec_id, eval_id, sim_micro,
+       |        max(sim_micro) OVER (PARTITION BY vec_id) AS m
+       |      FROM hits) h
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 }

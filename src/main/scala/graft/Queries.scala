@@ -1314,4 +1314,41 @@ object Queries {
       .groupBy(col("salt"))
       .agg(count(lit(1)).as("n_pages"))
       .orderBy(col("salt"))
+
+  /** RAG chunking over the documents corpus (see
+    * [[TextOps.chunkOverlap]]): overlapping 32-word windows every 24
+    * words with byte-exact begin_char offsets — the oracle re-derives
+    * the offset by a different route (joined-prefix length), so the
+    * offset contract is verified, not just echoed.
+    */
+  def chunkOverlapQ(s: SparkSession, d: String): DataFrame =
+    TextOps.chunkOverlap(TextOps.readDocs(s, d))
+
+  /** Exact-k-per-language quota sample (see [[TextOps.quotaSample]]);
+    * the WindowGroupLimit pre-shuffle top-k shape is plan-asserted in
+    * ScaleOpsSpec.
+    */
+  def quotaSampleQ(s: SparkSession, d: String): DataFrame =
+    TextOps.quotaSample(TextOps.readDocs(s, d))
+
+  /** Embedding-space eval decontamination (see
+    * [[graft.ops.VectorOps.decontaminateEmbed]]): eval slice
+    * vec_id % 53 == 0 drawn from the corpus itself, so slice members
+    * self-flag at ~1.0 alongside genuine semantic near-matches.
+    */
+  def decontaminateEmbedQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.VectorOps.decontaminateEmbed(
+      graft.ops.VectorOps.readEmbeddings(s, d))
+
+  /** Retrieve-then-rerank (see [[graft.ops.SearchOps.hybridRerank]]):
+    * the bm25 leg nominates its top-10 on the shared doc_id % 101
+    * query slice, embedding cosine re-orders them, top-5 kept. The
+    * oracle composes the bm25 mirror verbatim with the cosine kernel.
+    */
+  def hybridRerankQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    graft.ops.SearchOps.hybridRerank(
+      graft.ops.SearchOps.bm25Search(docs, bm25QueryTerms(docs)),
+      graft.ops.VectorOps.readEmbeddings(s, d))
+  }
 }

@@ -46,7 +46,11 @@ object SparkEntry {
     "phrase_serve" -> (Queries.phraseServeQ _),
     "hybrid_rrf" -> (Queries.hybridRrfQ _),
     "hybrid_serve" -> (Queries.hybridServeQ _),
+    "hybrid_rerank" -> (Queries.hybridRerankQ _),
     "strat_sample" -> (Queries.stratSample _),
+    "quota_sample" -> (Queries.quotaSampleQ _),
+    "chunk_overlap" -> (Queries.chunkOverlapQ _),
+    "decontaminate_embed" -> (Queries.decontaminateEmbedQ _),
     "url_normalize" -> (Queries.urlNormalizeQ _),
     "host_parse" -> (Queries.hostParseQ _),
     "host_cap" -> (Queries.hostCapQ _),
@@ -843,6 +847,33 @@ object SparkEntry {
          |FROM f
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // Retrieve-then-rerank: the bm25 mirror nominates, the shared
+    // double-fold cosine kernel re-scores, top-5 kept. Candidates or
+    // queries without a stored embedding take the EXPLICIT sentinel
+    // (never engine NULL ordering) — mirrors SearchOps.hybridRerank's
+    // coalesce. A bm25 OR cosine kernel change hits this row too.
+    "hybrid_rerank" ->
+      s"""WITH lex AS ($bm25Sql),
+         |normed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${OracleSqlGen.dotSql("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT l.query_id, l.doc_id, l.rank AS lex_rank,
+         |    CASE WHEN d.vec_id IS NULL OR q.vec_id IS NULL
+         |         THEN ${graft.ops.SearchOps.RerankMissingMicro}
+         |         ELSE CAST(floor(${OracleSqlGen.dotSql("q.embedding", "d.embedding")} / (d.norm * q.norm) * 1000000.0) AS BIGINT)
+         |    END AS rerank_micro
+         |  FROM lex l
+         |  LEFT JOIN normed d ON l.doc_id = d.vec_id
+         |  LEFT JOIN normed q ON l.query_id = q.vec_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rerank_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rerank_micro, CAST(lex_rank AS BIGINT) AS lex_rank
+         |FROM sc
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // URL canonicalization: the messy synth (fragment / uppercase
     // authority / :443 / unsorted params keyed on doc_id%4) and the
     // normalizer are both mirrored step-for-step
@@ -990,6 +1021,15 @@ object SparkEntry {
     // per-doc first-rejecting-stage audit of the same funnel run
     "curate_audit" -> OracleSqlGen.curateAudit,
     "strat_sample" -> OracleSqlGen.stratSample,
+    // exact-k-per-stratum quota sampling: the splitmix chain ranked
+    // per lang by the signed view of the hash (Spark's Long order)
+    "quota_sample" -> OracleSqlGen.quotaSample,
+    // RAG chunking: begin_char derived by a DIFFERENT route than the
+    // Spark fold (joined-prefix length), cross-verifying the offsets
+    "chunk_overlap" -> OracleSqlGen.chunkOverlap,
+    // embedding-space eval decontamination: cosine kernel + threshold
+    // + per-doc argmax, replayed with the shared double-fold dot
+    "decontaminate_embed" -> OracleSqlGen.decontaminateEmbed,
     "mix_balance" -> OracleSqlGen.mixBalance,
     "lang_id" -> OracleSqlGen.langId,
     "doc_fingerprint" -> OracleSqlGen.docFingerprint,

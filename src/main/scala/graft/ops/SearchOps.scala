@@ -184,6 +184,58 @@ object SearchOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Sentinel rerank score for candidates (or queries) with no stored
+    * embedding — sorts after every real cosine, keeps the rank
+    * function total without cross-engine NULL-ordering hazards
+    * (public: the oracle embeds it).
+    */
+  val RerankMissingMicro = -2000000L
+
+  /** Retrieve-then-rerank — the second canonical hybrid composition
+    * next to [[hybridRrf]]'s rank fusion: the lexical leg nominates
+    * its top-k candidates, then each candidate is RE-SCORED by
+    * embedding cosine against the query's embedding and the
+    * candidate list is re-ordered by that semantic score
+    * (integer micro floor, ties to the smaller doc). Candidates or
+    * queries without a stored embedding score [[RerankMissingMicro]]
+    * — explicitly coalesced on both engines, so the order never
+    * depends on an engine's NULL placement.
+    *
+    * Scale shape: the candidate relation is O(queries × k) — tiny by
+    * construction — so both embedding probes are id-keyed joins INTO
+    * the embeddings table (AQE broadcasts the candidate side; vectors
+    * ride only the k-per-query hit rows, never a corpus-wide
+    * shuffle), and the rerank window partitions per query.
+    */
+  def hybridRerank(lexRanked: DataFrame, emb: DataFrame,
+                   k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val cand = lexRanked.select(col("query_id"), col("doc_id"),
+      col("rank").as("lex_rank"))
+    val normed = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"), VectorOps.l2norm(col("embedding")).as("norm"))
+    val scored = cand
+      .join(normed.select(col("vec_id").as("doc_id"),
+        col("embedding").as("d_emb"), col("norm").as("d_norm")),
+        Seq("doc_id"), "left")
+      .join(normed.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm")),
+        Seq("query_id"), "left")
+      .withColumn("rerank_micro",
+        coalesce(
+          floor(VectorOps.dot(col("q_emb"), col("d_emb"))
+            / (col("d_norm") * col("q_norm")) * 1000000.0).cast("long"),
+          lit(RerankMissingMicro)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rerank_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rerank_micro"), col("lex_rank").cast("long").as("lex_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-k BM25-variant search: `queryTerms` is a request relation
     * (query_id BIGINT, term STRING) — one row per distinct query term
     * (deduped defensively here).

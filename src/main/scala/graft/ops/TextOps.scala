@@ -1813,4 +1813,101 @@ object TextOps {
       .filter(unsignedMod1000(h) < rate)
       .orderBy("doc_id")
   }
+
+  // -------------------------------------------------------------------
+  // RAG chunking (overlapping sliding-window passages)
+  // -------------------------------------------------------------------
+
+  /** Chunk geometry (public: the chunk_overlap oracle embeds it).
+    * Window of [[ChunkWords]] words advancing by [[ChunkStride]]
+    * (overlap = 8 words), the retrieval-chunking default shape.
+    */
+  val ChunkWords = 32
+  val ChunkStride = 24
+
+  /** Overlapping sliding-window chunking — the passage splitter a
+    * retrieval/RAG pipeline runs between extraction and embedding:
+    * the doc's words (single-space normalized) are windowed into
+    * `w`-word chunks every `s` words, the final partial window kept,
+    * and each chunk carries its EXACT offsets into the normalized
+    * text: `begin_word` (0-based word index) and `begin_char`
+    * (0-based char index, the prefix fold of len(word)+1) — so a
+    * serving layer can highlight the chunk in the source doc without
+    * re-tokenizing. Offsets are the verified contract: the oracle
+    * re-derives begin_char by a DIFFERENT route (length of the joined
+    * prefix + 1) and the two derivations must agree byte-for-byte.
+    *
+    * Scale shape: ZERO shuffles — split/slice/aggregate are
+    * codegen'd higher-order functions evaluated per input row, and
+    * the chunk fan-out is the only row growth (bounded by
+    * ceil(n_words/stride) per doc). At 100 TB this runs as a pure map
+    * stage on the extraction output's existing partitioning.
+    */
+  def chunkOverlap(docs: DataFrame, w: Int = ChunkWords,
+                   s: Int = ChunkStride): DataFrame = {
+    require(w > 0 && s > 0 && s <= w, s"bad chunk geometry w=$w s=$s")
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .withColumn("nk",
+        when(col("nw") <= w, lit(1))
+          .otherwise(expr(s"(nw - $w + ${s - 1}) div $s") + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, nk - 1)")).as("chunk_id"))
+      .withColumn("cw", expr(s"slice(ws, chunk_id * $s + 1, $w)"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * s).cast("long").as("begin_word"),
+        expr(s"aggregate(slice(ws, 1, chunk_id * $s), 0L, (acc, x) -> acc + length(x) + 1L)")
+          .as("begin_char"),
+        size(col("cw")).cast("long").as("n_words"),
+        array_join(col("cw"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // Quota sampling (exact-k per stratum)
+  // -------------------------------------------------------------------
+
+  /** Seed for the quota-sample ordering hash (public: oracle embeds
+    * it). Distinct from [[SampleSeed]] so the two samplers draw
+    * independent pseudo-random orders.
+    */
+  val QuotaSeed = 0x9b0a7a5eedL
+
+  /** Per-stratum quota (public: the oracle embeds it). */
+  val QuotaK = 40
+
+  /** Exact-k-per-stratum deterministic sampling — the quota
+    * counterpart of [[stratifiedSample]]'s rate sampler: every
+    * stratum (lang) contributes its k smallest docs under the
+    * splitmix64(doc_id xor seed) order, so the sample size per
+    * stratum is EXACT (a mixture spec like "40 docs per language"),
+    * reproducible across runs/engines, and independent of stratum
+    * size. Signed-long hash order on both engines (the oracle orders
+    * by the two's-complement view of the same hash).
+    *
+    * Scale shape: rank-within-stratum compiles to Spark's
+    * WindowGroupLimit — each map task pre-selects its own top-k per
+    * stratum BEFORE the shuffle (plan-asserted in ScaleOpsSpec), so
+    * the exchange carries O(tasks × strata × k) rows, not the corpus;
+    * a skewed stratum costs its partial top-k heaps, never a
+    * stratum-wide sort spill.
+    */
+  def quotaSample(docs: DataFrame, k: Int = QuotaK): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val h = splitmixCol(col("doc_id").cast("long").bitwiseXOR(lit(QuotaSeed)))
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .withColumn("hk", h)
+      .withColumn("smp_rank", row_number().over(win).cast("long"))
+      .filter(col("smp_rank") <= k)
+      .select(col("lang"), col("doc_id"), col("smp_rank"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }

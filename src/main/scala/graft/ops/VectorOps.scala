@@ -1091,4 +1091,57 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), col("sim_micro"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  // -------------------------------------------------------------------
+  // Embedding-space eval decontamination
+  // -------------------------------------------------------------------
+
+  /** Eval-slice modulus + similarity floor for decontaminate_embed
+    * (public: the oracle embeds both). ONE constant pair for the
+    * Spark call and the SQL mirror.
+    */
+  val DecontamEvalEvery = 53L
+  val DecontamMinSimMicro = 400000L
+
+  /** Embedding-space decontamination — the semantic sibling of the
+    * n-gram [[TextOps.decontaminate]]: a training doc is contaminated
+    * if its embedding lies within cosine `minSimMicro/1e6` of ANY
+    * eval-set embedding (paraphrased benchmark leakage that n-gram
+    * overlap misses). Emits per contaminated doc the hit count, the
+    * max similarity (micro-floored, integer-exact) and the closest
+    * eval id (ties to the smaller id via the max-struct trick).
+    * The eval slice here is `vec_id % DecontamEvalEvery == 0` — evals
+    * drawn from the corpus itself, so every slice member self-flags at
+    * ~1.0 (the planted truth) alongside genuine near matches.
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands), the
+    * corpus is not — eval rides a broadcast under the SAME bounded
+    * guard as [[annBruteBy]] (never an unbounded vector broadcast),
+    * the corpus is scanned ONCE, and the only shuffle is the
+    * contaminated-ids aggregate (hit rows only, never vectors).
+    */
+  def decontaminateEmbed(emb: DataFrame,
+                         evalEvery: Long = DecontamEvalEvery,
+                         minSimMicro: Long = DecontamMinSimMicro): DataFrame = {
+    val normed = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"), l2norm(col("embedding")).as("norm"))
+    val evals = normed.filter(col("vec_id") % evalEvery === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        col("norm").as("e_norm"))
+    val small = evals.limit(AnnIndex.BroadcastQueryLimit.toInt + 1).count() <=
+      AnnIndex.BroadcastQueryLimit
+    normed
+      .join(if (small) broadcast(evals) else evals, lit(true))
+      .withColumn("sim", dot(col("embedding"), col("e_emb"))
+        / (col("norm") * col("e_norm")))
+      .withColumn("sim_micro", floor(col("sim") * 1000000.0).cast("long"))
+      .filter(col("sim_micro") >= minSimMicro)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        max(struct(col("sim_micro").as("sm"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), col("n_hits"),
+        col("m.sm").as("max_sim_micro"),
+        (-col("m.nid")).cast("long").as("top_eval_id"))
+      .orderBy(col("vec_id"))
+  }
 }
