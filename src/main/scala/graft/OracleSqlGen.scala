@@ -827,6 +827,37 @@ private[graft] object OracleSqlGen {
        |FROM (SELECT DISTINCT cluster_id, cluster_size FROM ($dupCluster) t) c
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** Quality-aware canonical mirror (TextOps.dupBestFrom recomputed):
+    * the full dup_cluster mirror as a derived table, joined to a
+    * fresh copy of its corpus construction (c0/cx — the same
+    * documents ∪ truncated(+1e6) ∪ exact(+2e6) rule) for char
+    * lengths; the per-cluster winner is row_number over
+    * (n_chars DESC, doc_id ASC).
+    */
+  val dupBest: String =
+    s"""WITH c0 AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         substring(text, 1, length(text) - instr(reverse(text), ' ')) AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |cx AS (
+       |  SELECT doc_id, text FROM c0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text FROM c0 WHERE doc_id % 20 = 0),
+       |cl AS (SELECT doc_id, cluster_id FROM ($dupCluster) t),
+       |j AS (SELECT cl.doc_id, cl.cluster_id,
+       |        CAST(length(cx.text) AS BIGINT) AS n_chars
+       |      FROM cl JOIN cx USING (doc_id)),
+       |r AS (SELECT doc_id, cluster_id, n_chars,
+       |        row_number() OVER (PARTITION BY cluster_id
+       |          ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |      FROM j),
+       |b AS (SELECT cluster_id, doc_id AS best_doc FROM r WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, b.best_doc, j.n_chars,
+       |  j.doc_id = b.best_doc AS keep
+       |FROM j JOIN b USING (cluster_id) ORDER BY j.doc_id""".stripMargin
+
   /** Leakage-free split mirror: the full dup_cluster mirror as a
     * derived table, split keyed on the CLUSTER label through the
     * splitmix64 admission chain (TextOps.splitFrom recomputed —

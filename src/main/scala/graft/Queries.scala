@@ -179,6 +179,22 @@ object Queries {
   def dupStats(s: SparkSession, d: String): DataFrame =
     TextOps.dupStatsFrom(dupCluster(s, d))
 
+  /** Quality-aware canonical selection over the dup_cluster relation:
+    * keep the LONGEST member per cluster (ties to the smaller id) —
+    * the planted near-dups (+1e6, last word truncated) lose to their
+    * source, exact copies (+2e6) tie down to the original. Output is
+    * row-level admission (`keep`), the column the curation funnel
+    * consumes instead of dup_cluster's arbitrary min-id canonical.
+    * Self-contained (recomputes the clustering) for the same
+    * stateless-oracle reason as dup_stats; at 100 TB it derives from
+    * the PERSISTED clustering table via [[TextOps.dupBestFrom]].
+    */
+  def dupBest(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val corpus = corpusWithExactDups(TextOps.corpusWithNearDups(docs))
+    TextOps.dupBestFrom(dupCluster(s, d), corpus)
+  }
+
   /** Leakage-free train/holdout split census: split assignment keyed
     * on the duplicate CLUSTER label (via [[TextOps.splitFrom]]) so
     * near/exact duplicates never straddle the eval boundary — the
@@ -583,6 +599,32 @@ object Queries {
     val planted = docs.filter(col("doc_id") % 50 === 0)
       .withColumn("doc_id", col("doc_id") + lit(4000001L))
     TextOps.decontaminateBloom(docs.unionByName(planted))
+  }
+
+  /** Same planted-contamination corpus as [[decontaminateQ]], through
+    * the span-CUTTING form: contaminated 8-gram spans are removed and
+    * the survivors reassembled byte-exact (the planted verbatim
+    * copies collapse to clean_text = ''; natural collisions lose only
+    * the shared span).
+    */
+  def decontaminateCutQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(4000001L))
+    TextOps.decontaminateCut(docs.unionByName(planted))
+  }
+
+  /** Same planted-contamination corpus, reported from the EVAL side:
+    * per eval doc, its leaked-gram census (every planted eval doc is
+    * fully quoted, so leak_permille = 1000 with >= 1 source doc).
+    */
+  def decontamReportQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(4000001L))
+    TextOps.decontamReport(docs.unionByName(planted))
   }
 
   def tokenCount(s: SparkSession, d: String): DataFrame =

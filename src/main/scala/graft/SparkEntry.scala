@@ -31,6 +31,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
+    "dup_best" -> (Queries.dupBest _),
     "split_leakfree" -> (Queries.splitLeakfree _),
     "curate_funnel" -> (Queries.curateFunnelQ _),
     "curate_funnel_auth" -> (Queries.curateFunnelAuthQ _),
@@ -63,6 +64,8 @@ object SparkEntry {
     "mix_balance" -> (Queries.mixBalanceQ _),
     "decontaminate" -> (Queries.decontaminateQ _),
     "decontaminate_bloom" -> (Queries.decontaminateBloomQ _),
+    "decontaminate_cut" -> (Queries.decontaminateCutQ _),
+    "decontaminate_report" -> (Queries.decontamReportQ _),
     "mix_temperature" -> (Queries.mixTemperatureQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
@@ -249,6 +252,82 @@ object SparkEntry {
       |SELECT doc_id, count(*) AS n_shared_ngrams
       |FROM g JOIN ev USING (gram) WHERE NOT is_eval
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Span-CUT decontamination mirror (TextOps.decontaminateCut
+    * recomputed): the same planted corpus, 8-word windows over
+    * filtered word lists, contaminated positions = windows matching
+    * any eval gram, gaps-and-islands merge, one coverage row per cut
+    * position, kept words by position anti-join, clean_text re-joined
+    * in position order (the dedup_cut chain shape with an eval-driven
+    * dup set).
+    */
+  private val decontaminateCutSql: String =
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |pw AS (SELECT doc_id, doc_id % 50 = 0 AS is_eval,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+      |win AS (
+      |  SELECT doc_id, is_eval, CAST(u.i AS BIGINT) AS pos,
+      |    array_to_string(ws[CAST(u.i+1 AS INTEGER):CAST(u.i+8 AS INTEGER)], ' ') AS gram
+      |  FROM pw, UNNEST(range(greatest(len(ws) - 7, 0))) AS u(i)),
+      |ev AS (SELECT DISTINCT gram FROM win WHERE is_eval),
+      |dw2 AS (SELECT w.doc_id, w.pos FROM win w JOIN ev USING (gram)
+      |        WHERE NOT w.is_eval),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM dw2),
+      |isl2 AS (
+      |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |sp2 AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+      |        FROM isl2 GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, s + u.i AS p FROM sp2, UNNEST(range(e - s)) AS u(i)),
+      |wordsq AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS p, ws[CAST(u.i+1 AS INTEGER)] AS word
+      |  FROM pw, UNNEST(range(len(ws))) AS u(i) WHERE NOT is_eval),
+      |keptw AS (
+      |  SELECT wq.doc_id, wq.p, wq.word FROM wordsq wq
+      |  LEFT JOIN cov c ON wq.doc_id = c.doc_id AND wq.p = c.p
+      |  WHERE c.p IS NULL),
+      |cl AS (SELECT doc_id, count(*) AS n_kept,
+      |              string_agg(word, ' ' ORDER BY p) AS clean_text
+      |       FROM keptw GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+      |  CAST(b.n_words - coalesce(cl.n_kept, 0) AS BIGINT) AS n_cut,
+      |  coalesce(cl.clean_text, '') AS clean_text
+      |FROM (SELECT doc_id, len(ws) AS n_words FROM pw WHERE NOT is_eval) b
+      |LEFT JOIN cl USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** Eval-side contamination-census mirror (TextOps.decontamReport
+    * recomputed): the decontaminate gram CTE, leaks attributed back
+    * to eval docs through a LEFT JOIN, distinct-counted per eval doc.
+    */
+  private val decontamReportSql: String =
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |g AS (
+      |  SELECT doc_id, doc_id % 50 = 0 AS is_eval, u.gram
+      |  FROM corpus, UNNEST(list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 7),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS u(gram)),
+      |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE is_eval),
+      |tr AS (SELECT doc_id AS src_id, gram FROM g WHERE NOT is_eval),
+      |j AS (SELECT e.eval_id, e.gram, t.src_id FROM ev e LEFT JOIN tr t USING (gram))
+      |SELECT eval_id AS doc_id,
+      |  CAST(count(DISTINCT gram) AS BIGINT) AS n_grams,
+      |  CAST(count(DISTINCT CASE WHEN src_id IS NOT NULL THEN gram END) AS BIGINT) AS n_leaked,
+      |  CAST(count(DISTINCT src_id) AS BIGINT) AS n_src_docs,
+      |  CAST(count(DISTINCT CASE WHEN src_id IS NOT NULL THEN gram END) * 1000
+      |       // count(DISTINCT gram) AS BIGINT) AS leak_permille
+      |FROM j GROUP BY eval_id ORDER BY eval_id""".stripMargin
 
   /** BM25-variant lexical retrieval mirror: replays
     * SearchOps.bm25From token-for-token — milli fixed-point
@@ -977,6 +1056,11 @@ object SparkEntry {
     // must be row-identical — SAME oracle SQL.
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql,
+    // span-CUT decontamination: the dedup_cut island/rebuild chain
+    // with an eval-gram-driven dup set; clean_text byte-exact
+    "decontaminate_cut" -> decontaminateCutSql,
+    // eval-side leak census over the same planted corpus
+    "decontaminate_report" -> decontamReportSql,
     "mix_temperature" -> OracleSqlGen.mixTemperature,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
@@ -1008,6 +1092,9 @@ object SparkEntry {
     "bpe_encode" -> OracleSqlGen.bpeEncode,
     "dup_cluster" -> OracleSqlGen.dupCluster,
     "dup_stats" -> OracleSqlGen.dupStats,
+    // quality-aware canonical: longest member wins, ties to min id —
+    // the clustering mirror joined to a fresh copy of its corpus CTEs
+    "dup_best" -> OracleSqlGen.dupBest,
     "split_leakfree" -> OracleSqlGen.splitLeakfree,
     // the production funnel (CurateJob.funnel) end-to-end: url-revisit
     // dedup → quality gate → exact+MinHash CC → sample → shard-pack

@@ -619,6 +619,42 @@ object TextOps {
       .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
       .orderBy(col("cluster_size"))
 
+  /** Canonical selection WITHIN duplicate clusters from an
+    * already-computed clustering relation carrying (doc_id,
+    * cluster_id) plus the corpus texts: keep the LONGEST member (the
+    * C4/CCNet canonical rule — truncated mirrors and teaser snippets
+    * lose to their source), ties to the smaller doc_id so exact
+    * copies resolve deterministically. Emits one row per doc with its
+    * cluster's winner and a `keep` flag — the row-level admission
+    * column a curation funnel consumes (dup_cluster's min-id `keep`
+    * is the arbitrary-canonical fallback; this is the quality-aware
+    * one).
+    *
+    * Scale shape: texts reduce to (doc_id, n_chars) before anything
+    * shuffles — no text column rides a wire; the per-cluster winner
+    * is a row_number window bounded by cluster size, and the winner
+    * relation (one row per CLUSTER) joins back by cluster_id with no
+    * forced broadcast. The clustering input is the PERSISTED artifact
+    * at 100 TB (same contract as [[dupStatsFrom]]).
+    */
+  def dupBestFrom(clusters: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = corpus.select(col("doc_id").cast("long").as("doc_id"),
+      length(col("text")).cast("long").as("n_chars"))
+    val j = clusters.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .join(ch, Seq("doc_id"))
+    val wnd = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val best = j.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_doc"))
+    j.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("best_doc"),
+        col("n_chars"), (col("doc_id") === col("best_doc")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Seed for leakage-free split admission (mirrored unsigned in
     * OracleSqlGen.splitLeakfree).
     */
@@ -988,6 +1024,120 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
       .orderBy("doc_id")
+  }
+
+  /** Span-level decontamination — the CUTTING form of
+    * [[decontaminate]]: instead of dropping every training doc that
+    * shares an n-gram with the eval set (which at 100 TB discards a
+    * whole document for one quoted sentence), remove exactly the token
+    * positions covered by a shared n-gram and reassemble the
+    * survivors byte-exact (the Lee-et-al span-removal discipline
+    * applied to contamination; the oracle re-derives clean_text, so
+    * the rewrite is verified end-to-end). Output per TRAIN doc:
+    * (doc_id, n_words, n_cut, clean_text); a verbatim eval copy
+    * collapses to clean_text = ''. Docs shorter than one n-gram have
+    * no windows and pass through whole.
+    *
+    * Scale shape: eval n-grams are tiny next to the corpus and gate
+    * the train-side window stream as a broadcast semi-join (the
+    * [[decontaminate]] contract; swap in the [[decontaminateBloom]]
+    * Bloom prefilter when the eval set outgrows a string broadcast —
+    * exactness is unchanged either way). Everything after the gate is
+    * bounded by CONTAMINATED positions: islands merge per doc
+    * (gaps-and-islands window, doc-bounded), coverage explodes one
+    * row per CUT token over the MERGED islands, the kept-word filter
+    * is an id+position anti-join, and the rebuild pays the tokenize
+    * explode the engine already pays elsewhere. No text column rides
+    * a shuffle except the per-doc reassembly groupBy.
+    */
+  def decontaminateCut(docs: DataFrame, n: Int = 8,
+                       evalPred: Column = col("doc_id") % 50 === 0): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"), evalPred.as("is_eval"))
+    def wins(rows: DataFrame): DataFrame =
+      rows.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val words = text.split(' ').filter(_.nonEmpty)
+          (0 to words.length - n).iterator.map { i =>
+            (id, i.toLong, words.slice(i, i + n).mkString(" "))
+          }
+        }
+        .toDF("doc_id", "pos", "gram")
+    val evalGrams = wins(base.filter(col("is_eval")))
+      .select(col("gram")).distinct()
+    val train = base.filter(!col("is_eval"))
+    val contaminated = wins(train)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val islands = contaminated
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(ord) > n, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+    val cov = islands.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") - 1L)).as("p"))
+    val words = train.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(' ').filter(_.nonEmpty).iterator.zipWithIndex
+          .map { case (wd, i) => (id, i.toLong, wd) }
+      }
+      .toDF("doc_id", "p", "word")
+    val kept = words.join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("word")))),
+            x => x.getField("word"))).as("clean_text"))
+    train.select(col("doc_id"),
+        size(array_remove(split(col("text"), " "), "")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Eval-side contamination census — the report a benchmark owner
+    * reads before trusting a score: per EVAL doc, how much of it
+    * leaks into the training corpus (distinct n-grams, leaked
+    * n-grams, distinct leaking training docs, leak permille). The
+    * dual of [[decontaminate]], which reports the train side; an eval
+    * doc at leak_permille 1000 is fully memorizable from training
+    * data. Eval docs shorter than one n-gram have no grams and emit
+    * no row (there is nothing to leak).
+    *
+    * Scale shape: the train-side gram stream is gated by the SAME
+    * broadcast eval-gram semi-join as [[decontaminate]] before
+    * anything shuffles, so the gram-keyed join that attributes leaks
+    * to eval docs only ever carries contaminated occurrences; output
+    * is one row per eval doc.
+    */
+  def decontamReport(docs: DataFrame, n: Int = 8,
+                     evalPred: Column = col("doc_id") % 50 === 0): DataFrame = {
+    val grams = docs.select(col("doc_id").cast("long").as("doc_id"),
+      evalPred.as("is_eval"),
+      explode(array_distinct(ngramArr(n))).as("gram"))
+    val evalG = grams.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val evalSet = evalG.select(col("gram")).distinct()
+    val hits = grams.filter(!col("is_eval"))
+      .join(broadcast(evalSet), Seq("gram"), "left_semi")
+      .select(col("doc_id").as("src_id"), col("gram"))
+    evalG.join(hits, Seq("gram"), "left")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("gram")).as("n_grams"),
+        countDistinct(when(col("src_id").isNotNull, col("gram"))).as("n_leaked"),
+        countDistinct(col("src_id")).as("n_src_docs"))
+      .select(col("eval_id").as("doc_id"), col("n_grams"), col("n_leaked"),
+        col("n_src_docs"),
+        expr("n_leaked * 1000 DIV n_grams").cast("long").as("leak_permille"))
+      .orderBy(col("doc_id"))
   }
 
   /** Cross-corpus n-gram census: the most-repeated word n-grams (the
