@@ -91,8 +91,25 @@ def check(item):
 
 with ProcessPoolExecutor(max_workers=N_WORKERS) as pool:
     results = list(pool.map(check, sorted(oracle.items())))
-ok = [n for (n, _), r in zip(sorted(oracle.items()), results) if r is None]
-bad = sorted([r for r in results if r is not None])
+bad0 = [r for r in results if r is not None]
+# DuckDB's allocator can fragment inside a long-lived worker until a
+# KB-sized malloc fails with >100 GB free (the documented map-ceiling
+# class) — an INTERMITTENT runtime failure, not a result mismatch.
+# Retry exactly those once, each in a FRESH process with the full
+# memory budget; genuine SQL errors reproduce and still fail.
+retry = [b for b in bad0 if b[1] == 'oracle_sql_error'
+         and ('bad allocation' in b[2] or 'Out of Memory' in b[2])]
+if retry:
+    print(f"retrying {len(retry)} allocator-flaked: {[b[0] for b in retry]}",
+          file=sys.stderr)
+    retried = {}
+    for b in retry:
+        with ProcessPoolExecutor(max_workers=1) as p1:
+            retried[b[0]] = list(p1.map(check, [(b[0], oracle[b[0]])]))[0]
+    bad0 = [retried.get(b[0], b) if b in retry else b for b in bad0]
+    bad0 = [b for b in bad0 if b is not None]
+bad = sorted(bad0)
+ok = [n for n in oracle if n not in {b[0] for b in bad}]
 
 print(f"MATCH {len(ok)}/{len(oracle)}")
 for b in bad: print("MISMATCH", b)

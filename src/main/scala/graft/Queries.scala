@@ -546,6 +546,53 @@ object Queries {
   def lmScoreQ(s: SparkSession, d: String): DataFrame =
     TextOps.lmScore(TextOps.readDocs(s, d))
 
+  /** CCNet-style per-lang head/middle/tail fluency buckets over the
+    * documents corpus; see [[TextOps.pplBuckets]].
+    */
+  def pplBucketsQ(s: SparkSession, d: String): DataFrame =
+    TextOps.pplBuckets(TextOps.readDocs(s, d))
+
+  /** Within-doc duplicate 2-/5-gram coverage permille (the Gopher
+    * repetition rules) over a corpus with PLANTED loop-tail pages:
+    * every doc_id % 7 == 3 re-appends its first 12 words (the
+    * template/boilerplate loop shape), so the 5-gram rule has real
+    * positives — natural text repeats bigrams but almost never
+    * 5-grams. See [[TextOps.gopherRep]].
+    */
+  def gopherRepQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(col("doc_id") % 7 === 3,
+        concat(col("text"), lit(" "),
+          array_join(slice(split(col("text"), " "), 1, 12), " ")))
+        .otherwise(col("text")).as("text"))
+    TextOps.gopherRep(corpus)
+  }
+
+  /** Composed quality-filter gate with first-rejector attribution
+    * over a four-class planted corpus — truncated stubs (doc_id%97==1,
+    * 4 words), punctuation runs (%89==2, a dot run the length of the
+    * text), unbroken long-word pages (%83==4, twelve 40-char words)
+    * and loop tails (%7==3, gopher_rep's plant) — so every rule has
+    * positives; the natural corpus exercises 'repetitive' and
+    * 'gibberish'. See [[TextOps.qualityGate]].
+    */
+  def qualityGateQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(col("doc_id") % 97 === 1,
+        array_join(slice(split(col("text"), " "), 1, 4), " "))
+        .when(col("doc_id") % 89 === 2,
+          concat(col("text"), lit(" "), expr("repeat('.', length(text))")))
+        .when(col("doc_id") % 83 === 4,
+          expr("rtrim(repeat(concat(repeat('x', 40), ' '), 12))"))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" "),
+            array_join(slice(split(col("text"), " "), 1, 12), " ")))
+        .otherwise(col("text")).as("text"))
+    TextOps.qualityGate(corpus)
+  }
+
   /** Count-min-sketch census with exact-count audit (see
     * [[TextOps.cmsCensus]]).
     */

@@ -58,6 +58,9 @@ object SparkEntry {
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
     "lm_score" -> (Queries.lmScoreQ _),
+    "ppl_buckets" -> (Queries.pplBucketsQ _),
+    "gopher_rep" -> (Queries.gopherRepQ _),
+    "quality_gate" -> (Queries.qualityGateQ _),
     "cms_census" -> (Queries.cmsCensusQ _),
     "text_clean" -> (Queries.textCleanQ _),
     "tfidf_topterms" -> (Queries.tfidfTopTermsQ _),
@@ -328,6 +331,170 @@ object SparkEntry {
       |  CAST(count(DISTINCT CASE WHEN src_id IS NOT NULL THEN gram END) * 1000
       |       // count(DISTINCT gram) AS BIGINT) AS leak_permille
       |FROM j GROUP BY eval_id ORDER BY eval_id""".stripMargin
+
+  /** Self-trained bigram-LM fluency mirror (TextOps.lmScore),
+    * parameterized by the source relation: SHARED by the lm_score row
+    * (src = documents — byte-identical to the historical literal), by
+    * ppl_buckets (derived table over documents) and by quality_gate
+    * (derived table over its planted corpus CTE) — a smoothing or
+    * scoring change hits all three.
+    */
+  private def lmScoreSqlFrom(src: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |wc AS (
+       |  SELECT u.x AS w1, count(*) AS c1
+       |  FROM t, UNNEST(w) AS u(x) GROUP BY u.x),
+       |bg AS (
+       |  SELECT doc_id, w[CAST(i AS INTEGER)+1] AS w1, w[CAST(i AS INTEGER)+2] AS w2
+       |  FROM t, UNNEST(range(len(w) - 1)) AS r(i)),
+       |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+       |sc AS (
+       |  SELECT bg.doc_id, bc.cb * 1000 // (wc.c1 + 4) AS p
+       |  FROM bg JOIN bc USING (w1, w2) JOIN wc USING (w1)),
+       |agg AS (SELECT doc_id, count(*) AS nb, sum(p) AS sp FROM sc GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(sp // nb, 0) AS BIGINT) AS lm_permille
+       |FROM $src d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private val lmScoreSql: String = lmScoreSqlFrom("documents")
+
+  /** CCNet-style perplexity-bucket census mirror (TextOps.pplBuckets):
+    * the full lm_score mirror as a derived table, per-lang tercile
+    * THRESHOLDS from a descending cumulative score histogram
+    * (t_k = max score whose >=-score doc count reaches ceil(kN/3)),
+    * then the threshold-bucket census. The window cumsum widens to
+    * HUGEINT internally but never reaches the output.
+    */
+  private val pplBucketsSql: String =
+    s"""WITH j AS (
+       |  SELECT sc.doc_id, sc.lm_permille, d.lang
+       |  FROM (
+       |$lmScoreSql) sc
+       |  JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents) d
+       |    USING (doc_id)),
+       |h AS (SELECT lang, lm_permille, count(*) AS c FROM j GROUP BY lang, lm_permille),
+       |cum AS (
+       |  SELECT lang, lm_permille,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY lm_permille DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM h),
+       |nn AS (SELECT lang, count(*) AS n FROM j GROUP BY lang),
+       |th AS (
+       |  SELECT cum.lang,
+       |    max(CASE WHEN cum >= (n + 2) // 3 THEN lm_permille END) AS t1,
+       |    max(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_permille END) AS t2
+       |  FROM cum JOIN nn USING (lang) GROUP BY cum.lang),
+       |lab AS (
+       |  SELECT j.lang,
+       |    CASE WHEN lm_permille >= t1 THEN 'head'
+       |         WHEN lm_permille >= t2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket,
+       |    lm_permille
+       |  FROM j JOIN th USING (lang))
+       |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(lm_permille) AS BIGINT) AS min_permille,
+       |  CAST(max(lm_permille) AS BIGINT) AS max_permille
+       |FROM lab GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  /** Within-doc duplicate n-gram coverage mirror (TextOps.gopherRep):
+    * per n in {2, 5}, positions covered by an n-gram repeated >= 2
+    * times INSIDE the doc, distinct-counted, permille of word count.
+    * Corpus plants loop-tail pages (doc_id % 7 == 3 re-appends its
+    * first 12 words) so the 5-gram rule has positives.
+    */
+  private val gopherRepSql: String =
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CASE WHEN doc_id % 7 = 3
+      |         THEN text || ' ' || array_to_string(string_split(text, ' ')[1:12], ' ')
+      |         ELSE text END AS text
+      |  FROM documents),
+      |pw AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+      |w2 AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+      |    array_to_string(ws[CAST(u.i+1 AS INTEGER):CAST(u.i+2 AS INTEGER)], ' ') AS g
+      |  FROM pw, UNNEST(range(greatest(len(ws) - 1, 0))) AS u(i)),
+      |c2 AS (SELECT doc_id, g FROM w2 GROUP BY doc_id, g HAVING count(*) >= 2),
+      |d2 AS (SELECT DISTINCT w2.doc_id, w2.pos + u.j AS p
+      |       FROM w2 JOIN c2 USING (doc_id, g), UNNEST(range(2)) AS u(j)),
+      |s2 AS (SELECT doc_id, count(*) AS cov2 FROM d2 GROUP BY doc_id),
+      |w5 AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+      |    array_to_string(ws[CAST(u.i+1 AS INTEGER):CAST(u.i+5 AS INTEGER)], ' ') AS g
+      |  FROM pw, UNNEST(range(greatest(len(ws) - 4, 0))) AS u(i)),
+      |c5 AS (SELECT doc_id, g FROM w5 GROUP BY doc_id, g HAVING count(*) >= 2),
+      |d5 AS (SELECT DISTINCT w5.doc_id, w5.pos + u.j AS p
+      |       FROM w5 JOIN c5 USING (doc_id, g), UNNEST(range(5)) AS u(j)),
+      |s5 AS (SELECT doc_id, count(*) AS cov5 FROM d5 GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(CASE WHEN len(ws) = 0 THEN 0
+      |       ELSE coalesce(cov2, 0) * 1000 // len(ws) END AS BIGINT) AS dup2_permille,
+      |  CAST(CASE WHEN len(ws) = 0 THEN 0
+      |       ELSE coalesce(cov5, 0) * 1000 // len(ws) END AS BIGINT) AS dup5_permille
+      |FROM pw p LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Composed quality-gate mirror (TextOps.qualityGate recomputed):
+    * the planted four-class corpus (short trunc / punct run / long-word
+    * page / loop tail), shallow features inline (quality_score's
+    * conventions: unfiltered split, nested-replace punct count,
+    * integer avg word len), the gopherRep 5-gram coverage chain over
+    * FILTERED words, and the lm mirror as a derived table over the
+    * corpus CTE (lmScoreSqlFrom — one string with lm_score /
+    * ppl_buckets). First failing rule in fixed order wins.
+    */
+  private val qualityGateSql: String =
+    s"""WITH corpus AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CASE WHEN doc_id % 97 = 1
+       |           THEN array_to_string(string_split(text, ' ')[1:4], ' ')
+       |         WHEN doc_id % 89 = 2
+       |           THEN text || ' ' || repeat('.', length(text))
+       |         WHEN doc_id % 83 = 4
+       |           THEN rtrim(repeat(repeat('x', 40) || ' ', 12))
+       |         WHEN doc_id % 7 = 3
+       |           THEN text || ' ' || array_to_string(string_split(text, ' ')[1:12], ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    len(string_split(text, ' ')) AS nt,
+       |    len(list_distinct(string_split(text, ' '))) AS nd,
+       |    length(text) - length(replace(replace(replace(replace(replace(replace(
+       |      text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS np,
+       |    ((length(text) - (len(string_split(text, ' ')) - 1)) * 100)
+       |      // len(string_split(text, ' ')) AS awl
+       |  FROM corpus),
+       |pw AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+       |w5 AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |    array_to_string(ws[CAST(u.i+1 AS INTEGER):CAST(u.i+5 AS INTEGER)], ' ') AS g
+       |  FROM pw, UNNEST(range(greatest(len(ws) - 4, 0))) AS u(i)),
+       |c5 AS (SELECT doc_id, g FROM w5 GROUP BY doc_id, g HAVING count(*) >= 2),
+       |d5 AS (SELECT DISTINCT w5.doc_id, w5.pos + u.j AS p
+       |       FROM w5 JOIN c5 USING (doc_id, g), UNNEST(range(5)) AS u(j)),
+       |s5 AS (SELECT doc_id, count(*) AS cov5 FROM d5 GROUP BY doc_id),
+       |g5 AS (
+       |  SELECT pw.doc_id,
+       |    CASE WHEN len(ws) = 0 THEN 0
+       |         ELSE coalesce(cov5, 0) * 1000 // len(ws) END AS dup5
+       |  FROM pw LEFT JOIN s5 USING (doc_id)),
+       |lm AS (SELECT doc_id, lm_permille FROM (
+       |${lmScoreSqlFrom("corpus")}) t)
+       |SELECT f.doc_id, CAST(f.nt AS BIGINT) AS n_words,
+       |  CASE WHEN f.nt < 10 THEN 'short'
+       |       WHEN f.np * 5 > f.n_chars THEN 'punct'
+       |       WHEN f.awl NOT BETWEEN 200 AND 1200 THEN 'word_len'
+       |       WHEN f.nd * 2 <= f.nt THEN 'repetitive'
+       |       WHEN g5.dup5 >= 200 THEN 'loop'
+       |       WHEN lm.lm_permille < 30 THEN 'gibberish'
+       |       ELSE 'pass' END AS verdict
+       |FROM feats f JOIN g5 USING (doc_id) JOIN lm USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
 
   /** BM25-variant lexical retrieval mirror: replays
     * SearchOps.bm25From token-for-token — milli fixed-point
@@ -1015,24 +1182,15 @@ object SparkEntry {
     // truncated mean over bigram occurrences; bigrams over the RAW
     // split (rep_ratio's convention); zero-bigram docs keep a 0 row
     // (LEFT JOIN discipline); sum(p) is HUGEINT -> outer BIGINT casts
-    "lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |wc AS (
-        |  SELECT u.x AS w1, count(*) AS c1
-        |  FROM t, UNNEST(w) AS u(x) GROUP BY u.x),
-        |bg AS (
-        |  SELECT doc_id, w[CAST(i AS INTEGER)+1] AS w1, w[CAST(i AS INTEGER)+2] AS w2
-        |  FROM t, UNNEST(range(len(w) - 1)) AS r(i)),
-        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
-        |sc AS (
-        |  SELECT bg.doc_id, bc.cb * 1000 // (wc.c1 + 4) AS p
-        |  FROM bg JOIN bc USING (w1, w2) JOIN wc USING (w1)),
-        |agg AS (SELECT doc_id, count(*) AS nb, sum(p) AS sp FROM sc GROUP BY doc_id)
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(coalesce(sp // nb, 0) AS BIGINT) AS lm_permille
-        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "lm_score" -> lmScoreSql,
+    // CCNet head/middle/tail: lm_score mirror as a derived table +
+    // histogram-derived per-lang tercile thresholds
+    "ppl_buckets" -> pplBucketsSql,
+    // Gopher within-doc repetition: dup 2-/5-gram position coverage
+    "gopher_rep" -> gopherRepSql,
+    // composed quality funnel: first failing rule wins; embeds the
+    // lm mirror (lmScoreSqlFrom) + the gopher 5-gram chain shape
+    "quality_gate" -> qualityGateSql,
     // integer-exact TF/DF salience (tf*10^6 // df; all positive so
     // DuckDB // == Spark DIV), ties score-desc/term-asc on both engines
     "tfidf_topterms" ->

@@ -877,6 +877,57 @@ object TextOps {
         col("n_distinct_words") * 2L <= col("n_words"))
       .orderBy("doc_id")
 
+  /** Within-doc duplicate n-gram coverage (the Gopher repetition
+    * rules, Rae et al. 2021 §A1.1 — word-position variant): per doc,
+    * the permille of word positions covered by a bigram (n=2) or
+    * 5-gram (n=5) that occurs at least twice INSIDE the doc. High
+    * dup5 flags looping boilerplate and template pages that the
+    * unigram [[repetitionStats]] ratio misses (distinct words can be
+    * plentiful while whole phrases loop).
+    *
+    * Scale shape: entirely per-row — one typed map builds the gram
+    * counts and the coverage bitmap in O(doc) and ships four longs.
+    * Zero shuffles beyond the final sort; embarrassingly parallel at
+    * 100 TB. The DuckDB mirror recomputes the coverage relationally
+    * (dup-gram positions exploded, distinct-counted).
+    */
+  def gopherRep(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split(' ').filter(_.nonEmpty)
+        def dupCover(n: Int): Long = {
+          if (ws.length < n) return 0L
+          val counts = new java.util.HashMap[String, Integer]()
+          val grams = new Array[String](ws.length - n + 1)
+          var i = 0
+          while (i <= ws.length - n) {
+            val g = ws.slice(i, i + n).mkString(" ")
+            grams(i) = g
+            counts.merge(g, 1, (a, b) => a + b)
+            i += 1
+          }
+          val covered = new Array[Boolean](ws.length)
+          i = 0
+          while (i < grams.length) {
+            if (counts.get(grams(i)) >= 2) {
+              var j = i; while (j < i + n) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          covered.count(identity).toLong
+        }
+        val nw = ws.length.toLong
+        val d2 = dupCover(2)
+        val d5 = dupCover(5)
+        (id, nw,
+          if (nw == 0L) 0L else d2 * 1000L / nw,
+          if (nw == 0L) 0L else d5 * 1000L / nw)
+      }
+      .toDF("doc_id", "n_words", "dup2_permille", "dup5_permille")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // Shard packing: token-budget assignment for training shards
   // -------------------------------------------------------------------
@@ -1487,6 +1538,104 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
         coalesce(expr("sp DIV n_bigrams"), lit(0L)).cast("long").as("lm_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): per
+    * language, split the corpus into head/middle/tail terciles of
+    * [[lmScore]] fluency — the standard pre-training mix knob (train
+    * mostly on head, sample middle, drop or tag tail). Buckets are
+    * THRESHOLD-based, not rank-based: per lang, t_k = the largest
+    * score whose >=-score doc count reaches ceil(kN/3), and a doc's
+    * bucket is a per-row threshold compare — ties at a boundary all
+    * land on the higher bucket (deterministic, no ordering of
+    * individual docs required). Output is the (lang, bucket) census
+    * with the score range each bucket spans.
+    *
+    * Scale shape: an ntile over a per-lang window would be a single
+    * reducer per language (one lang can be half the corpus — the
+    * anti-pattern). Instead the thresholds come from a (lang, score)
+    * HISTOGRAM — lm_permille is bounded [0, 1000], so the histogram
+    * is <= 1001 rows per lang regardless of corpus size; the window
+    * cumsum runs over that tiny relation, and bucket assignment is a
+    * per-row join against a 2-longs-per-lang threshold table (AQE
+    * broadcasts it). The expensive part remains lmScore's
+    * vocabulary-keyed join, which the corpus pays once.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = lmScore(docs).select(col("doc_id"), col("lm_permille"))
+    val lg = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val j = scores.join(lg, Seq("doc_id"))
+    val hist = j.groupBy(col("lang"), col("lm_permille"))
+      .agg(count(lit(1)).as("c"))
+    val wnd = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_permille").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wnd))
+    val n = j.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val th = cum.join(n, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) DIV 3"), col("lm_permille"))).as("t1"),
+        max(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("lm_permille"))).as("t2"))
+    j.join(th, Seq("lang"))
+      .withColumn("bucket",
+        when(col("lm_permille") >= col("t1"), "head")
+          .when(col("lm_permille") >= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("lm_permille")).as("min_permille"),
+        max(col("lm_permille")).as("max_permille"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Composed quality gate with first-rejector attribution — the
+    * FineWeb/Gopher filter stack as ONE pass: per doc, the first
+    * failing rule in fixed order (short → punct → word_len →
+    * repetitive → loop → gibberish) or 'pass'. The attribution column
+    * is what a curation team tunes thresholds against: it says not
+    * just how much data each rule costs but which rule would START
+    * rejecting a doc class if an earlier one were relaxed
+    * (curate_audit gives the same discipline for the DEDUP funnel;
+    * this is the quality-filter counterpart).
+    *
+    * Rule sources: shallow features reuse [[qualityScores]]'s exact
+    * conventions (unfiltered split, integer avg word length,
+    * [[PunctChars]] count); 'repetitive' is [[repetitionStats]]'s
+    * distinct-ratio rule; 'loop' is [[gopherRep]]'s dup-5-gram
+    * coverage at >= 200 permille; 'gibberish' is [[lmScore]] fluency
+    * below 30 permille.
+    *
+    * Scale shape: shallow features and the repetitive rule are pure
+    * per-row exprs; the loop leg is gopherRep's per-row map; only the
+    * lm leg shuffles (its vocabulary-keyed model join, which a
+    * quality pipeline pays once and reuses); the two id-keyed joins
+    * carry four longs per doc.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val g = gopherRep(docs).select(col("doc_id"), col("dup5_permille"))
+    val lm = lmScore(docs).select(col("doc_id"), col("lm_permille"))
+    val feats = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("nt", size(col("w")).cast("long"))
+      .withColumn("nd", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("np",
+        (length(col("text")) - length(translate(col("text"), PunctChars, "")))
+          .cast("long"))
+      .withColumn("awl", expr("(n_chars - (nt - 1)) * 100 DIV nt"))
+    feats.join(g, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .withColumn("verdict",
+        when(col("nt") < 10L, "short")
+          .when(col("np") * 5L > col("n_chars"), "punct")
+          .when(!col("awl").between(200L, 1200L), "word_len")
+          .when(col("nd") * 2L <= col("nt"), "repetitive")
+          .when(col("dup5_permille") >= 200L, "loop")
+          .when(col("lm_permille") < 30L, "gibberish")
+          .otherwise("pass"))
+      .select(col("doc_id"), col("nt").as("n_words"), col("verdict"))
       .orderBy(col("doc_id"))
   }
 
