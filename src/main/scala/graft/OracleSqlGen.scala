@@ -223,6 +223,54 @@ private[graft] object OracleSqlGen {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Winnowing near-dup mirror (TextOps.dedupWinnow recomputed
+    * relationally): k-word grams FNV-hashed, per window of W gram
+    * hashes the RIGHTMOST minimal hash selected (ORDER BY h ASC,
+    * pos DESC — h is HUGEINT in [0, 2^64) so ASC IS unsigned order,
+    * matching Spark's compareUnsigned; the tie rule genuinely fires
+    * on looping docs where identical grams repeat inside one window),
+    * distinct per doc, df-capped before the pair join, sizes counted
+    * over the capped sets. All four geometry constants come from the
+    * SAME Scala values the Spark kernel uses.
+    */
+  val dedupWinnow: String = {
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    val gram =
+      s"array_to_string(ws[CAST(u.i+1 AS INTEGER):CAST(u.i+$k AS INTEGER)], ' ')"
+    s"""WITH $nearDupCorpus,
+       |pw AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+       |g AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |    ${fnvU(gram)} AS h
+       |  FROM pw, UNNEST(range(greatest(len(ws) - ${k - 1}, 0))) AS u(i)),
+       |cnt AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+       |wins AS (SELECT doc_id, CAST(u.j AS BIGINT) AS j
+       |         FROM cnt, UNNEST(range(greatest(ng - ${w - 1}, 0))) AS u(j)),
+       |cand AS (
+       |  SELECT wn.doc_id, wn.j, g.pos, g.h,
+       |    row_number() OVER (PARTITION BY wn.doc_id, wn.j
+       |      ORDER BY g.h ASC, g.pos DESC) AS rn
+       |  FROM wins wn JOIN g ON g.doc_id = wn.doc_id
+       |    AND g.pos BETWEEN wn.j AND wn.j + ${w - 1}),
+       |fps AS (SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1),
+       |dfc AS (SELECT h, count(*) AS c FROM fps GROUP BY h),
+       |fpk AS (SELECT doc_id, h FROM fps JOIN dfc USING (h)
+       |        WHERE c <= ${TextOps.WinnowMaxDf}),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fpk GROUP BY doc_id),
+       |pr AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM fpk x JOIN fpk y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |  HAVING count(*) >= ${TextOps.WinnowMinShared})
+       |SELECT pr.doc_a, pr.doc_b, CAST(pr.n_shared AS BIGINT) AS n_shared,
+       |  CAST(pr.n_shared * 1000 // least(sa.n, sb.n) AS BIGINT) AS overlap_permille
+       |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+       |        JOIN sz sb ON sb.doc_id = pr.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** MinHash+LSH near-dup edge chain over a CTE named `corpus`
     * (doc_id, text): 3-word shingles → FNV-1a/seed-xor/splitmix64
     * signatures → 4-row band slices → bucket pairs → exact-Jaccard
@@ -1233,10 +1281,17 @@ private[graft] object OracleSqlGen {
     * to HUGEINT — all terms positive, so `//` == Spark DIV; the outer
     * BIGINT casts restore the driver-hashable types.
     */
-  val mixTemperature: String = {
+  /** Temperature-mixture CTE chain (TextOps.mixRates + the splitmix
+    * hash view), ending in `rates(lang, n_docs, rate_permille)` and
+    * `mt6(doc_id, lang, hk)` — ONE generated source for the
+    * mix_temperature census and the mix_sample materialization (the
+    * mix_temperature branch is byte-identical to the historical
+    * string; a rate or seed change hits both rows).
+    */
+  private val mixChainCtes: String = {
     val seedU = java.lang.Long.toUnsignedString(TextOps.TempSeed)
     val isq = TextOps.isqrtSql("n_docs")
-    s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    s"""counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
        |rates AS (
        |  SELECT lang, n_docs,
        |    least(1000, ((sum(n_docs) OVER ()) // 2) * 1000 * $isq
@@ -1245,7 +1300,11 @@ private[graft] object OracleSqlGen {
        |s0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        |       ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
        |       FROM documents),
-       |${splitmixCtes("mt", "s0", "doc_id, lang")},
+       |${splitmixCtes("mt", "s0", "doc_id, lang")}""".stripMargin
+  }
+
+  val mixTemperature: String =
+    s"""WITH $mixChainCtes,
        |kept AS (
        |  SELECT s.lang, count(*) AS n_kept
        |  FROM mt6 s JOIN rates r USING (lang)
@@ -1254,7 +1313,17 @@ private[graft] object OracleSqlGen {
        |  CAST(r.rate_permille AS BIGINT) AS rate_permille,
        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
        |FROM rates r LEFT JOIN kept k USING (lang) ORDER BY lang""".stripMargin
-  }
+
+  /** Row-level temperature-mixture admission mirror
+    * (TextOps.mixSample): the SAME chain, emitting the kept
+    * (doc_id, lang) rows instead of the per-stratum census.
+    */
+  val mixSample: String =
+    s"""WITH $mixChainCtes
+       |SELECT s.doc_id, s.lang
+       |FROM mt6 s JOIN rates r USING (lang)
+       |WHERE s.hk % 1000 < r.rate_permille
+       |ORDER BY s.doc_id""".stripMargin
 
   /** Quality-classifier inference mirror: per-distinct-word weight via
     * the FNV→xor-seed→splitmix chain, summed per occurrence, truncated

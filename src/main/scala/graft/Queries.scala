@@ -120,6 +120,14 @@ object Queries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     TextOps.dedupSimhash(s, TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
 
+  /** Winnowing (MOSS) positional near-dup census over the planted
+    * near-dup corpus; see [[TextOps.dedupWinnow]]. The planted
+    * truncated copies share almost their whole fingerprint set, so
+    * every planted pair surfaces with high overlap_permille.
+    */
+  def dedupWinnowQ(s: SparkSession, d: String): DataFrame =
+    TextOps.dedupWinnow(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
+
   /** Exact word-3-gram Jaccard for the planted near-dup pairs (the
     * verify-stage primitive exposed standalone; LSH candidates feed it
     * at scale — see dedup_minhash).
@@ -635,6 +643,13 @@ object Queries {
 
   def mixTemperatureQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixTemperature(TextOps.readDocs(s, d))
+
+  /** Row-level admission list under the temperature rates — the
+    * materialized form of [[mixTemperatureQ]]'s census; see
+    * [[TextOps.mixSample]].
+    */
+  def mixSampleQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixSample(TextOps.readDocs(s, d))
 
   /** Same planted-contamination corpus as [[decontaminateQ]], through
     * the Bloom-prefiltered scale path — output must be row-identical

@@ -29,6 +29,7 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
+    "dedup_winnow" -> (Queries.dedupWinnowQ _),
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
     "dup_best" -> (Queries.dupBest _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "decontaminate_cut" -> (Queries.decontaminateCutQ _),
     "decontaminate_report" -> (Queries.decontamReportQ _),
     "mix_temperature" -> (Queries.mixTemperatureQ _),
+    "mix_sample" -> (Queries.mixSampleQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
     "dedup_spans" -> (Queries.dedupSpansQ _),
@@ -1220,6 +1222,8 @@ object SparkEntry {
     // eval-side leak census over the same planted corpus
     "decontaminate_report" -> decontamReportSql,
     "mix_temperature" -> OracleSqlGen.mixTemperature,
+    // row-level admission under the SAME chain (shared mixChainCtes)
+    "mix_sample" -> OracleSqlGen.mixSample,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,
@@ -1279,6 +1283,9 @@ object SparkEntry {
     "lang_id" -> OracleSqlGen.langId,
     "doc_fingerprint" -> OracleSqlGen.docFingerprint,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,
+    // winnowing (MOSS) positional near-dup census — geometry constants
+    // shared with the Spark kernel (TextOps.WinnowK/W/MaxDf/MinShared)
+    "dedup_winnow" -> OracleSqlGen.dedupWinnow,
     "dedup_minhash" -> OracleSqlGen.dedupMinhash,
     "ngram_jaccard" -> OracleSqlGen.ngramJaccard,
     "ann_cosine" -> OracleSqlGen.annCosine,

@@ -444,6 +444,114 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing geometry (Schleimer et al. 2003, MOSS): k-word grams
+    * hashed with [[fnv1a64]], windows of [[WinnowW]] consecutive gram
+    * hashes, per window select the RIGHTMOST minimal hash (unsigned
+    * order — the canonical winnowing tie rule: it maximizes the
+    * chance that adjacent windows select the same hash, keeping the
+    * fingerprint set small). All four constants are embedded in the
+    * DuckDB mirror — change one side → change both.
+    */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** Hot-fingerprint document-frequency cap (the minhash
+    * MinhashMaxBucket discipline applied to winnowing buckets): a
+    * fingerprint present in more docs than this is boilerplate, and
+    * its bucket would go quadratic in the pair join — dropped BEFORE
+    * the self-join on both engines.
+    */
+  val WinnowMaxDf = 64
+
+  /** Minimum shared fingerprints for a reported pair — one shared
+    * window minimum is noise; two is the standard match floor.
+    */
+  val WinnowMinShared = 2
+
+  /** Per-doc winnowing fingerprint set: one (doc_id, fp) row per
+    * DISTINCT selected window-minimum hash. Entirely per-row until
+    * the distinct — one typed flatMap computes grams, hashes and the
+    * window minima in O(words · W) and ships only 8-byte hashes.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val k = WinnowK
+    val w = WinnowW
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(' ').filter(_.nonEmpty)
+        val nGrams = ws.length - k + 1
+        if (nGrams < w) Iterator.empty
+        else {
+          val hs = new Array[Long](nGrams)
+          var i = 0
+          while (i < nGrams) {
+            hs(i) = fnv1a64(ws.slice(i, i + k).mkString(" "))
+            i += 1
+          }
+          val sel = new java.util.HashSet[Long]()
+          var j = 0
+          while (j <= nGrams - w) {
+            var m = hs(j)
+            var p = j + 1
+            // <= 0 keeps the RIGHTMOST minimal hash on ties
+            while (p < j + w) {
+              if (java.lang.Long.compareUnsigned(hs(p), m) <= 0) m = hs(p)
+              p += 1
+            }
+            sel.add(m)
+            j += 1
+          }
+          val out = new Array[(Long, Long)](sel.size)
+          val it = sel.iterator()
+          var o = 0
+          while (it.hasNext) { out(o) = (id, it.next()); o += 1 }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
+  /** Winnowing near-dup census (the MOSS pairing applied to corpus
+    * dedup): pairs of docs sharing >= [[WinnowMinShared]] winnowing
+    * fingerprints, with the shared count and the containment permille
+    * n_shared * 1000 / min(|A|, |B|) over the CAPPED fingerprint
+    * sets. Complements the family: MinHash estimates whole-doc
+    * Jaccard, SimHash whole-doc cosine-ish distance — winnowing is
+    * POSITIONAL (guaranteed to catch any shared run of >= K+W-1
+    * words), so it flags partial overlap and quotation that whole-doc
+    * signatures dilute away.
+    *
+    * Scale shape: fingerprints are one per-row flatMap (8-byte hashes
+    * on the wire, never text); the df cap drops boilerplate
+    * fingerprints BEFORE the self-join (the [[MinhashMaxBucket]]
+    * discipline — a fingerprint shared by the whole corpus would
+    * otherwise go quadratic); the pair aggregate and the two size
+    * joins are id-keyed. Sizes are counted over the capped sets so
+    * the permille is internally consistent on both engines.
+    */
+  def dedupWinnow(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(docs)
+    val capped = fps
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("c") <= WinnowMaxDf)
+      .drop("c")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared").cast("long"),
+        expr("n_shared * 1000 DIV least(na, nb)").cast("long")
+          .as("overlap_permille"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** BPE-ish pre-tokenizer pattern (the GPT-2-family shape minus
     * lookaheads, so Java regex and RE2 agree): letter runs, digit
     * runs, or single non-alphanumeric non-space marks.
@@ -1894,9 +2002,22 @@ object TextOps {
     * n_kept).
     */
   def mixTemperature(docs: DataFrame): DataFrame = {
-    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val rates = mixRates(docs)
+    val kept = mixKept(docs, rates)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** The alpha = 1/2 temperature rate table of [[mixTemperature]] —
+    * one (lang, n_docs, rate_permille) row per stratum. Factored so
+    * the census ([[mixTemperature]]) and the materialization
+    * ([[mixSample]]) share ONE rate definition.
+    */
+  def mixRates(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("isq", expr(isqrtSql("n_docs")))
       .withColumn("total", sum(col("n_docs")).over(w))
       .withColumn("s_isq", sum(col("isq")).over(w))
@@ -1904,15 +2025,33 @@ object TextOps {
         least(lit(1000L),
           expr("(total DIV 2) * 1000 * isq DIV (s_isq * n_docs)")).cast("long"))
       .select(col("lang"), col("n_docs"), col("rate_permille"))
-    val kept = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+  }
+
+  /** The deterministic kept set under a rate table: one row per doc
+    * whose splitmix64(doc_id xor TempSeed) mod-1000 residue clears
+    * its stratum's rate. Shared kernel of [[mixTemperature]] and
+    * [[mixSample]].
+    */
+  private def mixKept(docs: DataFrame, rates: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
       .join(broadcast(rates), Seq("lang"))
       .filter(unsignedMod1000(
         splitmixCol(col("doc_id").bitwiseXOR(lit(TempSeed)))) < col("rate_permille"))
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq("lang"), "left")
-      .na.fill(0L, Seq("n_kept"))
-      .orderBy("lang")
   }
+
+  /** Materialized temperature mixture: the actual (doc_id, lang)
+    * admission list under [[mixRates]] — the row-level output a
+    * training-data writer consumes, where [[mixTemperature]] is the
+    * audit census over the SAME kept set (shared [[mixKept]] kernel;
+    * a rate or seed change hits both oracle rows). Scale shape
+    * unchanged: one stratum-cardinality aggregate, then a
+    * broadcast-joined scan filter — the corpus never shuffles.
+    */
+  def mixSample(docs: DataFrame): DataFrame =
+    mixKept(docs, mixRates(docs))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
 
   // -------------------------------------------------------------------
   // URL normalization (crawl canonicalization)
