@@ -1325,6 +1325,40 @@ private[graft] object OracleSqlGen {
        |WHERE s.hk % 1000 < r.rate_permille
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Token-mass temperature-mixture mirror (TextOps.mixTokens): the
+    * alpha = 1/2 rate rule over per-lang TOKEN mass (the token_count
+    * space-count+1 kernel summed per stratum) instead of doc counts,
+    * admission by splitmix64(doc_id xor TokSeed) mod 1000. Docs are
+    * admitted whole; kept_tokens sums the admitted docs' token
+    * counts. All HUGEINT-widened aggregates CAST back to BIGINT.
+    */
+  val mixTokens: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.TokSeed)
+    val isq = TextOps.isqrtSql("tok_mass")
+    s"""WITH counts AS (
+       |  SELECT lang,
+       |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tok_mass
+       |  FROM documents GROUP BY lang),
+       |rates AS (
+       |  SELECT lang, tok_mass,
+       |    least(1000, ((sum(tok_mass) OVER ()) // 2) * 1000 * $isq
+       |      // ((sum($isq) OVER ()) * tok_mass)) AS rate_permille
+       |  FROM counts),
+       |s0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       |       ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |       FROM documents),
+       |${splitmixCtes("mk", "s0", "doc_id, lang, n_tokens")},
+       |kept AS (
+       |  SELECT s.lang, CAST(sum(s.n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM mk6 s JOIN rates r USING (lang)
+       |  WHERE s.hk % 1000 < r.rate_permille GROUP BY s.lang)
+       |SELECT r.lang, CAST(r.tok_mass AS BIGINT) AS tok_mass,
+       |  CAST(r.rate_permille AS BIGINT) AS rate_permille,
+       |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+       |FROM rates r LEFT JOIN kept k USING (lang) ORDER BY lang""".stripMargin
+  }
+
   /** Quality-classifier inference mirror: per-distinct-word weight via
     * the FNV→xor-seed→splitmix chain, summed per occurrence, truncated
     * mean (`//` toward zero == JVM `/`).
@@ -1358,9 +1392,15 @@ private[graft] object OracleSqlGen {
     * emit zero rows on both engines; every aggregate CAST back to
     * BIGINT (DuckDB SUM widens to HUGEINT).
     */
-  val dsirWeights: String = {
+  /** DSIR CTE chain ending in `doc(doc_id, n_grams, w_sum)` — ONE
+    * generated source for the dsir_weights scoring row and the
+    * dsir_sample admission row (the dsir_weights branch is
+    * byte-identical to the historical string; a bucket-count or
+    * target-slice change hits both rows).
+    */
+  private val dsirChainCtes: String = {
     val nB = graft.ops.Classifier.NBuckets
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
        |  FROM documents),
@@ -1379,13 +1419,39 @@ private[graft] object OracleSqlGen {
        |doc AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        |         CAST(sum(s) AS BIGINT) AS w_sum
-       |  FROM gb JOIN share USING (bucket) GROUP BY doc_id)
+       |  FROM gb JOIN share USING (bucket) GROUP BY doc_id)""".stripMargin
+  }
+
+  val dsirWeights: String =
+    s"""WITH $dsirChainCtes
        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        |  CAST(COALESCE(doc.n_grams, 0) AS BIGINT) AS n_grams,
        |  CAST(COALESCE(doc.w_sum, 0) AS BIGINT) AS w_sum,
        |  CAST(CASE WHEN COALESCE(doc.n_grams, 0) = 0 THEN 0
        |       ELSE doc.w_sum * 1000 // doc.n_grams END AS BIGINT) AS w_avg_milli
        |FROM documents d LEFT JOIN doc ON CAST(d.doc_id AS BIGINT) = doc.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** DSIR admission mirror (TextOps.dsirSample): the SAME weight
+    * chain, then exact integer rejection sampling — admit iff
+    * splitmix64(doc_id xor DsirSeed) mod DsirAcceptMod < w_avg_milli
+    * (weights are MICRO-scaled acceptance probabilities, 0..10^6;
+    * sub-2-word docs carry weight 0 and never pass).
+    */
+  val dsirSample: String = {
+    val seedU = java.lang.Long.toUnsignedString(graft.ops.TextOps.DsirSeed)
+    val mod = graft.ops.TextOps.DsirAcceptMod
+    s"""WITH $dsirChainCtes,
+       |wts AS (
+       |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |    CAST(CASE WHEN COALESCE(doc.n_grams, 0) = 0 THEN 0
+       |         ELSE doc.w_sum * 1000 // doc.n_grams END AS BIGINT) AS w_avg_milli
+       |  FROM documents d LEFT JOIN doc ON CAST(d.doc_id AS BIGINT) = doc.doc_id),
+       |sx AS (SELECT doc_id, w_avg_milli,
+       |       ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x FROM wts),
+       |${splitmixCtes("dsp", "sx", "doc_id, w_avg_milli")}
+       |SELECT doc_id, w_avg_milli FROM dsp6
+       |WHERE hk % $mod < w_avg_milli
        |ORDER BY doc_id""".stripMargin
   }
 

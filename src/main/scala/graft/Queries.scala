@@ -651,6 +651,13 @@ object Queries {
   def mixSampleQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixSample(TextOps.readDocs(s, d))
 
+  /** Token-mass temperature-mixture census — the alpha = 1/2 rule
+    * over per-lang token mass (how real mixtures are specified); see
+    * [[TextOps.mixTokens]].
+    */
+  def mixTokensQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixTokens(TextOps.readDocs(s, d))
+
   /** Same planted-contamination corpus as [[decontaminateQ]], through
     * the Bloom-prefiltered scale path — output must be row-identical
     * (the oracle row reuses decontaminate's SQL verbatim).
@@ -705,6 +712,13 @@ object Queries {
     */
   def dsirWeightsQ(s: SparkSession, d: String): DataFrame =
     TextOps.dsirWeights(s, TextOps.readDocs(s, d))
+
+  /** DSIR importance RESAMPLING — the admission list dsir_weights
+    * only scores: exact integer rejection sampling with acceptance
+    * probability w_avg_milli/1000; see [[TextOps.dsirSample]].
+    */
+  def dsirSampleQ(s: SparkSession, d: String): DataFrame =
+    TextOps.dsirSample(s, TextOps.readDocs(s, d))
 
   /** Supervised quality-classifier training on the documents corpus:
     * hashed-unigram presence features, planted lexicon labels, ONE-PASS

@@ -72,6 +72,7 @@ object SparkEntry {
     "decontaminate_report" -> (Queries.decontamReportQ _),
     "mix_temperature" -> (Queries.mixTemperatureQ _),
     "mix_sample" -> (Queries.mixSampleQ _),
+    "mix_tokens" -> (Queries.mixTokensQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
     "dedup_spans" -> (Queries.dedupSpansQ _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "quality_score" -> (Queries.qualityScore _),
     "quality_classify" -> (Queries.qualityClassifyQ _),
     "dsir_weights" -> (Queries.dsirWeightsQ _),
+    "dsir_sample" -> (Queries.dsirSampleQ _),
     "quality_train" -> (Queries.qualityTrainQ _),
     "quality_eval" -> (Queries.qualityEvalQ _),
     "lang_id" -> (Queries.langIdQ _),
@@ -893,6 +895,8 @@ object SparkEntry {
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
     "dsir_weights" -> OracleSqlGen.dsirWeights,
+    // DSIR admission under the SAME weight chain (shared dsirChainCtes)
+    "dsir_sample" -> OracleSqlGen.dsirSample,
     "quality_eval" -> OracleSqlGen.qualityEval,
     "q_windowframe" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -1224,6 +1228,8 @@ object SparkEntry {
     "mix_temperature" -> OracleSqlGen.mixTemperature,
     // row-level admission under the SAME chain (shared mixChainCtes)
     "mix_sample" -> OracleSqlGen.mixSample,
+    // token-mass variant: same temperature rule over per-lang token mass
+    "mix_tokens" -> OracleSqlGen.mixTokens,
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,

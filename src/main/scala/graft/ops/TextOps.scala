@@ -647,6 +647,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Seed for the DSIR admission hash (public: the oracle embeds it). */
+  val DsirSeed = 0xd512bea7c0deL
+
+  /** Acceptance modulus of [[dsirSample]]: w_avg_milli is
+    * MICRO-scaled as a fraction (each bucket share is permille,
+    * 0..1000; the per-doc mean is scaled by another 1000), so the
+    * admission draw is mod 10^6 — embedded in the oracle.
+    */
+  val DsirAcceptMod = 1000000L
+
+  /** DSIR importance RESAMPLING — the selection step of Xie et al.
+    * 2023 that [[dsirWeights]] only scores: each doc is admitted with
+    * probability proportional to its importance weight, via exact
+    * integer rejection sampling (w_avg_milli is the doc's mean bucket
+    * share in micro units of p_target/p_raw's normalized fraction, in
+    * [0, 10^6] — see [[DsirAcceptMod]] — so admit iff
+    * splitmix64(doc_id xor [[DsirSeed]]) mod 10^6 < w_avg_milli).
+    * Deterministic, no RNG, reproducible across runs and engines;
+    * sub-2-word docs have weight 0 and are never admitted, all-target
+    * docs have weight 10^6 and always are. Scale shape inherited from
+    * [[dsirWeights]] (bucket census + per-row scoring, zero data
+    * shuffles) plus one per-row hash filter.
+    */
+  def dsirSample(spark: SparkSession, docs: DataFrame,
+                 targetLang: String = "en",
+                 nBuckets: Int = Classifier.NBuckets): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    dsirWeights(spark, docs, targetLang, nBuckets)
+      .filter(unsignedModCol(
+        splitmixCol(col("doc_id").bitwiseXOR(lit(DsirSeed))), DsirAcceptMod)
+        < col("w_avg_milli"))
+      .select(col("doc_id"), col("w_avg_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (typed map; non-SQL-expressible → rows-only
     * driver check, byte-determinism covered by unit tests).
     */
@@ -689,6 +724,17 @@ object TextOps {
   def unsignedMod1000(x: Column): Column =
     when(x < 0, pmod(pmod(x, lit(1000L)) + lit(616L), lit(1000L)))
       .otherwise(pmod(x, lit(1000L)))
+
+  /** Unsigned 64-bit `x mod m` on a signed long column, for any
+    * positive modulus: for x < 0 the unsigned value is x + 2^64, and
+    * 2^64 mod m is computed exactly from the unsigned remainder of
+    * 2^64 - 1 (generalizes [[unsignedMod1000]]'s baked-in 616).
+    */
+  def unsignedModCol(x: Column, m: Long): Column = {
+    val wrap = (java.lang.Long.remainderUnsigned(-1L, m) + 1L) % m
+    when(x < 0, pmod(pmod(x, lit(m)) + lit(wrap), lit(m)))
+      .otherwise(pmod(x, lit(m)))
+  }
 
   // -------------------------------------------------------------------
   // Duplicate clustering: connected components over near/exact-dup pairs
@@ -2052,6 +2098,66 @@ object TextOps {
     mixKept(docs, mixRates(docs))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
+
+  /** Seed for the token-mass temperature hash (public: the oracle
+    * embeds it; distinct from [[TempSeed]] so the two mixtures are
+    * independent draws).
+    */
+  val TokSeed = 0x70cbea70a5edL
+
+  /** Token-mass alpha = 1/2 temperature rates: the [[mixRates]] rule
+    * with each stratum measured by its TOKEN mass (whitespace token
+    * count summed per lang — the same space-count+1 kernel as
+    * token_count) instead of its document count. This is how real
+    * mixtures are specified: a lang of few huge docs and a lang of
+    * many tiny docs are different training masses even at equal doc
+    * counts. rate_permille = min(1000, (B*1000*isqrt(m_l)) DIV
+    * (S*m_l)) with B = total token mass DIV 2, S = sum of isqrt
+    * masses. Overflow bound tightens vs the doc-count variant:
+    * B*1000*isqrt(m_l) < 2^63 holds to ~10^12 TOKENS per corpus —
+    * past that widen to DECIMAL on both sides (Spark ANSI mode fails
+    * loud, never wraps).
+    */
+  def mixTokenRates(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs.select(col("lang"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1L)
+          .cast("long").as("n_tokens"))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("tok_mass"))
+      .withColumn("isq", expr(isqrtSql("tok_mass")))
+      .withColumn("total", sum(col("tok_mass")).over(w))
+      .withColumn("s_isq", sum(col("isq")).over(w))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          expr("(total DIV 2) * 1000 * isq DIV (s_isq * tok_mass)")).cast("long"))
+      .select(col("lang"), col("tok_mass"), col("rate_permille"))
+  }
+
+  /** Token-mass temperature-mixture census: per-stratum
+    * (lang, tok_mass, rate_permille, kept_tokens) under
+    * [[mixTokenRates]], with admission by the deterministic
+    * splitmix64(doc_id xor [[TokSeed]]) mod-1000 rule — docs are
+    * admitted whole (a training mixture never splits a document), so
+    * kept_tokens converges to rate*mass without ever equaling it
+    * exactly. Same scale shape as [[mixTemperature]]: one stratum
+    * aggregate, one broadcast-joined scan filter, the corpus never
+    * shuffles and text never moves (token counts are computed in the
+    * scan projection).
+    */
+  def mixTokens(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val rates = mixTokenRates(docs)
+    val kept = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1L)
+          .cast("long").as("n_tokens"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(unsignedMod1000(
+        splitmixCol(col("doc_id").bitwiseXOR(lit(TokSeed)))) < col("rate_permille"))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("kept_tokens"))
+    rates.join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("kept_tokens"))
+      .orderBy("lang")
+  }
 
   // -------------------------------------------------------------------
   // URL normalization (crawl canonicalization)

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+import graft.sources.PageSource.splitmix64
+
+/** DSIR importance resampling (the admission step over dsir_weights)
+  * and the token-mass temperature mixture.
+  */
+class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-mixdsir-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsOf(rows: (Long, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  /** The admission rule recomputed sequentially in the driver. */
+  private def admitted(id: Long, wMicro: Long): Boolean =
+    java.lang.Long.remainderUnsigned(
+      splitmix64(id ^ TextOps.DsirSeed), TextOps.DsirAcceptMod) < wMicro
+
+  // ---------------------------------------------------------------
+  // dsirSample
+  // ---------------------------------------------------------------
+
+  test("dsirSample: admitted set == driver-recomputed rejection sampling over dsirWeights") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val weights = TextOps.dsirWeights(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expect = weights.filter { case (id, w) => admitted(id, w) }.keySet
+    val got = TextOps.dsirSample(spark, docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect)
+    // the rule genuinely selects: neither empty nor the whole corpus
+    assert(got.nonEmpty && got.size < weights.size)
+  }
+
+  test("dsirSample: zero-weight docs are never admitted, weight-10^6 docs always are") {
+    // one sub-2-word doc (no bigrams -> weight 0) and an all-'en'
+    // corpus whose every bucket is pure target (share 1000 -> micro 10^6)
+    val docs = docsOf(
+      (1L, "solo", "en"),
+      (2L, "alpha beta gamma delta", "en"),
+      (3L, "epsilon zeta eta theta", "en"))
+    val out = TextOps.dsirSample(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(1L))
+    assert(out.get(2L).contains(1000000L) && out.get(3L).contains(1000000L))
+  }
+
+  test("dsirSample: off-target docs are admitted at most as often as the rule admits their weight") {
+    // mixed corpus: 'xx' docs share no vocabulary with 'en' ones, so
+    // their buckets are pure non-target -> weight 0 -> never admitted
+    val docs = docsOf(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta zeta", "en"),
+      (3L, "uno dos tres cuatro cinco", "xx"),
+      (4L, "uno dos tres cuatro seis", "xx"))
+    val got = TextOps.dsirSample(spark, docs).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  // ---------------------------------------------------------------
+  // mixTokens
+  // ---------------------------------------------------------------
+
+  test("mixTokens: kept_tokens equals the driver-recomputed whole-doc admission sum") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val rates = TextOps.mixTokenRates(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perDoc = docs.select(
+        col("doc_id").cast("long"), col("lang"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1L)
+          .cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = perDoc.filter { case (id, lang, _) =>
+        java.lang.Long.remainderUnsigned(
+          splitmix64(id ^ TextOps.TokSeed), 1000L) < rates(lang)._2
+      }.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val got = TextOps.mixTokens(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (lang, mass, rate, kept) =>
+      assert(mass == rates(lang)._1 && rate == rates(lang)._2)
+      assert(kept == expect.getOrElse(lang, 0L))
+      assert(kept <= mass && rate <= 1000L)
+    }
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+  }
+
+  test("mixTokens: token mass, not doc count, drives the rates") {
+    // two strata with EQUAL doc counts but 25x different token mass:
+    // the doc-count rule rates them equally, the token-mass rule must
+    // up-rate the lighter stratum (temperature flattening on mass)
+    val heavy = (1 to 100).map(i =>
+      (i.toLong, (1 to 50).map(j => s"h$j").mkString(" "), "aa"))
+    val light = (101 to 200).map(i =>
+      (i.toLong, "t1 t2", "bb"))
+    val docs = docsOf((heavy ++ light): _*)
+    val tokRates = TextOps.mixTokenRates(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val docRates = TextOps.mixRates(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(docRates("aa") == docRates("bb"))
+    assert(tokRates("bb") > tokRates("aa"))
+  }
+
+  test("mixTokens: single-stratum corpus keeps ~half the mass (budget = total DIV 2)") {
+    val docs = docsOf((1L to 400L).map(i =>
+      (i, (1 to 10).map(j => s"w$j").mkString(" "), "en")): _*)
+    val Array(row) = TextOps.mixTokens(docs).collect()
+    assert(row.getLong(2) == 500L) // rate = B*1000*isq/(isq*mass) = 500
+    // whole-doc admission at 500 permille: kept mass within 20% of half
+    val kept = row.getLong(3).toDouble / row.getLong(1)
+    assert(kept > 0.4 && kept < 0.6)
+  }
+}
