@@ -271,6 +271,38 @@ private[graft] object OracleSqlGen {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Cross-host mirror-detection mirror (TextOps.mirrorHosts over the
+    * planted mirror corpus): distinct (host, sha256) rows, per-sha
+    * host-frequency cap BEFORE the pair self-join, shared-page floor,
+    * containment permille over the capped per-host page sets. Host
+    * derivation = the planted hostId arithmetic (hidOfSql — the same
+    * single source SparkEntry's page fragments use); constants from
+    * TextOps.
+    */
+  val mirrorHosts: String = {
+    val hostOf = s"'host' || CAST(${hidOfSql("doc_id")} AS VARCHAR) || '.example'"
+    s"""WITH corpus AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${TextOps.MirrorCopyShift} AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id % ${TextOps.MirrorEvery} = 0),
+       |hs AS (SELECT DISTINCT $hostOf AS host, sha256(text) AS sha FROM corpus),
+       |dfc AS (SELECT sha, count(*) AS c FROM hs GROUP BY sha),
+       |hk AS (SELECT host, sha FROM hs JOIN dfc USING (sha)
+       |       WHERE c <= ${TextOps.MirrorMaxDf}),
+       |sz AS (SELECT host, count(*) AS n FROM hk GROUP BY host),
+       |pr AS (
+       |  SELECT x.host AS host_a, y.host AS host_b, count(*) AS n_shared
+       |  FROM hk x JOIN hk y ON x.sha = y.sha AND x.host < y.host
+       |  GROUP BY x.host, y.host
+       |  HAVING count(*) >= ${TextOps.MirrorMinShared})
+       |SELECT pr.host_a, pr.host_b, CAST(pr.n_shared AS BIGINT) AS n_shared,
+       |  CAST(pr.n_shared * 1000 // least(sa.n, sb.n) AS BIGINT) AS mirror_permille
+       |FROM pr JOIN sz sa ON sa.host = pr.host_a
+       |        JOIN sz sb ON sb.host = pr.host_b
+       |ORDER BY host_a, host_b""".stripMargin
+  }
+
   /** MinHash+LSH near-dup edge chain over a CTE named `corpus`
     * (doc_id, text): 3-word shingles → FNV-1a/seed-xor/splitmix64
     * signatures → 4-row band slices → bucket pairs → exact-Jaccard

@@ -128,6 +128,15 @@ object Queries {
   def dedupWinnowQ(s: SparkSession, d: String): DataFrame =
     TextOps.dedupWinnow(TextOps.corpusWithNearDups(TextOps.readDocs(s, d)))
 
+  /** Cross-host mirror detection over the planted mirror corpus
+    * (identical-text copies shifted onto OTHER hosts); see
+    * [[TextOps.mirrorHosts]]. The crawl-level complement of doc-level
+    * exact dedup: the verdict is per host PAIR, the unit crawl
+    * scheduling acts on.
+    */
+  def mirrorHostsQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mirrorHosts(TextOps.corpusWithMirrorHosts(TextOps.readDocs(s, d)))
+
   /** Exact word-3-gram Jaccard for the planted near-dup pairs (the
     * verify-stage primitive exposed standalone; LSH candidates feed it
     * at scale — see dedup_minhash).

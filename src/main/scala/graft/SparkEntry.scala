@@ -30,6 +30,7 @@ object SparkEntry {
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_winnow" -> (Queries.dedupWinnowQ _),
+    "mirror_hosts" -> (Queries.mirrorHostsQ _),
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
     "dup_best" -> (Queries.dupBest _),
@@ -1292,6 +1293,8 @@ object SparkEntry {
     // winnowing (MOSS) positional near-dup census — geometry constants
     // shared with the Spark kernel (TextOps.WinnowK/W/MaxDf/MinShared)
     "dedup_winnow" -> OracleSqlGen.dedupWinnow,
+    // cross-host mirror detection (planted mirror corpus; hidOfSql host)
+    "mirror_hosts" -> OracleSqlGen.mirrorHosts,
     "dedup_minhash" -> OracleSqlGen.dedupMinhash,
     "ngram_jaccard" -> OracleSqlGen.ngramJaccard,
     "ann_cosine" -> OracleSqlGen.annCosine,

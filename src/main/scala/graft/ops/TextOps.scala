@@ -253,6 +253,70 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("text_sha"))
 
+  /** Planted mirror-host corpus: every [[MirrorEvery]]th doc gets an
+    * IDENTICAL-text copy at doc_id + [[MirrorCopyShift]]. The shift is
+    * chosen ≡ 3 mod 4 so the copy's planted host (PageSource.hostId —
+    * sources are even ids on host0) lands in the 1..9 host band:
+    * cross-HOST exact duplicates, the mirror-site signature (the
+    * exact-dup corpus's +2000000 shift preserves parity, so its copies
+    * stay on the source host — wrong planted shape for this op).
+    */
+  val MirrorEvery = 10L
+  val MirrorCopyShift = 2000003L
+  def corpusWithMirrorHosts(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") % MirrorEvery === 0)
+        .withColumn("doc_id", col("doc_id") + lit(MirrorCopyShift)))
+
+  /** Hot-sha host-frequency cap and minimum shared-page floor for
+    * [[mirrorHosts]] — the MinhashMaxBucket discipline at host
+    * granularity (a sha on >64 hosts is boilerplate, not mirroring;
+    * one shared page is coincidence, two is the match floor).
+    */
+  val MirrorMaxDf = 64
+  val MirrorMinShared = 2
+
+  /** Cross-host mirror detection: host pairs sharing >=
+    * [[MirrorMinShared]] byte-identical pages (sha256 of text), with
+    * the shared count and mirror_permille = shared * 1000 / min host
+    * page-set size — the crawl-curation census that catches mirror
+    * sites, CDNs re-serving a source host, and scraped re-hosts,
+    * which doc-level dedup collapses silently without ever SAYING two
+    * hosts are the same site (the host-level verdict drives crawl
+    * scheduling and authority accounting).
+    *
+    * Scale shape: the corpus reduces to DISTINCT (host, sha) rows
+    * immediately (64-hex shas on the wire, never text); the per-sha
+    * host-frequency cap drops boilerplate shas BEFORE the self-join
+    * (a footer page shared by 10^5 hosts would go quadratic); pair
+    * aggregate and size joins are host-keyed. Sizes are counted over
+    * the capped sets so the permille is internally consistent.
+    */
+  def mirrorHosts(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = docs.select(
+        GraphOps.hostCol(col("doc_id").cast("long")).as("host"),
+        sha2(col("text"), 256).as("sha"))
+      .distinct()
+    val capped = hs
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("sha"))))
+      .filter(col("c") <= MirrorMaxDf)
+      .drop("c")
+    val sz = capped.groupBy(col("host")).agg(count(lit(1)).as("n"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.sha") === col("y.sha") && col("x.host") < col("y.host"))
+      .groupBy(col("x.host").as("host_a"), col("y.host").as("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MirrorMinShared)
+    pairs
+      .join(sz.select(col("host").as("host_a"), col("n").as("na")), Seq("host_a"))
+      .join(sz.select(col("host").as("host_b"), col("n").as("nb")), Seq("host_b"))
+      .select(col("host_a"), col("host_b"),
+        col("n_shared").cast("long").as("n_shared"),
+        expr("n_shared * 1000 DIV least(na, nb)").cast("long").as("mirror_permille"))
+      .orderBy(col("host_a"), col("host_b"))
+  }
+
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified.
     * Stages: (1) one typed map → signatures + band hashes (no shuffle);
     * (2) explode bands → per-(band,bucket) window count bounds hot
@@ -1107,6 +1171,7 @@ object TextOps {
       .select("doc_id", "bucket", "n_tokens", "shard")
       .orderBy("doc_id")
   }
+
 
   /** Sequence packing: the final stage of an LLM training-data
     * pipeline. Documents are concatenated (within a bucket, in doc_id

@@ -134,4 +134,44 @@ class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = row.getLong(3).toDouble / row.getLong(1)
     assert(kept > 0.4 && kept < 0.6)
   }
+
+  // ---------------------------------------------------------------
+  // mirrorHosts
+  // ---------------------------------------------------------------
+
+  test("mirrorHosts: two shared pages pair the hosts at full containment; one does not") {
+    // hostId: even ids -> host0; ids 3 and 39 are both %4==3 -> host4
+    val docs = docsOf(
+      (2L, "alpha text one", "en"), (4L, "beta text two", "en"),
+      (6L, "gamma text three", "en"),
+      (3L, "alpha text one", "en"), (39L, "beta text two", "en"))
+    val out = TextOps.mirrorHosts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("host0.example", "host4.example", 2L, 1000L)))
+    // drop one shared page: below MirrorMinShared, no pair
+    val one = TextOps.mirrorHosts(docs.filter(col("doc_id") =!= 39L)).collect()
+    assert(one.isEmpty)
+  }
+
+  test("mirrorHosts: a sha on more hosts than MirrorMaxDf is boilerplate — capped before the join") {
+    // ids ≡ 1 mod 4 land on distinct 10+id%990 hosts; same text on
+    // MirrorMaxDf+2 of them (plus a second shared text so pairs WOULD
+    // form if the cap failed to fire)
+    val hot = (0 until TextOps.MirrorMaxDf + 2).map(k =>
+      (1L + 4L * k, "the shared boilerplate footer", "en"))
+    val docs = docsOf(hot: _*)
+    assert(TextOps.mirrorHosts(docs).collect().isEmpty)
+  }
+
+  test("mirrorHostsQ: planted mirrors surface as host0-to-band pairs at every SF slice") {
+    val rows = Queries.mirrorHostsQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // copies come from even source ids (host0) shifted into the 1..9
+    // band — every pair involves host0, ordering and bounds hold
+    assert(rows.forall { case (a, b, n, p) =>
+      a == "host0.example" && a < b && n >= TextOps.MirrorMinShared &&
+        p >= 1L && p <= 1000L
+    })
+  }
 }
