@@ -383,6 +383,29 @@ private[graft] object OracleSqlGen {
        |FROM jac WHERE jaccard_milli >= 700
        |ORDER BY query_id, doc_id""".stripMargin
 
+  /** Fuzzy-decontamination mirror (Queries.decontaminateFuzzyQ): the
+    * decontaminate planted corpus (documents ∪ eval copies at
+    * +4000001, doc_id % 50 = 0 — ANOTHER consumer of that eval-slice
+    * rule next to the four r5j rows) through the capped minhashEdge
+    * chain, pair predicate re-keyed to eval-as-query (x = eval slice,
+    * y's bucket cap mirrors the Spark corpus-side hot-bucket drop;
+    * the eval copies are band-identical to their members of the
+    * corpus, so slice counts match Spark's corpusBands exactly),
+    * train-side hits only.
+    */
+  val decontaminateFuzzy: String =
+    s"""WITH corpus AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 4000001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |${minhashEdgeCtesWith(
+           "x.doc_id >= 4000001 AND x.doc_id <> y.doc_id AND y.cnt <= " +
+             TextOps.MinhashMaxBucket,
+           capped = true)}
+       |SELECT doc_a AS eval_id, doc_b AS doc_id, jaccard_milli
+       |FROM jac WHERE jaccard_milli >= 700 AND doc_b < 4000001
+       |ORDER BY eval_id, doc_id""".stripMargin
+
   val ngramJaccard: String =
     s"""WITH pairs AS (
        |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, text AS text_a,
@@ -514,7 +537,14 @@ private[graft] object OracleSqlGen {
     * `af(vec_id, cid, d)` (distances to final centroids) and
     * `assigned(vec_id, cid)` — used by both annIvf and embedCluster.
     */
-  private def kmeansAssignCtes(k: Int, iters: Int): String = {
+  /** @param src source relation of (vec_id, embedding FLOAT[]) —
+    *   default "embeddings" generates the byte-identical string the
+    *   two-arg form always produced (the ivf/pq/recall/serve oracle
+    *   rows must not move when this is touched); semDedup passes its
+    *   planted-corpus CTE name.
+    */
+  private def kmeansAssignCtes(k: Int, iters: Int,
+                               src: String = "embeddings"): String = {
     val iterCtes = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
       s"""a$n AS (
@@ -535,7 +565,7 @@ private[graft] object OracleSqlGen {
     s"""vm AS (
        |  SELECT vec_id, dd.i,
        |         CAST(floor(CAST(embedding[CAST(dd.i AS INTEGER)+1] AS DOUBLE) * 1000.0) AS BIGINT) AS m
-       |  FROM embeddings, UNNEST(range(len(embedding))) AS dd(i)),
+       |  FROM $src, UNNEST(range(len(embedding))) AS dd(i)),
        |c0 AS (
        |  -- cid = POSITION among the init vectors (dense_rank), not the
        |  -- raw vec_id: Spark's kmeansMilli indexes its centroid array
@@ -1929,5 +1959,49 @@ private[graft] object OracleSqlGen {
        |        max(sim_micro) OVER (PARTITION BY vec_id) AS m
        |      FROM hits) h
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** SemDeDup mirror (VectorOps.semDedup over the planted
+    * corpusWithSemDups): the SHARED kmeansAssignCtes chain re-keyed to
+    * the planted corpus CTE, per-cluster size cap, within-cluster
+    * x<y pairs, double-fold cosine with micro floor, per-victim
+    * argmax replayed as max-window + min-id (the decontaminateEmbed
+    * struct-max rule), -1 sentinels for kept vectors. Constants from
+    * the ONE Scala source (SemDupEvery/SemDupCopyShift/
+    * SemDedupMinSimMicro/SemDedupMaxCluster) — a k-means change hits
+    * this row along with the ivf/pq/recall/serve rows.
+    */
+  val semDedup: String = {
+    val minSim = VectorOps.SemDedupMinSimMicro
+    val cap = VectorOps.SemDedupMaxCluster
+    val every = VectorOps.SemDupEvery
+    val shift = VectorOps.SemDupCopyShift
+    s"""WITH scorpus AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $shift AS vec_id, embedding FROM embeddings WHERE vec_id % $every = 0),
+       |${kmeansAssignCtes(16, 3, "scorpus")},
+       |csz AS (SELECT cid, count(*) AS n FROM assigned GROUP BY cid),
+       |cpd AS (SELECT a.vec_id, a.cid FROM assigned a JOIN csz USING (cid) WHERE csz.n <= $cap),
+       |prs AS (
+       |  SELECT x.vec_id AS keep_id, y.vec_id AS vec_id
+       |  FROM cpd x JOIN cpd y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |nq AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM scorpus),
+       |sc AS (
+       |  SELECT p.vec_id, p.keep_id,
+       |    CAST(floor(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS sim_micro
+       |  FROM prs p JOIN nq a ON a.vec_id = p.keep_id JOIN nq b ON b.vec_id = p.vec_id),
+       |hits AS (SELECT * FROM sc WHERE sim_micro >= $minSim),
+       |best AS (
+       |  SELECT vec_id, CAST(max(sim_micro) AS BIGINT) AS s,
+       |    CAST(min(CASE WHEN sim_micro = m THEN keep_id END) AS BIGINT) AS d
+       |  FROM (SELECT vec_id, keep_id, sim_micro,
+       |          max(sim_micro) OVER (PARTITION BY vec_id) AS m FROM hits) h
+       |  GROUP BY vec_id)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cell,
+       |  CAST(COALESCE(b.d, -1) AS BIGINT) AS dup_of,
+       |  CAST(COALESCE(b.s, -1) AS BIGINT) AS sim_micro
+       |FROM assigned a LEFT JOIN best b USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
   }
 }

@@ -513,6 +513,26 @@ object Queries {
     TextOps.decontaminate(docs.unionByName(planted))
   }
 
+  /** Fuzzy (MinHash near-dup) decontamination: the eval slice of the
+    * planted contamination corpus rides the SAME band geometry
+    * neardup_search probes with, as the query batch against the full
+    * corpus — the lightly-edited benchmark leakage that exact 8-gram
+    * matching (decontaminate) misses is exactly a near-dup query.
+    * Result: per eval doc, the TRAIN docs whose exact Jaccard clears
+    * the floor (eval-vs-eval matches dropped).
+    */
+  def decontaminateFuzzyQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(4000001L))
+    val evalQ = planted.select(col("doc_id").as("query_id"), col("text"))
+    TextOps.neardupSearch(s, docs.unionByName(planted), evalQ)
+      .filter(col("doc_id") < 4000001L)
+      .select(col("query_id").as("eval_id"), col("doc_id"), col("jaccard_milli"))
+      .orderBy(col("eval_id"), col("doc_id"))
+  }
+
   /** Heavy-hitter 8-gram census over the near-dup corpus (the planted
     * mutations repeat almost all their 8-grams).
     */
@@ -887,6 +907,14 @@ object Queries {
 
   def embedClusterQ(s: SparkSession, d: String): DataFrame =
     VectorOps.embedCluster(s, VectorOps.readEmbeddings(s, d))
+
+  /** SemDeDup over the planted semantic-dup corpus: k-means clusters,
+    * within-cluster cosine pairs, min-id canonical (ops/VectorOps
+    * .semDedup — the cluster-structured sibling of dedup_embedding).
+    */
+  def semDedupQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.semDedup(s,
+      VectorOps.corpusWithSemDups(VectorOps.readEmbeddings(s, d)))
 
   /** Cluster-balanced sampling census (per-cell budget rates). */
   def clusterSampleQ(s: SparkSession, d: String): DataFrame =

@@ -71,6 +71,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (Queries.decontaminateBloomQ _),
     "decontaminate_cut" -> (Queries.decontaminateCutQ _),
     "decontaminate_report" -> (Queries.decontamReportQ _),
+    "decontaminate_fuzzy" -> (Queries.decontaminateFuzzyQ _),
     "mix_temperature" -> (Queries.mixTemperatureQ _),
     "mix_sample" -> (Queries.mixSampleQ _),
     "mix_tokens" -> (Queries.mixTokensQ _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "zorder_layout" -> (Queries.zorderLayoutQ _),
     "ann_recall" -> (Queries.annRecall _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_semantic" -> (Queries.semDedupQ _),
     "embed_stats" -> (Queries.embedStats _),
     "mm_decode_stub" -> (Queries.mmDecodeStub _),
     "mm_resize" -> (Queries.mmResize _),
@@ -1224,6 +1226,9 @@ object SparkEntry {
     // span-CUT decontamination: the dedup_cut island/rebuild chain
     // with an eval-gram-driven dup set; clean_text byte-exact
     "decontaminate_cut" -> decontaminateCutSql,
+    // fuzzy decontamination: the SAME planted corpus through the
+    // capped minhashEdge chain, eval slice as the query batch
+    "decontaminate_fuzzy" -> OracleSqlGen.decontaminateFuzzy,
     // eval-side leak census over the same planted corpus
     "decontaminate_report" -> decontamReportSql,
     "mix_temperature" -> OracleSqlGen.mixTemperature,
@@ -1317,6 +1322,9 @@ object SparkEntry {
     "cluster_sample" -> OracleSqlGen.clusterSample,
     "zorder_layout" -> OracleSqlGen.zorderLayout,
     "ann_recall" -> OracleSqlGen.annRecall,
-    "dedup_embedding" -> OracleSqlGen.dedupEmbedding
+    "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
+    // SemDeDup: SAME kmeansAssignCtes chain as ivf/pq/recall/serve,
+    // re-keyed to the planted semantic-dup corpus
+    "dedup_semantic" -> OracleSqlGen.semDedup
   )
 }

@@ -1144,4 +1144,96 @@ object VectorOps {
         (-col("m.nid")).cast("long").as("top_eval_id"))
       .orderBy(col("vec_id"))
   }
+
+  // -------------------------------------------------------------------
+  // SemDeDup — cluster-then-pair semantic dedup
+  // -------------------------------------------------------------------
+
+  /** Planted semantic-dup corpus for [[semDedup]]: every
+    * [[SemDupEvery]]th vector reappears VERBATIM at
+    * vec_id + [[SemDupCopyShift]] — the re-embedded re-post /
+    * re-crawled page whose embedding is (near-)identical to its
+    * source, which is exactly the redundancy SemDeDup exists to
+    * remove. Mirrored arithmetically in the semdedup oracle.
+    */
+  val SemDupEvery = 10L
+  val SemDupCopyShift = 1000000L
+  def corpusWithSemDups(emb: DataFrame): DataFrame =
+    emb.unionByName(
+      emb.filter(col("vec_id") % SemDupEvery === 0)
+        .withColumn("vec_id", col("vec_id") + lit(SemDupCopyShift)))
+
+  /** Similarity floor and degenerate-cluster cap for [[semDedup]]
+    * (public: the oracle embeds both — change one side → change both).
+    */
+  val SemDedupMinSimMicro = 600000L
+  val SemDedupMaxCluster = 4096
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means the
+    * embedding space, then look for high-cosine pairs ONLY within
+    * each cluster — the O(N²) pair search becomes O(N²/k) and each
+    * cluster's search is an independent task. A vector is a duplicate
+    * iff some SMALLER-id vector in its cluster clears the cosine
+    * floor; `dup_of` is the argmax-similarity such keeper (ties to
+    * the smaller id — the [[decontaminateEmbed]] struct-max rule), so
+    * the kept canonical is the min id of each dup chain, the same
+    * deterministic canonical every dedup op in this engine uses (the
+    * paper keeps the vector farthest from the centroid; min-id is the
+    * engine-wide reproducible choice and changes nothing about WHAT
+    * is removed, only which member represents the group).
+    *
+    * Relation to [[dedupEmbedding]]: that op amplifies recall with
+    * multi-band LSH buckets (pair-oriented, threshold 0.95-ish);
+    * SemDeDup trades bucket randomness for learned cluster structure
+    * — at 10^10 vectors the cluster count k scales with N so cluster
+    * sizes stay bounded, every within-cluster join is an equi-join on
+    * cell, and no vector ever compares against another cluster.
+    *
+    * Scale shape (the dedupEmbedding discipline): cluster assignment
+    * is one map under broadcast centroids; the pair self-join runs on
+    * an IDS-ONLY (vec_id, cell) relation with a per-cell window cap
+    * dropping degenerate clusters > maxCluster BEFORE the join; only
+    * candidate ids semi-join their vectors back for the one cosine
+    * verify — no vector-carrying relation is ever broadcast and no
+    * cluster goes quadratic. (The `cnt >= 2` term is pair-neutral —
+    * singleton clusters generate no x<y pairs — and just keeps
+    * singleton rows out of the self-join input.)
+    */
+  def semDedup(spark: SparkSession, emb: DataFrame, k: Int = 16,
+               iters: Int = 3, minSimMicro: Long = SemDedupMinSimMicro,
+               maxCluster: Int = SemDedupMaxCluster): DataFrame = {
+    val centroids = kmeansMilli(spark, emb, k, iters)
+    val assigned = ivfAssign(spark, emb, centroids)
+    val w = Window.partitionBy(col("cell"))
+    val capped = assigned
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") >= 2 && col("cnt") <= maxCluster)
+      .drop("cnt")
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("vec_id"))
+    val candIds = pairs.select(col("keep_id").as("vec_id"))
+      .unionByName(pairs.select(col("vec_id"))).distinct()
+    val candVecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(broadcast(candIds), Seq("vec_id"), "left_semi")
+      .withColumn("norm", l2norm(col("embedding")))
+    val scored = pairs
+      .join(candVecs.toDF("keep_id", "emb_a", "norm_a"), "keep_id")
+      .join(candVecs.toDF("vec_id", "emb_b", "norm_b"), "vec_id")
+      .withColumn("sim_micro",
+        floor(dot(col("emb_a"), col("emb_b"))
+          / (col("norm_a") * col("norm_b")) * 1000000.0).cast("long"))
+      .filter(col("sim_micro") >= minSimMicro)
+    val best = scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("sim_micro").as("sm"), (-col("keep_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), col("m.sm").as("best_sim"),
+        (-col("m.nid")).cast("long").as("best_keep"))
+    assigned
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("best_keep"), lit(-1L)).cast("long").as("dup_of"),
+        coalesce(col("best_sim"), lit(-1L)).cast("long").as("sim_micro"))
+      .orderBy(col("vec_id"))
+  }
 }

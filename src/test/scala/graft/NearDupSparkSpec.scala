@@ -148,6 +148,68 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((2000L, 2001L)), s"got $out")
   }
 
+  test("semDedup: planted copies marked dup-of-source, kept set strict, co-clustered") {
+    val emb = VectorOps.corpusWithSemDups(VectorOps.readEmbeddings(spark, sfDir))
+    val out = VectorOps.semDedup(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = out.map(t => t._1 -> t).toMap
+    val planted = out.filter(_._1 >= VectorOps.SemDupCopyShift)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, cell, dupOf, sim) =>
+      val src = id - VectorOps.SemDupCopyShift
+      // a VERBATIM copy: same cluster as its source, flagged as its dup
+      assert(dupOf == src, s"copy $id dup_of=$dupOf, want $src")
+      assert(cell == byId(src)._2, s"copy $id not co-clustered with $src")
+      assert(sim >= VectorOps.SemDedupMinSimMicro)
+    }
+    // STRICT selection (the oracle can only prove cross-engine
+    // agreement): sources and the non-copied majority are KEPT
+    val kept = out.filter(_._3 == -1L)
+    assert(kept.length == out.length - planted.length,
+      "only the planted copies may be flagged at the 0.6 floor on this corpus")
+    // deterministic across runs
+    val again = VectorOps.semDedup(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("semDedup: degenerate-cluster cap bounds identical-vector mass") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val v = Array.fill(dim)(0.0f).updated(0, 1000.0f).toSeq
+    val rows = (0L until 12L).map(i => (i, v))
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // cap below the cluster size: the pair join is skipped entirely
+    val capped = VectorOps.semDedup(spark, emb, k = 2, iters = 1, maxCluster = 4)
+      .collect().map(_.getLong(2))
+    assert(capped.forall(_ == -1L), "capped cluster must produce no pairs")
+    // cap above: ids 1..11 all collapse onto the min-id canonical 0
+    val open = VectorOps.semDedup(spark, emb, k = 2, iters = 1, maxCluster = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(open(0L) == -1L)
+    (1L until 12L).foreach(i => assert(open(i) == 0L, s"vec $i dup_of=${open(i)}"))
+  }
+
+  test("decontaminateFuzzy: every eval doc hits its verbatim source; fuzzy hits exist; train side only") {
+    val out = Queries.decontaminateFuzzyQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // hits are TRAIN docs only
+    assert(out.forall(_._2 < 4000001L))
+    // each eval copy finds its verbatim source at jaccard 1000
+    val evalIds = out.map(_._1).distinct
+    evalIds.foreach { e =>
+      val src = e - 4000001L
+      assert(out.contains((e, src, 1000L)), s"eval $e missing source $src")
+    }
+    // the band geometry also surfaces genuinely FUZZY (non-verbatim)
+    // leaks — the cases exact n-gram decontamination exists to miss
+    assert(out.exists(t => t._3 < 1000L && t._3 >= 700L),
+      "expected at least one non-verbatim near-dup leak")
+  }
+
   test("annIvf: deterministic k-means, probed results agree with brute force on probed cells") {
     val emb = VectorOps.readEmbeddings(spark, sfDir)
     // centroids bit-reproducible across runs (integer k-means)
