@@ -968,6 +968,26 @@ object Queries {
       nodes = Some(p.select(TextOps.hostOf("url").as("host"))))
   }
 
+  /** Semi-supervised label propagation over the markup-EXTRACTED link
+    * graph ([[graft.ops.GraphOps.labelProp]]): seed hosts (parsed
+    * numeric id ≡ 3 mod 7 — a stand-in for a curated domain list)
+    * carry label id % 3; three rounds of weighted-majority adoption
+    * spread the labels through the crawl structure. The seed relation
+    * is an ARBITRARY (host, seed_label) input on the operator — this
+    * query derives a deterministic one so the oracle can replay it.
+    */
+  def labelPropQ(s: SparkSession, d: String): DataFrame = {
+    val p = pages(s, d).toDF()
+    val hosts = p.select(TextOps.hostOf("url").as("host"))
+    val seeds = hosts.distinct()
+      .withColumn("hid",
+        regexp_extract(col("host"), "^host(\\d+)\\.example$", 1).cast("long"))
+      .filter(col("hid") % 7 === 3)
+      .select(col("host"), (col("hid") % 3).as("seed_label"))
+    graft.ops.GraphOps.labelProp(s, graft.ops.GraphOps.linkPairsFromPages(p),
+      seeds, nodes = Some(hosts))
+  }
+
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
 

@@ -156,6 +156,7 @@ object SparkEntry {
     "host_rank" -> (Queries.hostRankQ _),
     "link_hosts" -> (Queries.linkHostsQ _),
     "link_rank" -> (Queries.linkRankQ _),
+    "label_prop" -> (Queries.labelPropQ _),
     "canonical_dedup" -> (Queries.canonicalDedupQ _),
     "robots_gate" -> (Queries.robotsGateQ _),
     "mm_frames" -> (Queries.mmFrames _)
@@ -213,6 +214,38 @@ object SparkEntry {
        |SELECT host, rank_milli FROM r$iters
        |ORDER BY rank_milli DESC, host ASC""".stripMargin
   }
+  /** label_prop oracle: the weighted-majority adoption loop of
+    * GraphOps.labelProp UNROLLED — edges from the markup out-link rule
+    * (link_rank's planted arithmetic, self-edges dropped inside the
+    * edge CTE exactly like the kernel), seeds hid ≡ 3 mod 7 → label
+    * hid % 3, clamped every round; adoption = argmax by (weight sum
+    * desc, label asc); -1 = unlabeled (the GraphOps.Unlabeled
+    * sentinel).
+    */
+  private def labelPropSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""l$k AS (
+         |  SELECT n.hid, CAST(COALESCE(s.seed_label, a.cand, -1) AS BIGINT) AS label
+         |  FROM nodes n LEFT JOIN seeds s USING (hid)
+         |  LEFT JOIN (
+         |    SELECT hid, cand FROM (
+         |      SELECT e.dst AS hid, l.label AS cand, sum(e.w) AS wsum,
+         |             row_number() OVER (PARTITION BY e.dst ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+         |      FROM edges e JOIN l${k - 1} l ON l.hid = e.src AND l.label >= 0
+         |      GROUP BY e.dst, l.label) t WHERE rn = 1) a USING (hid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+       |e0 AS (SELECT ${hidOf("doc_id")} AS src, ${hidOf("(doc_id * 31 + 7)")} AS dst FROM d),
+       |edges AS (SELECT src, dst, count(*) AS w FROM e0 WHERE src <> dst GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT ${hidOf("doc_id")} AS hid FROM d),
+       |seeds AS (SELECT hid, CAST(hid % 3 AS BIGINT) AS seed_label FROM nodes WHERE hid % 7 = 3),
+       |l0 AS (SELECT n.hid, CAST(COALESCE(s.seed_label, -1) AS BIGINT) AS label
+       |       FROM nodes n LEFT JOIN seeds s USING (hid)),
+       |$rounds
+       |SELECT 'host' || CAST(hid AS VARCHAR) || '.example' AS host, label
+       |FROM l$iters ORDER BY host""".stripMargin
+  }
+
   /** page url — mirror of PageSource.urlOf */
   private val urlSql =
     s"'https://host' || CAST($hid AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)"
@@ -875,6 +908,10 @@ object SparkEntry {
     // extracts the links from html — the real-deployment path,
     // oracle-checked end-to-end.
     "link_rank" -> hostRankSql(3, "(doc_id * 31 + 7)"),
+    // label propagation over the SAME markup-extracted graph: the
+    // Spark side parses hosts from html; the oracle re-derives the
+    // edges and the seed slice from the planting arithmetic
+    "label_prop" -> labelPropSql(3),
     // canonical-URL dedup: the Spark side regex-extracts the planted
     // <link rel="canonical"> head tag (doc_id%23==5 mirrors doc_id-5);
     // the oracle re-derives the grouping from the planting arithmetic.

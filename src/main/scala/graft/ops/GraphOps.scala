@@ -183,6 +183,77 @@ object GraphOps {
     hrefs.select(col("src"), TextOps.hostOf("dst_url").as("dst"))
   }
 
+  /** Unlabeled sentinel for [[labelProp]] (public: the oracle embeds
+    * it — a NULL label would reintroduce the cross-engine NULL-order
+    * hazard the -1 convention exists to avoid).
+    */
+  val Unlabeled = -1L
+
+  /** Deterministic semi-supervised label propagation over the host
+    * graph — the taxonomy lever of web curation: a small seed set of
+    * hosts with known domain labels (curated lists, registries)
+    * spreads through the crawl's link structure, giving every
+    * connected host a provisional topic/domain label that downstream
+    * mixture and quota ops can key on without a per-document
+    * classifier.
+    *
+    * Semantics (memoryless recompute, integer-exact): label_k(h) =
+    * seed(h) if seeded (seeds are CLAMPED — propagation never
+    * overwrites ground truth); else the weighted-majority label of
+    * h's in-neighbors labeled at round k-1 (edge-weight sum, ties to
+    * the smaller label); else [[Unlabeled]]. Because seeds are static
+    * and a host labels iff some in-neighbor was labeled a round
+    * earlier, the labeled set grows monotonically — iters bounds the
+    * propagation RADIUS, exactly like the rank loop bounds mixing.
+    *
+    * Scale shape (the [[hostRankEdges]] contract): per-round state is
+    * one (host, label) row per host — orders of magnitude below the
+    * corpus; edges are pre-aggregated (src, dst, w) and each round is
+    * one host-keyed equi-join + one (dst, label) aggregate + a
+    * per-host window over candidate labels (bounded by distinct
+    * labels, not corpus size). Documents never enter the loop.
+    */
+  def labelProp(spark: SparkSession, linkEdges: DataFrame, seeds: DataFrame,
+                iters: Int = 3, nodes: Option[DataFrame] = None): DataFrame = {
+    val e = linkEdges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val universe = nodes
+      .map(_.select(col("host").cast("string").as("host")))
+      .getOrElse(e.select(col("src").as("host"))
+        .unionByName(e.select(col("dst").as("host"))))
+      .distinct()
+    val seeded = universe.join(
+        seeds.select(col("host").cast("string").as("host"),
+          col("seed_label").cast("long").as("seed_label")),
+        Seq("host"), "left")
+    var labels = seeded
+      .select(col("host"),
+        coalesce(col("seed_label"), lit(Unlabeled)).cast("long").as("label"))
+    var i = 0
+    while (i < iters) {
+      val inflow = e
+        .join(labels.filter(col("label") >= 0)
+          .select(col("host").as("src"), col("label").as("cand")), Seq("src"))
+        .groupBy(col("dst").as("host"), col("cand"))
+        .agg(sum(col("w")).as("wsum"))
+      val adopted = inflow
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("wsum").desc, col("cand").asc)))
+        .filter(col("rn") === 1)
+        .select(col("host"), col("cand"))
+      labels = seeded.join(adopted, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("seed_label"), col("cand"), lit(Unlabeled))
+            .cast("long").as("label"))
+      i += 1
+    }
+    labels.orderBy(col("host"))
+  }
+
   /** ntile tiers over an already-computed rank relation — the form the
     * real-link-graph path ([[hostRankEdges]]) composes with.
     */

@@ -239,6 +239,47 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keys.forall { case (s2, d2) => s2.endsWith(".example") && d2.endsWith(".example") })
   }
 
+  test("labelProp: iters bounds radius; weighted majority with smaller-label ties; seeds clamped") {
+    val s = spark
+    import s.implicits._
+    def lp(edges: Seq[(String, String)], seeds: Seq[(String, Long)], iters: Int) =
+      graft.ops.GraphOps.labelProp(spark,
+        edges.toDF("src", "dst"), seeds.toDF("host", "seed_label"), iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // chain a->b->c->d, seed a: one hop per round
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val one = lp(chain, Seq("a" -> 5L), 1)
+    assert(one == Map("a" -> 5L, "b" -> 5L, "c" -> -1L, "d" -> -1L))
+    val three = lp(chain, Seq("a" -> 5L), 3)
+    assert(three == Map("a" -> 5L, "b" -> 5L, "c" -> 5L, "d" -> 5L))
+    // equal-weight conflict: the SMALLER label wins
+    val conflict = Seq("x" -> "z", "y" -> "z")
+    assert(lp(conflict, Seq("x" -> 2L, "y" -> 1L), 1)("z") == 1L)
+    // weight majority beats label order (parallel links = weight)
+    val weighted = Seq("x" -> "z", "x" -> "z", "y" -> "z")
+    assert(lp(weighted, Seq("x" -> 2L, "y" -> 1L), 1)("z") == 2L)
+    // a seed never flips, whatever flows in
+    val clamp = Seq("x" -> "y", "x" -> "y", "x" -> "y")
+    assert(lp(clamp, Seq("x" -> 7L, "y" -> 0L), 3)("y") == 0L)
+  }
+
+  test("labelPropQ: propagation reaches past the seeds, stays strict, partition-invariant") {
+    val out = Queries.labelPropQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val labeled = out.filter(_._2 >= 0)
+    // seeds alone can't explain the labeled set (the hub host0 is not
+    // a seed: 0 % 7 != 3 — it must have ADOPTED)
+    assert(labeled.exists(_._1 == "host0.example"))
+    assert(labeled.length > out.count { case (h, _) =>
+      "^host(\\d+)\\.example$".r.findFirstMatchIn(h)
+        .exists(m => m.group(1).toLong % 7 == 3) })
+    // strict: unlabeled hosts remain
+    assert(out.exists(_._2 == -1L))
+    // deterministic across runs
+    assert(Queries.labelPropQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq == out.toSeq)
+  }
+
   test("canonicalDedup: mirror pages collapse onto their target; self groups singleton") {
     val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()
     val rows = graft.ops.TextOps.canonicalDedup(pages).collect()
