@@ -1961,6 +1961,43 @@ private[graft] object OracleSqlGen {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** Domain-mixture mirror (TextOps.mixDomains over labelProp
+    * labels): the alpha = 1/2 temperature chain re-keyed from lang to
+    * PROPAGATED host labels — embeds the label_prop CTE loop (passed
+    * in from SparkEntry.labelPropCtes so the two rows share ONE
+    * generated loop), maps every doc to its host's final label via
+    * the host-id arithmetic, and replays the isqrt rate + splitmix
+    * admission census per label stratum with the dedicated DomSeed.
+    */
+  def mixDomains(labelCtes: String, iters: Int): String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.DomSeed)
+    val isq = TextOps.isqrtSql("n_docs")
+    s"""WITH $labelCtes,
+       |dl AS (
+       |  SELECT dd.doc_id, l.label
+       |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${hidOfSql("doc_id")} AS hid
+       |        FROM documents) dd
+       |  JOIN l$iters l USING (hid)),
+       |counts AS (SELECT label, count(*) AS n_docs FROM dl GROUP BY label),
+       |rates AS (
+       |  SELECT label, n_docs,
+       |    least(1000, ((sum(n_docs) OVER ()) // 2) * 1000 * $isq
+       |                // ((sum($isq) OVER ()) * n_docs)) AS rate_permille
+       |  FROM counts),
+       |s0d AS (SELECT dl.doc_id, dl.label,
+       |        ${xor64("CAST(dl.doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |        FROM dl),
+       |${splitmixCtes("md", "s0d", "doc_id, label")},
+       |kept AS (
+       |  SELECT s.label, count(*) AS n_kept
+       |  FROM md6 s JOIN rates r USING (label)
+       |  WHERE s.hk % 1000 < r.rate_permille GROUP BY s.label)
+       |SELECT r.label, CAST(r.n_docs AS BIGINT) AS n_docs,
+       |  CAST(r.rate_permille AS BIGINT) AS rate_permille,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM rates r LEFT JOIN kept k USING (label) ORDER BY r.label""".stripMargin
+  }
+
   /** SemDeDup mirror (VectorOps.semDedup over the planted
     * corpusWithSemDups): the SHARED kmeansAssignCtes chain re-keyed to
     * the planted corpus CTE, per-cluster size cap, within-cluster

@@ -988,6 +988,24 @@ object Queries {
       seeds, nodes = Some(hosts))
   }
 
+  /** Temperature mixture over PROPAGATED domain labels — the
+    * composition [[labelPropQ]] exists to feed: every page's host is
+    * parsed from its url, joined onto the label_prop labels, the
+    * doc_id parsed from the url path, then the alpha = 1/2 isqrt
+    * rate + splitmix admission census runs per label stratum
+    * ([[graft.ops.TextOps.mixDomains]]). The unlabeled stratum (-1)
+    * competes like any other.
+    */
+  def mixDomainsQ(s: SparkSession, d: String): DataFrame = {
+    val p = pages(s, d).toDF()
+    val docs = p.select(
+        regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long").as("doc_id"),
+        TextOps.hostOf("url").as("host"))
+      .join(labelPropQ(s, d), Seq("host"))
+      .select(col("doc_id"), col("label"))
+    TextOps.mixDomains(docs)
+  }
+
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
 

@@ -75,6 +75,7 @@ object SparkEntry {
     "mix_temperature" -> (Queries.mixTemperatureQ _),
     "mix_sample" -> (Queries.mixSampleQ _),
     "mix_tokens" -> (Queries.mixTokensQ _),
+    "mix_domains" -> (Queries.mixDomainsQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
     "passage_dedup" -> (Queries.passageDedupQ _),
     "dedup_spans" -> (Queries.dedupSpansQ _),
@@ -222,7 +223,17 @@ object SparkEntry {
     * desc, label asc); -1 = unlabeled (the GraphOps.Unlabeled
     * sentinel).
     */
-  private def labelPropSql(iters: Int): String = {
+  private def labelPropSql(iters: Int): String =
+    s"""WITH ${labelPropCtes(iters)}
+       |SELECT 'host' || CAST(hid AS VARCHAR) || '.example' AS host, label
+       |FROM l$iters ORDER BY host""".stripMargin
+
+  /** The label_prop WITH-body, ending in `l<iters>(hid, label)` — ONE
+    * generated loop shared by the label_prop row and the mix_domains
+    * composition (OracleSqlGen.mixDomains embeds it): a seed-rule or
+    * adoption change hits both rows.
+    */
+  private def labelPropCtes(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""l$k AS (
          |  SELECT n.hid, CAST(COALESCE(s.seed_label, a.cand, -1) AS BIGINT) AS label
@@ -234,16 +245,14 @@ object SparkEntry {
          |      FROM edges e JOIN l${k - 1} l ON l.hid = e.src AND l.label >= 0
          |      GROUP BY e.dst, l.label) t WHERE rn = 1) a USING (hid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
        |e0 AS (SELECT ${hidOf("doc_id")} AS src, ${hidOf("(doc_id * 31 + 7)")} AS dst FROM d),
        |edges AS (SELECT src, dst, count(*) AS w FROM e0 WHERE src <> dst GROUP BY src, dst),
        |nodes AS (SELECT DISTINCT ${hidOf("doc_id")} AS hid FROM d),
        |seeds AS (SELECT hid, CAST(hid % 3 AS BIGINT) AS seed_label FROM nodes WHERE hid % 7 = 3),
        |l0 AS (SELECT n.hid, CAST(COALESCE(s.seed_label, -1) AS BIGINT) AS label
        |       FROM nodes n LEFT JOIN seeds s USING (hid)),
-       |$rounds
-       |SELECT 'host' || CAST(hid AS VARCHAR) || '.example' AS host, label
-       |FROM l$iters ORDER BY host""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** page url — mirror of PageSource.urlOf */
@@ -1273,6 +1282,9 @@ object SparkEntry {
     "mix_sample" -> OracleSqlGen.mixSample,
     // token-mass variant: same temperature rule over per-lang token mass
     "mix_tokens" -> OracleSqlGen.mixTokens,
+    // domain-label mixture: embeds the label_prop loop (shared
+    // labelPropCtes) + the isqrt/splitmix mixture kernels
+    "mix_domains" -> OracleSqlGen.mixDomains(labelPropCtes(3), 3),
     // kernel-recompute oracles (FNV/splitmix/SimHash/MinHash/LSH/cosine
     // re-expressed exactly in DuckDB SQL — see OracleSqlGen)
     "ngram_census" -> OracleSqlGen.ngramCensus,

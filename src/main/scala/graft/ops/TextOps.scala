@@ -2164,6 +2164,52 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Seed for the domain-mixture admission draw ([[mixDomains]]) —
+    * distinct from [[TempSeed]]/[[TokSeed]] so the three mixtures
+    * are independent draws (public: the mirror embeds it).
+    */
+  val DomSeed = 0x5eedd0a1a155L
+
+  /** Temperature mixture over DOMAIN labels — [[mixRates]]'s
+    * alpha = 1/2 rule re-keyed from language to a (doc_id, label)
+    * relation, typically the corpus joined onto
+    * [[graft.ops.GraphOps.labelProp]]'s propagated host labels: the
+    * composition label propagation exists to feed, balancing the
+    * training mixture across TOPIC/domain strata instead of (or on
+    * top of) language strata. The unlabeled stratum
+    * ([[graft.ops.GraphOps.Unlabeled]]) competes like any other — at
+    * curation time it is usually the largest, and the sqrt rule is
+    * exactly what keeps it from flooding the mixture. Scale shape
+    * unchanged from [[mixTemperature]]: one stratum-cardinality
+    * aggregate (label-count rows), a broadcast rate table, one
+    * codegen splitmix scan filter — the corpus never shuffles.
+    */
+  def mixDomains(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = docs.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", expr(isqrtSql("n_docs")))
+      .withColumn("total", sum(col("n_docs")).over(w))
+      .withColumn("s_isq", sum(col("isq")).over(w))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          expr("(total DIV 2) * 1000 * isq DIV (s_isq * n_docs)")).cast("long"))
+      .select(col("label").cast("long").as("label"), col("n_docs"),
+        col("rate_permille"))
+    val kept = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("label").cast("long").as("label"))
+      .join(broadcast(rates), Seq("label"))
+      .filter(unsignedMod1000(
+        splitmixCol(col("doc_id").bitwiseXOR(lit(DomSeed)))) < col("rate_permille"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("label"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .select(col("label"), col("n_docs").cast("long").as("n_docs"),
+        col("rate_permille"), col("n_kept").cast("long").as("n_kept"))
+      .orderBy(col("label"))
+  }
+
   /** Seed for the token-mass temperature hash (public: the oracle
     * embeds it; distinct from [[TempSeed]] so the two mixtures are
     * independent draws).

@@ -139,6 +139,45 @@ class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
   // mirrorHosts
   // ---------------------------------------------------------------
 
+  test("mixDomains: admission == driver-recomputed splitmix rule; sqrt rule up-weights rare strata") {
+    val s = spark
+    import s.implicits._
+    // skewed strata: label 0 dominates, 1 is rare
+    val rows = (0L until 400L).map(i => (i, 0L)) ++ (1000L until 1016L).map(i => (i, 1L))
+    val docs = rows.toDF("doc_id", "label")
+    val out = TextOps.mixDomains(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    val (n0, r0, k0) = out(0L)
+    val (n1, r1, k1) = out(1L)
+    assert((n0, n1) == (400L, 16L))
+    // rare stratum rate strictly above the dominant one (16x gap)
+    assert(r1 > r0, s"rates $r1 <= $r0")
+    // driver recompute of the admission census under the same rule
+    def kept(ids: Seq[Long], rate: Long): Long =
+      ids.count(id => java.lang.Long.remainderUnsigned(
+        splitmix64(id ^ TextOps.DomSeed), 1000L) < rate).toLong
+    assert(k0 == kept((0L until 400L).toSeq, r0))
+    assert(k1 == kept((1000L until 1016L).toSeq, r1))
+    // strict on the dominant stratum: thinned but not emptied
+    assert(k0 > 0L && k0 < n0)
+  }
+
+  test("mixDomainsQ: unlabeled stratum present and thinned; deterministic; strata cover the corpus") {
+    val out = Queries.mixDomainsQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).contains(-1L), "unlabeled stratum must compete")
+    // every page lands in exactly one stratum
+    val total = out.map(_._2).sum
+    assert(total == TextOps.readDocs(spark, sfDir).count())
+    // at least one stratum actually thinned (rate < 1000) and none emptied
+    assert(out.exists(_._3 < 1000L))
+    assert(out.forall(t => t._4 > 0L))
+    val again = Queries.mixDomainsQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("mirrorHosts: two shared pages pair the hosts at full containment; one does not") {
     // hostId: even ids -> host0; ids 3 and 39 are both %4==3 -> host4
     val docs = docsOf(
