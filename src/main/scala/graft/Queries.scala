@@ -1006,6 +1006,36 @@ object Queries {
     TextOps.mixDomains(docs)
   }
 
+  /** Per-host crawl-prioritization scorecard — the one table a crawl
+    * scheduler reads: document count, shallow-quality rate
+    * (qualityScores' is_quality aggregated to permille), link-graph
+    * authority rank ([[linkRankQ]]) and propagated domain label
+    * ([[labelPropQ]]), all host-keyed. Scale shape: one per-doc scan
+    * feeds a host aggregate; every join after that is between
+    * host-count-sized relations (the rank/label state), orders of
+    * magnitude below the corpus.
+    */
+  def hostScorecardQ(s: SparkSession, d: String): DataFrame = {
+    val p = pages(s, d).toDF()
+    val dh = p.select(
+      regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long").as("doc_id"),
+      TextOps.hostOf("url").as("host"))
+    val q = TextOps.qualityScores(TextOps.readDocs(s, d))
+      .select(col("doc_id").cast("long").as("doc_id"), col("is_quality"))
+    val perHost = dh.join(q, Seq("doc_id"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_quality").cast("long")).as("nq"))
+      .select(col("host"), col("n_docs").cast("long").as("n_docs"),
+        expr("nq * 1000 DIV n_docs").cast("long").as("quality_permille"))
+    perHost
+      .join(linkRankQ(s, d), Seq("host"))
+      .join(labelPropQ(s, d), Seq("host"))
+      .select(col("host"), col("n_docs"), col("quality_permille"),
+        col("rank_milli"), col("label"))
+      .orderBy(col("host"))
+  }
+
   def annIvf(s: SparkSession, d: String): DataFrame =
     VectorOps.annIvf(s, VectorOps.readEmbeddings(s, d))
 

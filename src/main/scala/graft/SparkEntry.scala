@@ -158,6 +158,7 @@ object SparkEntry {
     "link_hosts" -> (Queries.linkHostsQ _),
     "link_rank" -> (Queries.linkRankQ _),
     "label_prop" -> (Queries.labelPropQ _),
+    "host_scorecard" -> (Queries.hostScorecardQ _),
     "canonical_dedup" -> (Queries.canonicalDedupQ _),
     "robots_gate" -> (Queries.robotsGateQ _),
     "mm_frames" -> (Queries.mmFrames _)
@@ -168,6 +169,20 @@ object SparkEntry {
   // ------------------------------------------------------------------
   /** word count of single-space-separated text */
   private val nw = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  /** Shallow-quality kernel fragments shared by the quality_score row
+    * and the host_scorecard composition (ONE definition each; the
+    * quality_score string is byte-identical across the factoring —
+    * re-diff oracle_sql.json if these are touched). `npSql` keeps the
+    * original literal's internal line break so the assembled bytes
+    * cannot move.
+    */
+  private val npSql =
+    "length(text) - length(replace(replace(replace(replace(replace(replace(\n" +
+      "           text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''))"
+  private val isQualitySql =
+    "(nw >= 10 AND ((n_chars - (nw - 1)) * 100) // nw BETWEEN 200 AND 1200\n" +
+      "   AND np * 5 <= n_chars)"
   /** paragraph count used by the page wrapper (8 words per <p>) */
   private val pCnt = s"(($nw + 7) // 8)"
   /** skewed host id of an arbitrary doc-id expression — mirror of
@@ -690,13 +705,11 @@ object SparkEntry {
          |  CAST(stop AS BIGINT) AS n_stopwords,
          |  CAST(np AS BIGINT) AS n_punct,
          |  CAST(((n_chars - (nw - 1)) * 100) // nw AS BIGINT) AS avg_word_len_c,
-         |  (nw >= 10 AND ((n_chars - (nw - 1)) * 100) // nw BETWEEN 200 AND 1200
-         |   AND np * 5 <= n_chars) AS is_quality
+         |  $isQualitySql AS is_quality
          |FROM (
          |  SELECT doc_id, n_chars, $nw AS nw,
          |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS stop,
-         |         length(text) - length(replace(replace(replace(replace(replace(replace(
-         |           text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS np
+         |         $npSql AS np
          |  FROM documents) t ORDER BY doc_id""".stripMargin,
     "embed_stats" ->
       """SELECT label, count(*) AS n_vecs,
@@ -921,6 +934,25 @@ object SparkEntry {
     // Spark side parses hosts from html; the oracle re-derives the
     // edges and the seed slice from the planting arithmetic
     "label_prop" -> labelPropSql(3),
+    // per-host crawl scorecard: embeds the link_rank loop AND the
+    // label_prop loop as derived tables (dup_best's embedding style)
+    // plus the shared shallow-quality fragments — a rank, propagation
+    // or quality-rule change hits this row too
+    "host_scorecard" ->
+      s"""WITH rnk AS (SELECT * FROM (${hostRankSql(3, "(doc_id * 31 + 7)")}) t1),
+         |lbl AS (SELECT * FROM (${labelPropSql(3)}) t2),
+         |qd AS (
+         |  SELECT doc_id, $hostSql AS host, n_chars, $nw AS nw,
+         |         $npSql AS np
+         |  FROM documents),
+         |hq AS (
+         |  SELECT host, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN $isQualitySql THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS quality_permille
+         |  FROM qd GROUP BY host)
+         |SELECT h.host, CAST(h.n_docs AS BIGINT) AS n_docs, h.quality_permille,
+         |  r.rank_milli, l.label
+         |FROM hq h JOIN rnk r ON r.host = h.host JOIN lbl l ON l.host = h.host
+         |ORDER BY h.host""".stripMargin,
     // canonical-URL dedup: the Spark side regex-extracts the planted
     // <link rel="canonical"> head tag (doc_id%23==5 mirrors doc_id-5);
     // the oracle re-derives the grouping from the planting arithmetic.

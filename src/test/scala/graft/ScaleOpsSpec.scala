@@ -280,6 +280,30 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getLong(1)).toSeq == out.toSeq)
   }
 
+  test("hostScorecardQ: covers every host once, legs agree with their source queries, deterministic") {
+    val out = Queries.hostScorecardQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one row per corpus host, n_docs partitions the corpus
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.map(_._2).sum == TextOps.readDocs(spark, sfDir).count())
+    // the rank and label legs are EXACTLY the standalone queries'
+    val ranks = Queries.linkRankQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labels = Queries.labelPropQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.length == ranks.size && out.length == labels.size)
+    out.foreach { case (h, _, _, rank, label) =>
+      assert(rank == ranks(h), s"rank leg diverges for $h")
+      assert(label == labels(h), s"label leg diverges for $h")
+    }
+    // quality leg: permille bounded and populated (constant 1000 on
+    // this clean synthetic corpus — the ARITHMETIC is oracle-checked)
+    assert(out.forall(t => t._3 >= 0L && t._3 <= 1000L))
+    val again = Queries.hostScorecardQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("canonicalDedup: mirror pages collapse onto their target; self groups singleton") {
     val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()
     val rows = graft.ops.TextOps.canonicalDedup(pages).collect()
