@@ -303,6 +303,36 @@ private[graft] object OracleSqlGen {
        |ORDER BY host_a, host_b""".stripMargin
   }
 
+  /** Mirror-site CLUSTER mirror (Queries.mirrorClustersQ): the FULL
+    * mirrorHosts mirror embedded as a derived table (the dup_best
+    * embedding style — a cap/floor/shift change hits this row too),
+    * host ids parsed back from the pair strings, the recursive-CTE
+    * min-label fixpoint over numeric ids (the dup_cluster CC shape)
+    * with a fresh copy of the mirror corpus for the node universe,
+    * canonical host = component minimum.
+    */
+  val mirrorClusters: String =
+    s"""WITH RECURSIVE mh AS (SELECT * FROM ($mirrorHosts) t),
+       |mcorpus AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${TextOps.MirrorCopyShift} AS doc_id
+       |  FROM documents WHERE doc_id % ${TextOps.MirrorEvery} = 0),
+       |nodes AS (SELECT DISTINCT ${hidOfSql("doc_id")} AS hid FROM mcorpus),
+       |e AS (SELECT CAST(regexp_extract(host_a, 'host(\\d+)', 1) AS BIGINT) AS a,
+       |             CAST(regexp_extract(host_b, 'host(\\d+)', 1) AS BIGINT) AS b FROM mh),
+       |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+       |cc AS (
+       |  SELECT hid AS node, hid AS label FROM nodes
+       |  UNION
+       |  SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON s.src = cc.node),
+       |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+       |SELECT 'host' || CAST(node AS VARCHAR) || '.example' AS host,
+       |  'host' || CAST(label AS VARCHAR) || '.example' AS canonical_host,
+       |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size,
+       |  node = label AS is_canonical
+       |FROM lab ORDER BY host""".stripMargin
+
   /** MinHash+LSH near-dup edge chain over a CTE named `corpus`
     * (doc_id, text): 3-word shingles → FNV-1a/seed-xor/splitmix64
     * signatures → 4-row band slices → bucket pairs → exact-Jaccard

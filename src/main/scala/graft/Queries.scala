@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -136,6 +136,37 @@ object Queries {
     */
   def mirrorHostsQ(s: SparkSession, d: String): DataFrame =
     TextOps.mirrorHosts(TextOps.corpusWithMirrorHosts(TextOps.readDocs(s, d)))
+
+  /** Mirror-site CLUSTER census — connected components over the
+    * [[mirrorHostsQ]] pair relation: a mirror FARM (one site served
+    * from many hosts) shows up as pairwise rows in mirror_hosts but
+    * is ONE scheduling/authority entity; the component label (min
+    * host id) is the canonical host every crawl-budget and authority
+    * decision should key on. Scale shape: CC runs over (host, host)
+    * id pairs — a relation orders of magnitude below the corpus —
+    * with the fail-loud min-label kernel (star variant exists for
+    * adversarial chains; mirror graphs are near-cliques).
+    */
+  def mirrorClustersQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.corpusWithMirrorHosts(TextOps.readDocs(s, d))
+    def hid(c: Column): Column =
+      regexp_extract(c, "^host(\\d+)\\.example$", 1).cast("long")
+    val pairs = TextOps.mirrorHosts(docs)
+      .select(hid(col("host_a")).as("doc_a"), hid(col("host_b")).as("doc_b"))
+    val nodes = docs
+      .select(graft.ops.GraphOps.hostIdCol(col("doc_id").cast("long")).as("doc_id"))
+      .distinct()
+    val labels = TextOps.connectedComponents(nodes, pairs)
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))).cast("long"))
+      .select(
+        concat(lit("host"), col("doc_id").cast("string"), lit(".example")).as("host"),
+        concat(lit("host"), col("label").cast("string"), lit(".example")).as("canonical_host"),
+        col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy(col("host"))
+  }
 
   /** Exact word-3-gram Jaccard for the planted near-dup pairs (the
     * verify-stage primitive exposed standalone; LSH candidates feed it

@@ -31,6 +31,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_winnow" -> (Queries.dedupWinnowQ _),
     "mirror_hosts" -> (Queries.mirrorHostsQ _),
+    "mirror_clusters" -> (Queries.mirrorClustersQ _),
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
     "dup_best" -> (Queries.dupBest _),
@@ -1381,6 +1382,8 @@ object SparkEntry {
     "dedup_winnow" -> OracleSqlGen.dedupWinnow,
     // cross-host mirror detection (planted mirror corpus; hidOfSql host)
     "mirror_hosts" -> OracleSqlGen.mirrorHosts,
+    // mirror CLUSTERS: the full mirrorHosts mirror embedded + CC fixpoint
+    "mirror_clusters" -> OracleSqlGen.mirrorClusters,
     "dedup_minhash" -> OracleSqlGen.dedupMinhash,
     "ngram_jaccard" -> OracleSqlGen.ngramJaccard,
     "ann_cosine" -> OracleSqlGen.annCosine,

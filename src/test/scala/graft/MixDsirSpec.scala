@@ -178,6 +178,23 @@ class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("mirrorClustersQ: the planted farm collapses onto one canonical host; singletons self-canonical") {
+    val out = Queries.mirrorClustersQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // the planted mirrors shift copies into the 1..9 band, all paired
+    // with host0 — ONE cluster, canonical = min id = host0
+    val farm = out.filter(_._3 > 1L)
+    assert(farm.nonEmpty)
+    assert(farm.forall(_._2 == "host0.example"))
+    assert(farm.count(_._4) == 0 || farm.filter(_._4).map(_._1).toSeq == Seq("host0.example"))
+    assert(farm.exists(t => t._1 == "host0.example" && t._4))
+    // strictness: unmirrored hosts stay singleton and self-canonical
+    val single = out.filter(_._3 == 1L)
+    assert(single.nonEmpty && single.forall(t => t._1 == t._2 && t._4))
+    // every corpus host appears exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
   test("mirrorHosts: two shared pages pair the hosts at full containment; one does not") {
     // hostId: even ids -> host0; ids 3 and 39 are both %4==3 -> host4
     val docs = docsOf(
