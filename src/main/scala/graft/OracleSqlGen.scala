@@ -967,6 +967,16 @@ private[graft] object OracleSqlGen {
        |FROM (SELECT DISTINCT cluster_id, cluster_size FROM ($dupCluster) t) c
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** Repeat-aware downweighting mirror: the full dup_cluster mirror
+    * as a derived table, weight_micro = 10^6 truncating-divided by
+    * the cluster size (positive sizes — truncation equals floor on
+    * both engines).
+    */
+  val dupWeights: String =
+    s"""SELECT doc_id, cluster_id, cluster_size,
+       |  CAST(1000000 // cluster_size AS BIGINT) AS weight_micro
+       |FROM ($dupCluster) t ORDER BY doc_id""".stripMargin
+
   /** Quality-aware canonical mirror (TextOps.dupBestFrom recomputed):
     * the full dup_cluster mirror as a derived table, joined to a
     * fresh copy of its corpus construction (c0/cx — the same

@@ -252,6 +252,17 @@ object Queries {
     * table instead of aggregating. Self-contained (recomputes the
     * clustering) for the same stateless-oracle reason as dup_stats.
     */
+  /** Repeat-aware duplicate downweighting over the dup_cluster
+    * relation: weight_micro = 10^6 DIV cluster_size per doc, the soft
+    * dedup that keeps all rows but makes each duplicate CLUSTER
+    * contribute one doc-mass per sampled epoch (see
+    * [[TextOps.dupWeightsFrom]]). Self-contained (recomputes the
+    * clustering) for the same stateless-oracle reason as dup_stats;
+    * at 100 TB it is a projection of the PERSISTED clustering table.
+    */
+  def dupWeights(s: SparkSession, d: String): DataFrame =
+    TextOps.dupWeightsFrom(dupCluster(s, d))
+
   def splitLeakfree(s: SparkSession, d: String): DataFrame =
     TextOps.splitFrom(dupCluster(s, d))
       .groupBy(col("split"))
@@ -986,6 +997,20 @@ object Queries {
     */
   def robotsGateQ(s: SparkSession, d: String): DataFrame =
     TextOps.robotsGate(pages(s, d).toDF())
+
+  /** Title metadata extraction from raw html (genuine regex over the
+    * pages scan; the oracle replays the planted `Doc <id>` title
+    * rule — see [[TextOps.extractTitle]]).
+    */
+  def extractTitleQ(s: SparkSession, d: String): DataFrame =
+    TextOps.extractTitle(pages(s, d).toDF())
+
+  /** Padded-batch efficiency census over the documents table (see
+    * [[TextOps.packEfficiency]]): token mass vs padding waste per
+    * 128-token length bucket at seq_len 2048.
+    */
+  def packEfficiencyQ(s: SparkSession, d: String): DataFrame =
+    TextOps.packEfficiency(TextOps.readDocs(s, d))
 
   /** PageRank over the markup-EXTRACTED link graph (hostRankEdges over
     * [[graft.ops.GraphOps.linkPairsFromPages]]) — the real-deployment

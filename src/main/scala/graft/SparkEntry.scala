@@ -35,6 +35,7 @@ object SparkEntry {
     "dup_cluster" -> (Queries.dupCluster _),
     "dup_stats" -> (Queries.dupStats _),
     "dup_best" -> (Queries.dupBest _),
+    "dup_weights" -> (Queries.dupWeights _),
     "split_leakfree" -> (Queries.splitLeakfree _),
     "curate_funnel" -> (Queries.curateFunnelQ _),
     "curate_funnel_auth" -> (Queries.curateFunnelAuthQ _),
@@ -162,6 +163,8 @@ object SparkEntry {
     "host_scorecard" -> (Queries.hostScorecardQ _),
     "canonical_dedup" -> (Queries.canonicalDedupQ _),
     "robots_gate" -> (Queries.robotsGateQ _),
+    "extract_title" -> (Queries.extractTitleQ _),
+    "pack_efficiency" -> (Queries.packEfficiencyQ _),
     "mm_frames" -> (Queries.mmFrames _)
   )
 
@@ -974,6 +977,22 @@ object SparkEntry {
     "robots_gate" ->
       s"""SELECT $urlSql AS url, NOT (doc_id % 31 = 11) AS indexable
          |FROM documents ORDER BY url""".stripMargin,
+    // title metadata sidecar: the Spark side regex-extracts the first
+    // <title> element from raw html; the oracle replays the planted
+    // wrapHtml title rule ('Doc ' || doc_id)
+    "extract_title" ->
+      s"""SELECT $urlSql AS url, 'Doc ' || CAST(doc_id AS VARCHAR) AS title
+         |FROM documents ORDER BY url""".stripMargin,
+    // padded-batch efficiency: whitespace tokens clipped at 2048,
+    // bucket = next multiple of 128 (shares the token_count nw
+    // expression; positive values, so // matches Spark DIV)
+    "pack_efficiency" ->
+      s"""SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bucket_len - tok) AS BIGINT) AS n_pad
+         |FROM (SELECT ((tok + 127) // 128) * 128 AS bucket_len, tok
+         |      FROM (SELECT least($nw, 2048) AS tok FROM documents) t0) t
+         |GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
     "quality_classify" -> OracleSqlGen.qualityClassify,
     "quality_train" -> OracleSqlGen.qualityTrain,
     "dsir_weights" -> OracleSqlGen.dsirWeights,
@@ -1351,6 +1370,9 @@ object SparkEntry {
     // quality-aware canonical: longest member wins, ties to min id —
     // the clustering mirror joined to a fresh copy of its corpus CTEs
     "dup_best" -> OracleSqlGen.dupBest,
+    // repeat-aware soft dedup: 10^6 DIV cluster_size per doc over the
+    // same clustering mirror
+    "dup_weights" -> OracleSqlGen.dupWeights,
     "split_leakfree" -> OracleSqlGen.splitLeakfree,
     // the production funnel (CurateJob.funnel) end-to-end: url-revisit
     // dedup → quality gate → exact+MinHash CC → sample → shard-pack

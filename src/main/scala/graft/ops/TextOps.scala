@@ -837,6 +837,48 @@ object TextOps {
       .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
       .orderBy(col("cluster_size"))
 
+  /** Repeat-aware sampling weights from an already-computed
+    * clustering relation carrying (doc_id, cluster_id, cluster_size):
+    * weight_micro = 10^6 DIV cluster_size, so every KEPT duplicate is
+    * downweighted to make each cluster contribute one document-mass
+    * per epoch in expectation — the soft alternative to hard
+    * canonical-only dedup when duplicates carry signal (boilerplate
+    * variants, mirrored updates). Integer-exact: truncating division
+    * on positive sizes agrees across engines.
+    *
+    * Scale shape: a pure per-row projection over the PERSISTED
+    * clustering table (same contract as [[dupStatsFrom]]) — zero
+    * shuffles beyond the output sort.
+    */
+  def dupWeightsFrom(clusters: DataFrame): DataFrame =
+    clusters.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000 DIV cluster_size").cast("long").as("weight_micro"))
+      .orderBy(col("doc_id"))
+
+  /** Padded-batch efficiency census: docs bucketed by their
+    * whitespace token count clipped at `seqLen` and rounded UP to the
+    * next `bucketW` multiple (the length-bucketed batching a trainer
+    * uses), reporting per bucket the doc count, real token mass and
+    * padding waste (bucket ceiling minus tokens, summed) — the number
+    * that decides whether sequence PACKING (concat-and-split) is
+    * worth its attention-mask complexity over plain bucketing.
+    *
+    * Scale shape: one per-row codegen projection + one map-side-
+    * combined aggregate over at most seqLen/bucketW + 1 groups; no
+    * text ever shuffles.
+    */
+  def packEfficiency(docs: DataFrame, seqLen: Long = 2048L,
+      bucketW: Long = 128L): DataFrame =
+    docs.select(
+        least(size(split(col("text"), " ")).cast("long"), lit(seqLen)).as("tok"))
+      .withColumn("bucket_len",
+        expr(s"((tok + ${bucketW - 1L}) DIV $bucketW) * $bucketW"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        sum(col("bucket_len") - col("tok")).cast("long").as("n_pad"))
+      .orderBy(col("bucket_len"))
+
   /** Canonical selection WITHIN duplicate clusters from an
     * already-computed clustering relation carrying (doc_id,
     * cluster_id) plus the corpus texts: keep the LONGEST member (the
@@ -2359,6 +2401,27 @@ object TextOps {
     pages.select(col("url"),
       (!expr(s"regexp_like(CAST(html AS STRING), '$NoindexPattern')"))
         .as("indexable"))
+      .orderBy(col("url"))
+
+  /** head-title regex — first `<title>` element's text (no nested
+    * markup inside a title per the HTML content model). Public: the
+    * extract_title oracle documents the planted shape it recovers.
+    */
+  val TitlePattern: String = "<title>([^<]*)</title>"
+
+  /** Page-title extraction: the metadata sidecar column a crawl
+    * pipeline keeps alongside the extracted body text (dedup hints,
+    * search snippets, quality features). A genuine regex extraction
+    * over the raw html — the oracle replays the planted-corpus title
+    * rule, so any drift in the regex or the decode path fails the
+    * gate. One per-row codegen regex over the pages scan; zero
+    * shuffles; the html column never rides the exchange (only the
+    * extracted title string does).
+    */
+  def extractTitle(pages: DataFrame): DataFrame =
+    pages.select(col("url"),
+      expr(s"regexp_extract(CAST(html AS STRING), '$TitlePattern', 1)")
+        .as("title"))
       .orderBy(col("url"))
 
   /** The gate applied: pages that may enter extraction. */

@@ -260,6 +260,33 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       clusters.count(), "histogram doc mass must cover the corpus")
   }
 
+  test("dupWeightsFrom: weight is 10^6 DIV cluster_size per doc; duplicates genuinely downweighted") {
+    val clusters = Queries.dupCluster(spark, sfDir)
+    val byDoc = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val weights = TextOps.dupWeightsFrom(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(weights.length == byDoc.size)
+    weights.foreach { case (doc, size, w) =>
+      assert(size == byDoc(doc))
+      assert(w == 1000000L / size, s"doc=$doc size=$size")
+    }
+    // non-vacuity: the planted corpus has real multi-doc clusters, so
+    // some weights are strictly below a singleton's 10^6
+    assert(weights.exists(_._3 == 1000000L), "singletons must keep full weight")
+    assert(weights.exists(_._3 < 1000000L), "duplicates must be downweighted")
+    // per-cluster mass: summed weights never exceed one doc-mass and
+    // miss it only by truncation (< cluster_size micro)
+    val perCluster = TextOps.dupWeightsFrom(clusters)
+      .groupBy(org.apache.spark.sql.functions.col("cluster_id"))
+      .agg(org.apache.spark.sql.functions.sum("weight_micro").as("mass"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    perCluster.foreach { case (mass, n) =>
+      assert(mass <= 1000000L && mass > 1000000L - n, s"mass=$mass n=$n")
+    }
+  }
+
   test("splitFrom: no duplicate cluster straddles train/holdout; doc-keyed split WOULD leak") {
     import org.apache.spark.sql.functions.{col, countDistinct, lit}
     val clusters = Queries.dupCluster(spark, sfDir)

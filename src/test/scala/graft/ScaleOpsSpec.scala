@@ -358,6 +358,61 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.TextOps.robotsGate(mixed).collect().head.getBoolean(1) == false)
   }
 
+  test("extractTitle: recovers the planted title per url; genuine regex (first title, no-title empty); html never shuffles") {
+    val sp = spark; import sp.implicits._
+    val pages = graft.sources.PageSource.fromDocuments(spark, sfDir, withDups = false).toDF()
+    val got = graft.ops.TextOps.extractTitle(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val ids = TextOps.readDocs(spark, sfDir).select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0))
+    assert(got.size == ids.length)
+    ids.foreach { id =>
+      assert(got(graft.sources.PageSource.urlOf(id)) == s"Doc $id", s"id=$id")
+    }
+    // the kernel is a real extraction, not a replay of the planted rule:
+    // hand-built pages with a custom / missing / repeated title
+    val handmade = Seq(
+      ("https://x.example/a", "<html><head><title>Custom T</title></head><body></body></html>".getBytes("UTF-8")),
+      ("https://x.example/b", "<html><head></head><body><p>no title</p></body></html>".getBytes("UTF-8")),
+      ("https://x.example/c", "<html><head><title>First</title><title>Second</title></head></html>".getBytes("UTF-8"))
+    ).toDF("url", "html")
+    val hm = graft.ops.TextOps.extractTitle(handmade).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(hm("https://x.example/a") == "Custom T")
+    assert(hm("https://x.example/b") == "")
+    assert(hm("https://x.example/c") == "First")
+    // scale shape: only (url, title) strings enter any exchange
+    val titleEx = graft.ops.TextOps.extractTitle(pages)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(titleEx.forall(!_.contains("html")), titleEx.mkString("\n"))
+  }
+
+  test("packEfficiency: census covers the corpus; pad identity holds; buckets are 128-multiples clipped at 2048") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val rows = graft.ops.TextOps.packEfficiency(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "census must cover the corpus")
+    assert(rows.map(_._2).sum == docs.count(), "doc mass must cover the corpus")
+    rows.foreach { case (bucket, nDocs, nTok, nPad) =>
+      assert(bucket % 128L == 0L && bucket >= 128L && bucket <= 2048L)
+      assert(nPad == bucket * nDocs - nTok, s"pad identity at bucket=$bucket")
+      assert(nTok > (bucket - 128L) * nDocs, "tokens must exceed the previous ceiling")
+    }
+    // differential on a handmade corpus spanning buckets + the 2048
+    // clip: token counts 1, 128, 129, 2048 and 5000 (clipped)
+    val sp = spark; import sp.implicits._
+    val hand = Seq(1, 128, 129, 2048, 5000).zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.packEfficiency(hand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (128L, 2L, 129L, 127L),      // 1 + 128 tokens, pad only for the 1
+      (256L, 1L, 129L, 127L),      // 129 spills to the next bucket
+      (2048L, 2L, 4096L, 0L)))     // 2048 exact + 5000 clipped, zero pad
+  }
+
   test("tfidfTopTerms: frequent-here-rare-elsewhere wins; deterministic ties") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
