@@ -1405,6 +1405,46 @@ private[graft] object OracleSqlGen {
        |${splitmixCtes("mt", "s0", "doc_id, lang")}""".stripMargin
   }
 
+  /** UniMax water-filling mirror (TextOps.mixUnimax): the sequential
+    * allocation loop unrolled to UniMaxUnrollSteps single-row budget
+    * CTEs — step k holds the remaining budget after the k-th
+    * smallest-capacity stratum takes min(cap, rem // strata_left);
+    * the final select recomputes each stratum's allocation from its
+    * step's incoming budget. The epoch cap and step count are the
+    * SAME Scala values the kernel uses (the kernel fail-louds past
+    * the unroll depth); denominators are greatest(..,1)-guarded so
+    * the unused unroll tail (k > #strata) stays total; the window
+    * sum is cast BIGINT at the source against HUGEINT widening.
+    */
+  val mixUnimax: String = {
+    val e = TextOps.UniMaxEpochCap
+    val k = TextOps.UniMaxUnrollSteps
+    val steps = (1 to k).map { i =>
+      s"""a$i AS (SELECT max(a${i - 1}.rem) - coalesce(max(least(cap,
+         |  a${i - 1}.rem // greatest(nl - ${i - 1}, 1))) FILTER (rk = $i), 0) AS rem
+         |  FROM caps, a${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val cases = (1 to k).map { i =>
+      s"WHEN $i THEN least(c.cap, a${i - 1}.rem // greatest(c.nl - ${i - 1}, 1))"
+    }.mkString("\n    ")
+    val froms = (0 until k).map(i => s"a$i").mkString(", ")
+    s"""WITH census AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+       |caps AS (SELECT lang, n, n * $e AS cap,
+       |  row_number() OVER (ORDER BY n * $e, lang) AS rk,
+       |  CAST(count(*) OVER () AS BIGINT) AS nl,
+       |  CAST(sum(n) OVER () AS BIGINT) AS total FROM census),
+       |a0 AS (SELECT (3 * max(total)) // 2 AS rem FROM caps),
+       |$steps,
+       |alloc AS (SELECT c.lang, c.n, c.cap,
+       |  CASE c.rk $cases END AS alloc
+       |  FROM caps c, $froms)
+       |SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(cap AS BIGINT) AS cap_docs,
+       |  CAST(alloc AS BIGINT) AS alloc_docs,
+       |  CAST(alloc * 1000 // n AS BIGINT) AS epochs_milli
+       |FROM alloc ORDER BY lang""".stripMargin
+  }
+
   val mixTemperature: String =
     s"""WITH $mixChainCtes,
        |kept AS (

@@ -722,6 +722,13 @@ object Queries {
   def mixSampleQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixSample(TextOps.readDocs(s, d))
 
+  /** UniMax budget-capped uniform language allocation — the fairness
+    * alternative to the sqrt temperature rule; see
+    * [[TextOps.mixUnimax]].
+    */
+  def mixUnimaxQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixUnimax(TextOps.readDocs(s, d))
+
   /** Token-mass temperature-mixture census — the alpha = 1/2 rule
     * over per-lang token mass (how real mixtures are specified); see
     * [[TextOps.mixTokens]].

@@ -76,6 +76,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> (Queries.decontaminateFuzzyQ _),
     "mix_temperature" -> (Queries.mixTemperatureQ _),
     "mix_sample" -> (Queries.mixSampleQ _),
+    "mix_unimax" -> (Queries.mixUnimaxQ _),
     "mix_tokens" -> (Queries.mixTokensQ _),
     "mix_domains" -> (Queries.mixDomainsQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
@@ -1332,6 +1333,9 @@ object SparkEntry {
     "mix_temperature" -> OracleSqlGen.mixTemperature,
     // row-level admission under the SAME chain (shared mixChainCtes)
     "mix_sample" -> OracleSqlGen.mixSample,
+    // UniMax water-filling: the sequential allocation unrolled to
+    // single-row budget CTEs, epoch cap + step count from Scala
+    "mix_unimax" -> OracleSqlGen.mixUnimax,
     // token-mass variant: same temperature rule over per-lang token mass
     "mix_tokens" -> OracleSqlGen.mixTokens,
     // domain-label mixture: embeds the label_prop loop (shared

@@ -2206,6 +2206,59 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** UniMax per-language epoch cap (public: the mirror embeds it). */
+  val UniMaxEpochCap = 2L
+
+  /** Oracle unroll depth for the UniMax allocation loop — the SQL
+    * mirror unrolls exactly this many steps, so the Spark side
+    * fail-louds past it (public: the mirror is generated from it).
+    */
+  val UniMaxUnrollSteps = 8
+
+  /** UniMax language-budget allocation (Chung et al. 2023): instead
+    * of temperature-weighting ([[mixTemperature]]'s alpha = 1/2
+    * sqrt rule), distribute a token/doc budget UNIFORMLY across
+    * languages subject to a per-language repeat cap — no stratum may
+    * be up-sampled past [[UniMaxEpochCap]] epochs of its own data.
+    * Greedy water-filling, provably the unique fair allocation:
+    * process strata ASCENDING by capacity cap_l = n_l * E; each gets
+    * min(cap_l, remaining_budget DIV strata_left); budget here is
+    * 3 * total DIV 2 (1.5 average epochs), which makes the rare-lang
+    * caps genuinely bind on a web-skewed corpus. Integer-exact:
+    * truncating division on positives, ties in the capacity order
+    * broken by lang ascending on both engines.
+    *
+    * Scale shape: ONE stratum-cardinality aggregate collected to the
+    * driver (#langs rows — the same bounded-state contract as the
+    * classifier census and k-means centroids), the sequential
+    * water-filling loop on the driver (inherently ordered, #langs
+    * steps), and the census row set back out; the corpus itself is
+    * scanned once and never shuffles. The row-level materialization
+    * at 100 TB is the [[mixSample]] shape: full epochs replicate the
+    * stratum floor(alloc/n) times, the fractional remainder admits by
+    * the splitmix hash-threshold rule.
+    */
+  def mixUnimax(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val census = docs.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(census.length <= UniMaxUnrollSteps,
+      s"UniMax oracle unrolls $UniMaxUnrollSteps steps; got ${census.length} strata")
+    val total = census.map(_._2).sum
+    var rem = 3L * total / 2L
+    var left = census.length.toLong
+    val rows = census.sortBy { case (lang, n) => (n * UniMaxEpochCap, lang) }
+      .map { case (lang, n) =>
+        val cap = n * UniMaxEpochCap
+        val alloc = math.min(cap, rem / left)
+        rem -= alloc; left -= 1L
+        (lang, n, cap, alloc, alloc * 1000L / n)
+      }
+    import spark.implicits._
+    rows.toSeq.toDF("lang", "n_docs", "cap_docs", "alloc_docs", "epochs_milli")
+      .orderBy(col("lang"))
+  }
+
   /** Seed for the domain-mixture admission draw ([[mixDomains]]) —
     * distinct from [[TempSeed]]/[[TokSeed]] so the three mixtures
     * are independent draws (public: the mirror embeds it).

@@ -139,6 +139,49 @@ class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
   // mirrorHosts
   // ---------------------------------------------------------------
 
+  test("mixUnimax: hand corpus matches the water-filling reference exactly; caps and budget respected") {
+    // strata of 1 / 10 / 100 docs, budget = 3*111/2 = 166, E = 2:
+    // capacity order aa(2), bb(20), cc(200);
+    // aa: fair 166/3 = 55 -> capped at 2, rem 164
+    // bb: fair 164/2 = 82 -> capped at 20, rem 144
+    // cc: fair 144/1     -> alloc 144 (under its 200 cap)
+    val rows =
+      (1 to 1).map(i => (i.toLong, "t", "aa")) ++
+      (11 to 20).map(i => (i.toLong, "t", "bb")) ++
+      (101 to 200).map(i => (i.toLong, "t", "cc"))
+    val got = TextOps.mixUnimax(docsOf(rows: _*)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("aa", 1L, 2L, 2L, 2000L),
+      ("bb", 10L, 20L, 20L, 2000L),
+      ("cc", 100L, 200L, 144L, 1440L)))
+  }
+
+  test("mixUnimax: sf corpus — budget exhausted, caps bind for rare langs, en stays under one epoch") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val got = TextOps.mixUnimax(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = got.map(_._2).sum
+    assert(got.map(_._4).sum <= 3L * total / 2L, "allocation may not exceed the budget")
+    got.foreach { case (lang, n, cap, alloc, em) =>
+      assert(cap == n * TextOps.UniMaxEpochCap)
+      assert(alloc <= cap, s"$lang over its epoch cap")
+      assert(em == alloc * 1000L / n)
+      assert(em <= TextOps.UniMaxEpochCap * 1000L)
+    }
+    // non-vacuity on the web-skewed corpus: at least one rare lang is
+    // CAP-bound (the whole point of the epoch cap) and the dominant
+    // stratum is not (uniform share < its capacity)
+    assert(got.exists { case (_, _, cap, alloc, _) => alloc == cap },
+      "no stratum cap-bound — budget too small to exercise UniMax")
+    assert(got.exists { case (_, _, cap, alloc, _) => alloc < cap },
+      "every stratum cap-bound — budget too large to exercise fairness")
+    // determinism
+    val again = TextOps.mixUnimax(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(again == got.map(r => (r._1, r._4)).toSeq)
+  }
+
   test("mixDomains: admission == driver-recomputed splitmix rule; sqrt rule up-weights rare strata") {
     val s = spark
     import s.implicits._
