@@ -344,6 +344,16 @@ private[graft] object OracleSqlGen {
   private val minhashEdgeCtes: String =
     minhashEdgeCtesWith("x.doc_id < y.doc_id")
 
+  /** The near-dup-augmented corpus CTE and the capped band/verify
+    * chain, exposed for compositions assembled OUTSIDE this object
+    * (hard_negatives embeds both into the bm25 template): same
+    * strings the dedup_minhash / neardup_search rows ride, so a
+    * band-geometry or corpus-rule change hits those rows too.
+    */
+  private[graft] def nearDupCorpusCte: String = nearDupCorpus
+  private[graft] def cappedNeardupChain(pairCond: String): String =
+    minhashEdgeCtesWith(pairCond, capped = true)
+
   /** [[minhashEdgeCtes]] with the candidate-pair predicate
     * parameterized (x = left/query side): the default `x.doc_id <
     * y.doc_id` branch is byte-identical to the historical string;

@@ -392,6 +392,22 @@ object Queries {
     graft.ops.SearchOps.bm25Search(docs, bm25QueryTerms(docs))
   }
 
+  /** DPR-style hard-negative mining over the near-dup-augmented
+    * corpus: top-k BM25 per query EXCLUDING the query doc and its
+    * near-duplicates BEFORE ranking (see
+    * [[graft.ops.SearchOps.hardNegatives]]). Queries are the
+    * doc_id % 101 slice of the BASE docs — those with a planted
+    * truncated twin (+1e6) have a genuine unlabeled positive the
+    * mining must keep out of the negative set.
+    */
+  def hardNegativesQ(s: SparkSession, d: String): DataFrame = {
+    val base = TextOps.readDocs(s, d)
+    val corpus = TextOps.corpusWithNearDups(base)
+    val queries = base.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").cast("long").as("query_id"), col("text"))
+    graft.ops.SearchOps.hardNegatives(s, corpus, queries, bm25QueryTerms(base))
+  }
+
   /** Hybrid retrieval: RRF fusion of the bm25 lexical leg and the
     * exact-cosine vector leg over the SAME query set (ids % 101 == 0 —
     * the embeddings and documents tables share an id space). Each leg

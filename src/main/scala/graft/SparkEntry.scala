@@ -45,6 +45,7 @@ object SparkEntry {
     "shard_pack" -> (Queries.shardPack _),
     "seq_pack" -> (Queries.seqPack _),
     "bm25_search" -> (Queries.bm25SearchQ _),
+    "hard_negatives" -> (Queries.hardNegativesQ _),
     "phrase_search" -> (Queries.phraseSearchQ _),
     "bm25_serve" -> (Queries.bm25ServeQ _),
     "bm25_delete" -> (Queries.bm25DeleteQ _),
@@ -575,16 +576,35 @@ object SparkEntry {
     * kernel is the same code, so both check against this one SQL; a
     * scoring change hits TWO oracle rows.
     */
-  private def bm25SqlWith(survPred: Option[String]): String = {
+  private def bm25SqlWith(survPred: Option[String],
+                          corpusCte: Option[String] = None,
+                          exclCtes: Option[String] = None): String = {
     // the INDEXED corpus (scal + p CTEs) shrinks to the survivors; the
     // query batch (q) stays over ALL documents — deleting a doc from
     // the index must not delete its queries. survPred=None generates
     // the historical bm25Sql byte-identically (string-diffed at
-    // introduction; SparkEntrySpec pins it).
-    val (head, corpus) = survPred match {
-      case Some(p) =>
+    // introduction; SparkEntrySpec pins it). corpusCte substitutes a
+    // full named corpus CTE instead of a survivor predicate
+    // (hard_negatives scores over the near-dup-augmented corpus);
+    // exclCtes appends CTEs ending in excl(query_id, doc_id) whose
+    // pairs are anti-joined out of the scored relation BEFORE the
+    // rank window (exclusion after ranking would leave positives
+    // occupying top-k slots). Default branches of both new params are
+    // byte-identical to the historical template (string-diffed at
+    // introduction via oracle_sql.json).
+    val (head, corpus) = (survPred, corpusCte) match {
+      case (Some(p), None) =>
         (s"WITH corpus AS (SELECT * FROM documents WHERE $p),\nscal AS (", "corpus")
-      case None => ("WITH scal AS (", "documents")
+      case (None, Some(c)) =>
+        (s"WITH $c,\nscal AS (", "corpus")
+      case (None, None) => ("WITH scal AS (", "documents")
+      case _ => sys.error("survPred and corpusCte are mutually exclusive")
+    }
+    val (exclCte, fromSc) = exclCtes match {
+      case Some(e) => (s",\n$e",
+        "(SELECT sc.* FROM sc WHERE NOT EXISTS (SELECT 1 FROM excl e\n" +
+          "  WHERE e.query_id = sc.query_id AND e.doc_id = sc.doc_id)) sc")
+      case None => ("", "sc")
     }
     s"""$head
       |  SELECT CAST(count(*) AS BIGINT) AS n,
@@ -610,15 +630,38 @@ object SparkEntry {
       |       (1200 * (250 + (750 * ((p.dl * 1000000) // (scal.sdl * 1000 // scal.n))) // 1000)) // 1000))
       |      ) // 1000) AS BIGINT) AS score_micro
       |  FROM p JOIN dft USING (term) JOIN q USING (term) CROSS JOIN scal
-      |  GROUP BY q.query_id, p.doc_id)
+      |  GROUP BY q.query_id, p.doc_id)$exclCte
       |SELECT query_id,
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
       |  doc_id, score_micro
-      |FROM sc
+      |FROM $fromSc
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** hard_negatives mirror: the bm25 template re-corpused to the
+    * near-dup-augmented corpus, with the capped neardup band/verify
+    * chain (x = the % 101 base-doc query slice; the < 1000000 guard
+    * keeps +1e6 mutants whose shifted id happens to clear % 101 out
+    * of the query side) plus the self pair feeding the pre-rank
+    * exclusion — a bm25, band-geometry or dup-corpus change hits
+    * this row too.
+    */
+  private val hardNegativesSql: String = bm25SqlWith(None,
+    corpusCte = Some(OracleSqlGen.nearDupCorpusCte),
+    exclCtes = Some(
+      OracleSqlGen.cappedNeardupChain(
+        "x.doc_id % 101 = 0 AND x.doc_id < 1000000 AND x.doc_id <> y.doc_id" +
+          s" AND y.cnt <= ${graft.ops.TextOps.MinhashMaxBucket}") +
+        """,
+          |excl AS (
+          |  SELECT doc_a AS query_id, doc_b AS doc_id
+          |  FROM jac WHERE jaccard_milli >= 700
+          |  UNION ALL
+          |  SELECT CAST(doc_id AS BIGINT) AS query_id,
+          |         CAST(doc_id AS BIGINT) AS doc_id
+          |  FROM documents WHERE doc_id % 101 = 0)""".stripMargin))
 
   private val bm25Sql: String = bm25SqlWith(None)
 
@@ -1145,6 +1188,9 @@ object SparkEntry {
     // serving path composes the same scoring kernel over persisted
     // postings, so bit-identity is what the gate proves.
     "bm25_search" -> bm25Sql,
+    // DPR-style hard-negative mining: the bm25 template over the
+    // near-dup corpus with near-dup + self positives excluded pre-rank
+    "hard_negatives" -> hardNegativesSql,
     // exact phrase retrieval + its stored-positional-index serving
     // twin: ONE shared mirror (see phraseSql) — the anchor-join kernel
     // is the same code on both paths, so bit-identity is what the

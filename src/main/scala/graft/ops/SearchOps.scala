@@ -90,7 +90,8 @@ object SearchOps {
   private[graft] def bm25From(gatedPostings: DataFrame, nDocs: Long,
                               avgdlMilli: Long, qterms: DataFrame, k: Int,
                               broadcastProbes: Boolean,
-                              maxDfPermille: Long = 1000L): DataFrame = {
+                              maxDfPermille: Long = 1000L,
+                              exclude: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(nDocs > 0 && avgdlMilli > 0,
       s"corpus stats must be positive: n=$nDocs avgdl_milli=$avgdlMilli")
@@ -122,9 +123,20 @@ object SearchOps {
           s"${avgdlMilli}L)) DIV 1000L)) DIV 1000L))) DIV 1000L"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score_micro"))
+    // Positive exclusion must happen BEFORE the rank window — a
+    // post-rank filter would leave excluded docs occupying top-k
+    // slots (the hard-negative-mining correctness trap). Id-only
+    // anti-join: the pair relation is bounded by the request batch.
+    val kept = exclude match {
+      case Some(ex) => scored.join(
+        ex.select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      case None => scored
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
-    scored
+    kept
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_micro")
@@ -323,7 +335,8 @@ object SearchOps {
 
   def bm25Search(docs: DataFrame, queryTerms: DataFrame, k: Int = 10,
                  probeLimit: Long = AnnIndex.BroadcastQueryLimit,
-                 maxDfPermille: Long = 1000L): DataFrame = {
+                 maxDfPermille: Long = 1000L,
+                 exclude: Option[DataFrame] = None): DataFrame = {
     val (nDocs, sumDl) = corpusStats(docs)
     require(nDocs > 0, "cannot search an empty corpus")
     val qterms = cleanTerms(queryTerms)
@@ -335,6 +348,34 @@ object SearchOps {
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     bm25From(gated, nDocs, sumDl * 1000L / nDocs, qterms, k, bounded,
-      maxDfPermille)
+      maxDfPermille, exclude)
+  }
+
+  /** DPR-style hard-negative mining for retrieval training data: per
+    * query, the top-k BM25-ranked corpus docs EXCLUDING the query's
+    * POSITIVES — the query doc itself and its near-duplicates (the
+    * MinHash band geometry at the dedup Jaccard floor). Excluding
+    * before ranking is the point: a near-verbatim copy of the query
+    * doc is an UNLABELED POSITIVE, and training on it as a negative
+    * teaches the ranker to push true matches down (the false-negative
+    * trap every DPR-family pipeline must mine around). The kept rows
+    * are the hard negatives: lexically close enough to rank, known
+    * not to be the answer.
+    *
+    * Scale shape: the near-dup leg is [[graft.ops.TextOps.neardupSearch]]'s
+    * bounded-request shape (corpus bands capped before the probe
+    * join); the exclusion pair set is O(queries × near-dup fan) ids
+    * and anti-joins into the scored relation pre-rank; everything
+    * else is the bm25Search plan unchanged.
+    */
+  def hardNegatives(spark: org.apache.spark.sql.SparkSession,
+                    corpus: DataFrame, queries: DataFrame,
+                    queryTerms: DataFrame, k: Int = 10): DataFrame = {
+    val near = graft.ops.TextOps.neardupSearch(spark, corpus, queries)
+      .select(col("query_id"), col("doc_id"))
+    val self = queries.select(col("query_id").cast("long").as("query_id"))
+      .withColumn("doc_id", col("query_id"))
+    bm25Search(corpus, queryTerms, k,
+      exclude = Some(near.unionByName(self)))
   }
 }

@@ -144,6 +144,61 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("hardNegatives: positives excluded BEFORE ranking; equals wide-k bm25 minus the positive set") {
+    import org.apache.spark.sql.functions.col
+    val base = TextOps.readDocs(spark, sfDir)
+    val corpus = TextOps.corpusWithNearDups(base)
+    val queries = base.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").cast("long").as("query_id"), col("text"))
+    val got = Queries.hardNegativesQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // never the query doc itself — while plain bm25 over the same
+    // corpus puts self at rank 1 for every query (terms are its own)
+    assert(got.nonEmpty && got.forall { case (q, _, d) => q != d })
+    val plain = graft.ops.SearchOps.bm25Search(
+      corpus, Queries.bm25QueryTerms(base), k = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // differential: hard negatives == wide-k plain ranking minus the
+    // positive set, re-ranked densely, top 10 (pre-rank exclusion).
+    // (On this corpus the shared synthetic vocabulary means self/twin
+    // need not crack the top-k lexically — the handmade test below is
+    // where the exclusion provably changes the answer.)
+    val positives = TextOps.neardupSearch(spark, corpus, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val expect = plain.filter(_._1 == q)
+        .sortBy(_._2)
+        .filter { case (_, _, d) => d != q && !positives.contains((q, d)) }
+        .take(10).map(_._3)
+      val gotDocs = rows.sortBy(_._2).map(_._3)
+      assert(gotDocs == expect.toSeq, s"query $q")
+      assert(rows.map(_._2).sorted == (1L to rows.length.toLong), s"ranks dense for $q")
+    }
+  }
+
+  test("hardNegatives handmade: self and near-dup twin are top plain hits yet excluded; hard set is the true negative") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark; import sp.implicits._
+    // distinctive 24-word doc, a near-verbatim twin (last word dropped
+    // — the planted-mirror shape, Jaccard >> 0.7) and a partial-match
+    // negative sharing exactly the query terms once each
+    val aWords = (1 to 24).map(i => s"zq$i")
+    val a = aWords.mkString(" ")
+    val aTwin = aWords.dropRight(1).mkString(" ")
+    val b = "zq2 zq3 zq4 zq5 zq6 " + (1 to 19).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, aTwin), (3L, b)).toDF("doc_id", "text")
+    val queries = Seq((1L, a)).toDF("query_id", "text")
+    val qterms = Seq.tabulate(5)(i => (1L, s"zq${i + 2}")).toDF("query_id", "term")
+    val plain = graft.ops.SearchOps.bm25Search(docs, qterms, k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // self and twin dominate the plain ranking — exactly the unlabeled
+    // positives a naive miner would label negative
+    assert(plain.map(_._2).take(2).toSet == Set(1L, 2L), plain.toString)
+    val hard = graft.ops.SearchOps.hardNegatives(spark, docs, queries, qterms)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(hard == Seq((1L, 3L)), s"hard=$hard")
+  }
+
   test("hybridRrf equals integer RRF recomputed from the collected legs") {
     val docs = TextOps.readDocs(spark, sfDir)
     val lex = Queries.bm25SearchQ(spark, sfDir).collect()
