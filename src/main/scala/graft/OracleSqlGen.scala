@@ -1426,7 +1426,7 @@ private[graft] object OracleSqlGen {
     * the unused unroll tail (k > #strata) stays total; the window
     * sum is cast BIGINT at the source against HUGEINT widening.
     */
-  val mixUnimax: String = {
+  private val unimaxChainCtes: String = {
     val e = TextOps.UniMaxEpochCap
     val k = TextOps.UniMaxUnrollSteps
     val steps = (1 to k).map { i =>
@@ -1438,7 +1438,7 @@ private[graft] object OracleSqlGen {
       s"WHEN $i THEN least(c.cap, a${i - 1}.rem // greatest(c.nl - ${i - 1}, 1))"
     }.mkString("\n    ")
     val froms = (0 until k).map(i => s"a$i").mkString(", ")
-    s"""WITH census AS (
+    s"""census AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
        |caps AS (SELECT lang, n, n * $e AS cap,
        |  row_number() OVER (ORDER BY n * $e, lang) AS rk,
@@ -1448,11 +1448,37 @@ private[graft] object OracleSqlGen {
        |$steps,
        |alloc AS (SELECT c.lang, c.n, c.cap,
        |  CASE c.rk $cases END AS alloc
-       |  FROM caps c, $froms)
+       |  FROM caps c, $froms)""".stripMargin
+  }
+
+  val mixUnimax: String =
+    s"""WITH $unimaxChainCtes
        |SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(cap AS BIGINT) AS cap_docs,
        |  CAST(alloc AS BIGINT) AS alloc_docs,
        |  CAST(alloc * 1000 // n AS BIGINT) AS epochs_milli
        |FROM alloc ORDER BY lang""".stripMargin
+
+  /** Row-level UniMax materialization mirror (TextOps.mixUnimaxSample):
+    * the SAME allocation chain; per lang, floor(alloc/n) full-epoch
+    * copies for every doc plus one more for docs clearing the
+    * fractional-remainder permille under the UniSeed splitmix draw;
+    * zero-copy docs are dropped.
+    */
+  val mixUnimaxSample: String = {
+    val seedU = java.lang.Long.toUnsignedString(TextOps.UniSeed)
+    s"""WITH $unimaxChainCtes,
+       |rates AS (SELECT lang, alloc // n AS ef,
+       |  ((alloc - (alloc // n) * n) * 1000) // n AS rem_permille
+       |  FROM alloc),
+       |s0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |  ${xor64("CAST(doc_id AS HUGEINT)", s"$seedU::HUGEINT")} AS x
+       |  FROM documents),
+       |${splitmixCtes("um", "s0", "doc_id, lang")},
+       |cop AS (SELECT s.doc_id, s.lang,
+       |  r.ef + CASE WHEN s.hk % 1000 < r.rem_permille THEN 1 ELSE 0 END AS n_copies
+       |  FROM um6 s JOIN rates r USING (lang))
+       |SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies
+       |FROM cop WHERE n_copies > 0 ORDER BY doc_id""".stripMargin
   }
 
   val mixTemperature: String =

@@ -745,6 +745,13 @@ object Queries {
   def mixUnimaxQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixUnimax(TextOps.readDocs(s, d))
 
+  /** Row-level UniMax admission/replication list — the materialized
+    * form of [[mixUnimaxQ]]'s allocation; see
+    * [[TextOps.mixUnimaxSample]].
+    */
+  def mixUnimaxSampleQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixUnimaxSample(TextOps.readDocs(s, d))
+
   /** Token-mass temperature-mixture census — the alpha = 1/2 rule
     * over per-lang token mass (how real mixtures are specified); see
     * [[TextOps.mixTokens]].

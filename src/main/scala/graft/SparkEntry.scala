@@ -78,6 +78,7 @@ object SparkEntry {
     "mix_temperature" -> (Queries.mixTemperatureQ _),
     "mix_sample" -> (Queries.mixSampleQ _),
     "mix_unimax" -> (Queries.mixUnimaxQ _),
+    "mix_unimax_sample" -> (Queries.mixUnimaxSampleQ _),
     "mix_tokens" -> (Queries.mixTokensQ _),
     "mix_domains" -> (Queries.mixDomainsQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
@@ -1382,6 +1383,9 @@ object SparkEntry {
     // UniMax water-filling: the sequential allocation unrolled to
     // single-row budget CTEs, epoch cap + step count from Scala
     "mix_unimax" -> OracleSqlGen.mixUnimax,
+    // row-level UniMax: the SAME allocation chain, full-epoch copies +
+    // splitmix-admitted fractional remainder
+    "mix_unimax_sample" -> OracleSqlGen.mixUnimaxSample,
     // token-mass variant: same temperature rule over per-lang token mass
     "mix_tokens" -> OracleSqlGen.mixTokens,
     // domain-label mixture: embeds the label_prop loop (shared

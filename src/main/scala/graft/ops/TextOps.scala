@@ -2240,6 +2240,20 @@ object TextOps {
     */
   def mixUnimax(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    unimaxAllocs(docs)
+      .map { case (lang, n, cap, alloc) =>
+        (lang, n, cap, alloc, alloc * 1000L / n)
+      }
+      .toDF("lang", "n_docs", "cap_docs", "alloc_docs", "epochs_milli")
+      .orderBy(col("lang"))
+  }
+
+  /** The UniMax water-filling allocation shared by [[mixUnimax]] and
+    * [[mixUnimaxSample]]: (lang, n, cap, alloc) per stratum in
+    * capacity order — the driver loop over the collected census.
+    */
+  private def unimaxAllocs(docs: DataFrame): Seq[(String, Long, Long, Long)] = {
     val census = docs.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(census.length <= UniMaxUnrollSteps,
@@ -2247,16 +2261,53 @@ object TextOps {
     val total = census.map(_._2).sum
     var rem = 3L * total / 2L
     var left = census.length.toLong
-    val rows = census.sortBy { case (lang, n) => (n * UniMaxEpochCap, lang) }
+    census.sortBy { case (lang, n) => (n * UniMaxEpochCap, lang) }
       .map { case (lang, n) =>
         val cap = n * UniMaxEpochCap
         val alloc = math.min(cap, rem / left)
         rem -= alloc; left -= 1L
-        (lang, n, cap, alloc, alloc * 1000L / n)
-      }
+        (lang, n, cap, alloc)
+      }.toSeq
+  }
+
+  /** Seed for the UniMax fractional-remainder admission draw —
+    * independent of the temperature/token/domain mixture seeds
+    * (public: the mirror embeds it).
+    */
+  val UniSeed = 0x5eed0417a110cL
+
+  /** Row-level UniMax materialization: the (doc_id, lang, n_copies)
+    * relation a training-data writer consumes under [[mixUnimax]]'s
+    * allocation — every doc gets floor(alloc/n) FULL-epoch copies
+    * (the repeat-capped up-sampling UniMax exists to bound), plus one
+    * more if its splitmix draw clears the fractional remainder's
+    * permille; zero-copy docs drop out. Deterministic, no RNG,
+    * reproducible across engines and runs.
+    *
+    * Scale shape: the allocation is the driver census loop; the rate
+    * table is #langs rows riding a broadcast join; the admission is
+    * one codegen splitmix filter — the corpus is scanned once and
+    * never shuffles.
+    */
+  def mixUnimaxSample(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val spark = docs.sparkSession
     import spark.implicits._
-    rows.toSeq.toDF("lang", "n_docs", "cap_docs", "alloc_docs", "epochs_milli")
-      .orderBy(col("lang"))
+    val rates = unimaxAllocs(docs)
+      .map { case (lang, n, _, alloc) =>
+        val ef = alloc / n
+        (lang, ef, (alloc - ef * n) * 1000L / n)
+      }
+      .toDF("lang", "ef", "rem_permille")
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("n_copies",
+        (col("ef") + when(unsignedMod1000(
+          splitmixCol(col("doc_id").bitwiseXOR(lit(UniSeed)))) < col("rem_permille"),
+          1L).otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0L)
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+      .orderBy(col("doc_id"))
   }
 
   /** Seed for the domain-mixture admission draw ([[mixDomains]]) —

@@ -182,6 +182,42 @@ class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == got.map(r => (r._1, r._4)).toSeq)
   }
 
+  test("mixUnimaxSample: per-doc copies == driver-recomputed replication + remainder draw; cap-bound strata replicate exactly") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val alloc = TextOps.mixUnimax(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val got = TextOps.mixUnimaxSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.select(col("doc_id").cast("long"), col("lang")).collect()
+      .map { r =>
+        val (id, lang) = (r.getLong(0), r.getString(1))
+        val (n, a) = alloc(lang)
+        val ef = a / n
+        val remPermille = (a - ef * n) * 1000L / n
+        val admit = java.lang.Long.remainderUnsigned(
+          splitmix64(id ^ TextOps.UniSeed), 1000L) < remPermille
+        (id, lang, ef + (if (admit) 1L else 0L))
+      }
+      .filter(_._3 > 0L).sortBy(_._1).toSeq
+    assert(got.toSeq == expected)
+    // cap-bound strata (alloc == 2n): every doc exactly 2 copies —
+    // the repeat-capped up-sampling the algorithm exists to bound
+    val capped = alloc.collect { case (l, (n, a)) if a == n * TextOps.UniMaxEpochCap => l }
+    assert(capped.nonEmpty, "no cap-bound stratum — sample test has no replication leg")
+    capped.foreach { l =>
+      assert(got.filter(_._2 == l).forall(_._3 == TextOps.UniMaxEpochCap),
+        s"stratum $l must replicate at exactly the epoch cap")
+      assert(got.count(_._2 == l).toLong == alloc(l)._1, s"stratum $l must keep every doc")
+    }
+    // a fractional stratum must both drop and keep docs (en: alloc < n)
+    val frac = alloc.collect { case (l, (n, a)) if a < n => l }
+    assert(frac.nonEmpty, "no sub-epoch stratum")
+    frac.foreach { l =>
+      val kept = got.count(_._2 == l).toLong
+      assert(kept > 0L && kept < alloc(l)._1, s"stratum $l admission must be strict")
+    }
+  }
+
   test("mixDomains: admission == driver-recomputed splitmix rule; sqrt rule up-weights rare strata") {
     val s = spark
     import s.implicits._
