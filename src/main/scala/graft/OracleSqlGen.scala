@@ -1426,7 +1426,22 @@ private[graft] object OracleSqlGen {
     * the unused unroll tail (k > #strata) stays total; the window
     * sum is cast BIGINT at the source against HUGEINT widening.
     */
-  private val unimaxChainCtes: String = {
+  /** Census body shared by the doc-unit UniMax rows (the default
+    * branch of [[unimaxChainCtesOf]] — byte-identical to the
+    * historical inline text).
+    */
+  private val unimaxDocCensus: String =
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+
+  private val unimaxChainCtes: String = unimaxChainCtesOf(unimaxDocCensus)
+
+  /** The UniMax allocation chain with the stratum-mass census
+    * parameterized (docs for mix_unimax/_sample, whitespace token
+    * mass for mix_unimax_tokens) — ONE loop definition for every
+    * unit; the doc-census branch is byte-identical to the historical
+    * string (re-diff oracle_sql.json if touched).
+    */
+  private def unimaxChainCtesOf(censusSel: String): String = {
     val e = TextOps.UniMaxEpochCap
     val k = TextOps.UniMaxUnrollSteps
     val steps = (1 to k).map { i =>
@@ -1439,7 +1454,7 @@ private[graft] object OracleSqlGen {
     }.mkString("\n    ")
     val froms = (0 until k).map(i => s"a$i").mkString(", ")
     s"""census AS (
-       |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+       |  $censusSel),
        |caps AS (SELECT lang, n, n * $e AS cap,
        |  row_number() OVER (ORDER BY n * $e, lang) AS rk,
        |  CAST(count(*) OVER () AS BIGINT) AS nl,
@@ -1455,6 +1470,21 @@ private[graft] object OracleSqlGen {
     s"""WITH $unimaxChainCtes
        |SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(cap AS BIGINT) AS cap_docs,
        |  CAST(alloc AS BIGINT) AS alloc_docs,
+       |  CAST(alloc * 1000 // n AS BIGINT) AS epochs_milli
+       |FROM alloc ORDER BY lang""".stripMargin
+
+  /** Token-budget UniMax mirror (TextOps.mixUnimaxTokens — the
+    * published UniMax budgets TOKEN mass, not doc count): the SAME
+    * allocation chain keyed on per-lang whitespace token mass (the
+    * token_count nw expression, summed with a BIGINT cast at the
+    * source against HUGEINT widening).
+    */
+  val mixUnimaxTokens: String =
+    s"""WITH ${unimaxChainCtesOf(
+           "SELECT lang, CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)" +
+             " AS BIGINT) AS n FROM documents GROUP BY lang")}
+       |SELECT lang, CAST(n AS BIGINT) AS n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+       |  CAST(alloc AS BIGINT) AS alloc_tokens,
        |  CAST(alloc * 1000 // n AS BIGINT) AS epochs_milli
        |FROM alloc ORDER BY lang""".stripMargin
 

@@ -752,6 +752,12 @@ object Queries {
   def mixUnimaxSampleQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixUnimaxSample(TextOps.readDocs(s, d))
 
+  /** Token-budget UniMax allocation — the published algorithm's unit;
+    * see [[TextOps.mixUnimaxTokens]].
+    */
+  def mixUnimaxTokensQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixUnimaxTokens(TextOps.readDocs(s, d))
+
   /** Token-mass temperature-mixture census — the alpha = 1/2 rule
     * over per-lang token mass (how real mixtures are specified); see
     * [[TextOps.mixTokens]].

@@ -79,6 +79,7 @@ object SparkEntry {
     "mix_sample" -> (Queries.mixSampleQ _),
     "mix_unimax" -> (Queries.mixUnimaxQ _),
     "mix_unimax_sample" -> (Queries.mixUnimaxSampleQ _),
+    "mix_unimax_tokens" -> (Queries.mixUnimaxTokensQ _),
     "mix_tokens" -> (Queries.mixTokensQ _),
     "mix_domains" -> (Queries.mixDomainsQ _),
     "ngram_census" -> (Queries.ngramCensusQ _),
@@ -1386,6 +1387,8 @@ object SparkEntry {
     // row-level UniMax: the SAME allocation chain, full-epoch copies +
     // splitmix-admitted fractional remainder
     "mix_unimax_sample" -> OracleSqlGen.mixUnimaxSample,
+    // token-budget UniMax: the SAME chain over per-lang token mass
+    "mix_unimax_tokens" -> OracleSqlGen.mixUnimaxTokens,
     // token-mass variant: same temperature rule over per-lang token mass
     "mix_tokens" -> OracleSqlGen.mixTokens,
     // domain-label mixture: embeds the label_prop loop (shared

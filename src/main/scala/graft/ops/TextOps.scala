@@ -2253,9 +2253,16 @@ object TextOps {
     * [[mixUnimaxSample]]: (lang, n, cap, alloc) per stratum in
     * capacity order — the driver loop over the collected census.
     */
-  private def unimaxAllocs(docs: DataFrame): Seq[(String, Long, Long, Long)] = {
-    val census = docs.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+  private def unimaxAllocs(docs: DataFrame): Seq[(String, Long, Long, Long)] =
+    unimaxAllocsOf(docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+
+  /** The water-filling loop over an arbitrary (stratum, mass) census —
+    * doc counts for [[mixUnimax]]/[[mixUnimaxSample]], token mass for
+    * [[mixUnimaxTokens]]; ONE loop definition for every unit.
+    */
+  private def unimaxAllocsOf(census: Seq[(String, Long)]): Seq[(String, Long, Long, Long)] = {
     require(census.length <= UniMaxUnrollSteps,
       s"UniMax oracle unrolls $UniMaxUnrollSteps steps; got ${census.length} strata")
     val total = census.map(_._2).sum
@@ -2267,7 +2274,29 @@ object TextOps {
         val alloc = math.min(cap, rem / left)
         rem -= alloc; left -= 1L
         (lang, n, cap, alloc)
-      }.toSeq
+      }
+  }
+
+  /** Token-budget UniMax — the form the published algorithm actually
+    * runs (language budgets in TOKENS, the unit a trainer consumes):
+    * the same water-filling loop over per-language whitespace token
+    * MASS (caps = 2 epochs of a language's token mass, budget = 1.5
+    * average epochs of the corpus's total). Same scale shape as
+    * [[mixUnimax]]: one map-side-combined aggregate to a #langs
+    * census, the driver loop, a census-sized output.
+    */
+  def mixUnimaxTokens(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val census = docs.groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    unimaxAllocsOf(census.toSeq)
+      .map { case (lang, n, cap, alloc) =>
+        (lang, n, cap, alloc, alloc * 1000L / n)
+      }
+      .toDF("lang", "n_tokens", "cap_tokens", "alloc_tokens", "epochs_milli")
+      .orderBy(col("lang"))
   }
 
   /** Seed for the UniMax fractional-remainder admission draw —

@@ -218,6 +218,32 @@ class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixUnimaxTokens: allocation == water-filling over driver-recomputed token masses; unit genuinely differs from docs") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    // sequential reference over token masses computed independently
+    val masses = docs.select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).sum) }.toSeq
+    var rem = 3L * masses.map(_._2).sum / 2L
+    var left = masses.length.toLong
+    val expect = masses.sortBy { case (l, n) => (n * TextOps.UniMaxEpochCap, l) }
+      .map { case (l, n) =>
+        val cap = n * TextOps.UniMaxEpochCap
+        val alloc = math.min(cap, rem / left)
+        rem -= alloc; left -= 1L
+        (l, n, cap, alloc, alloc * 1000L / n)
+      }.sortBy(_._1)
+    val got = TextOps.mixUnimaxTokens(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    // the unit matters: token-mass epochs_milli must not all equal the
+    // doc-count allocation's (doc lengths vary per lang)
+    val docEpochs = TextOps.mixUnimax(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got.exists { case (l, _, _, _, em) => em != docEpochs(l) },
+      "token-budget allocation degenerated to the doc-count one")
+  }
+
   test("mixDomains: admission == driver-recomputed splitmix rule; sqrt rule up-weights rare strata") {
     val s = spark
     import s.implicits._
