@@ -244,6 +244,20 @@ class MixDsirSpec extends AnyFunSuite with BeforeAndAfterAll {
       "token-budget allocation degenerated to the doc-count one")
   }
 
+  test("mixUnimaxSample plan: rate table broadcast, corpus never shuffles, text never read") {
+    val df = TextOps.mixUnimaxSample(TextOps.readDocs(spark, sfDir))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    // only the output sort may exchange; no hash shuffle of corpus rows
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+    // the doc scan reads ids+lang only — text stays out of the sample path
+    assert(!plan.linesIterator.exists(l => l.contains("FileScan") && l.contains("text")),
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("mixDomains: admission == driver-recomputed splitmix rule; sqrt rule up-weights rare strata") {
     val s = spark
     import s.implicits._

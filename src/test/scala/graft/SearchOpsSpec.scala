@@ -102,6 +102,18 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("hardNegatives plan: term gate + id-only exclusion anti-join; no text column in any broadcast") {
+    val plan = Queries.hardNegativesQ(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    // the near-dup leg's id reductions and the term gate may broadcast;
+    // no broadcast exchange may carry a text column (house invariant)
+    val broadcasts = plan.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
+    assert(broadcasts.forall(l => !l.contains("text") && !l.contains("q_text") && !l.contains("d_text")),
+      broadcasts.mkString("\n"))
+  }
+
   test("bm25Search handles an empty query relation") {
     val sp = spark; import sp.implicits._
     val docs = TextOps.readDocs(spark, sfDir)
