@@ -392,6 +392,15 @@ object Queries {
     graft.ops.SearchOps.bm25Search(docs, bm25QueryTerms(docs))
   }
 
+  /** Contextual result snippets for the bm25 top-k (best
+    * query-term-dense window per hit; see
+    * [[graft.ops.SearchOps.searchSnippets]]).
+    */
+  def searchSnippetsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    graft.ops.SearchOps.searchSnippets(docs, bm25QueryTerms(docs))
+  }
+
   /** DPR-style hard-negative mining over the near-dup-augmented
     * corpus: top-k BM25 per query EXCLUDING the query doc and its
     * near-duplicates BEFORE ranking (see

@@ -46,6 +46,7 @@ object SparkEntry {
     "seq_pack" -> (Queries.seqPack _),
     "bm25_search" -> (Queries.bm25SearchQ _),
     "hard_negatives" -> (Queries.hardNegativesQ _),
+    "search_snippets" -> (Queries.searchSnippetsQ _),
     "phrase_search" -> (Queries.phraseSearchQ _),
     "bm25_serve" -> (Queries.bm25ServeQ _),
     "bm25_delete" -> (Queries.bm25DeleteQ _),
@@ -1193,6 +1194,38 @@ object SparkEntry {
     // DPR-style hard-negative mining: the bm25 template over the
     // near-dup corpus with near-dup + self positives excluded pre-rank
     "hard_negatives" -> hardNegativesSql,
+    // best query-term-dense window per bm25 hit (the bm25 mirror as a
+    // derived table; candidate begins = matched positions — the
+    // argmax-preserving reduction documented in SearchOps)
+    "search_snippets" ->
+      s"""WITH hits AS (SELECT query_id, rank, doc_id FROM ($bm25Sql) bs),
+         |qq AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term
+         |  FROM documents,
+         |    UNNEST(list_distinct(string_split(text, ' ')[2:6])) AS u(term)
+         |  WHERE doc_id % 101 = 0),
+         |toks AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         string_split(text, ' ')[i.i + 1] AS term,
+         |         CAST(i.i AS BIGINT) AS pos
+         |  FROM documents, UNNEST(range(len(string_split(text, ' ')))) AS i(i)),
+         |m AS (
+         |  SELECT h.query_id, h.doc_id, t.pos
+         |  FROM hits h JOIN toks t ON t.doc_id = h.doc_id
+         |  JOIN qq ON qq.query_id = h.query_id AND qq.term = t.term),
+         |c AS (
+         |  SELECT b.query_id, b.doc_id, b.pos AS begin_word,
+         |         CAST(count(*) AS BIGINT) AS n_matched
+         |  FROM m b JOIN m x ON x.query_id = b.query_id AND x.doc_id = b.doc_id
+         |    AND x.pos BETWEEN b.pos AND b.pos + ${graft.ops.SearchOps.SnippetWindow - 1}
+         |  GROUP BY b.query_id, b.doc_id, b.pos),
+         |wn AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+         |        ORDER BY n_matched DESC, begin_word) AS rn FROM c)
+         |SELECT w.query_id, h.rank, w.doc_id, w.begin_word, w.n_matched,
+         |  array_to_string(string_split(d.text, ' ')[w.begin_word + 1 : w.begin_word + ${graft.ops.SearchOps.SnippetWindow}], ' ') AS snippet
+         |FROM wn w JOIN hits h ON h.query_id = w.query_id AND h.doc_id = w.doc_id
+         |JOIN documents d ON CAST(d.doc_id AS BIGINT) = w.doc_id
+         |WHERE w.rn = 1 ORDER BY w.query_id, h.rank""".stripMargin,
     // exact phrase retrieval + its stored-positional-index serving
     // twin: ONE shared mirror (see phraseSql) — the anchor-join kernel
     // is the same code on both paths, so bit-identity is what the

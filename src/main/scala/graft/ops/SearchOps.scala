@@ -351,6 +351,61 @@ object SearchOps {
       maxDfPermille, exclude)
   }
 
+  /** Snippet window size in words (public: the oracle embeds it). */
+  val SnippetWindow = 8
+
+  /** Result snippets for a BM25 top-k: for every hit, the
+    * [[SnippetWindow]]-word window containing the MOST query-term
+    * occurrences (ties to the earliest window), plus the snippet text
+    * itself — the contextual preview a search UI renders under each
+    * result. Candidate windows begin at matched positions (a standard
+    * argmax-preserving reduction: shifting any window right to its
+    * first matched term never loses a match), so "earliest" means
+    * earliest matched begin — deterministic and integer-exact on both
+    * engines.
+    *
+    * Scale shape: the token stream is semi-join-reduced to HIT docs
+    * before positions explode (k×queries docs, not the corpus); the
+    * window count is a pair-local range self-join bounded by doc
+    * length; snippet texts are fetched for hit docs only. Nothing
+    * corpus-sized shuffles beyond the bm25 leg itself.
+    */
+  def searchSnippets(docs: DataFrame, queryTerms: DataFrame,
+                     k: Int = 10): DataFrame = {
+    val w = SnippetWindow
+    val hits = bm25Search(docs, queryTerms, k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val hitDocs = hits.select(col("doc_id")).distinct()
+    val toks = tokenized(docs)
+      .join(broadcast(hitDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "term")))
+      .withColumn("pos", col("pos").cast("long"))
+    val matched = hits.join(toks, Seq("doc_id"))
+      .join(cleanTerms(queryTerms), Seq("query_id", "term"))
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val counts = matched.as("b").join(matched.as("x"),
+        col("x.query_id") === col("b.query_id") &&
+          col("x.doc_id") === col("b.doc_id") &&
+          col("x.pos").between(col("b.pos"), col("b.pos") + (w - 1).toLong))
+      .groupBy(col("b.query_id").as("query_id"), col("b.doc_id").as("doc_id"),
+        col("b.pos").as("begin_word"))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+    val win = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("n_matched").desc, col("begin_word").asc)
+    val best = counts.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val texts = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(broadcast(hitDocs), Seq("doc_id"), "left_semi")
+    best.join(hits, Seq("query_id", "doc_id"))
+      .join(texts, Seq("doc_id"))
+      .withColumn("snippet",
+        expr(s"array_join(slice(split(text, ' '), CAST(begin_word + 1 AS INT), $w), ' ')"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("begin_word"), col("n_matched"), col("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** DPR-style hard-negative mining for retrieval training data: per
     * query, the top-k BM25-ranked corpus docs EXCLUDING the query's
     * POSITIVES — the query doc itself and its near-duplicates (the

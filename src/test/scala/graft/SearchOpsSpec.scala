@@ -156,6 +156,28 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("searchSnippets: hand-computed best windows (clustered tail, tie to earliest); sf hits all covered") {
+    val sp = spark; import sp.implicits._
+    // doc 1: query terms clustered at the tail — the window must jump
+    // there; doc 2: two tying windows — earliest begin wins
+    val d1 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 ta tb tc"
+    val d2 = "ta y1 y2 y3 y4 tb y5 y6 y7 tc"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val qterms = Seq((7L, "ta"), (7L, "tb"), (7L, "tc")).toDF("query_id", "term")
+    val got = SearchOps.searchSnippets(docs, qterms).collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(got(1L) == ((10L, 3L, "ta tb tc")), got.toString)
+    assert(got(2L) == ((0L, 2L, "ta y1 y2 y3 y4 tb y5 y6")), got.toString)
+    // sf corpus: one snippet per bm25 hit, each containing >= 1 match
+    val docsSf = TextOps.readDocs(spark, sfDir)
+    val hits = SearchOps.bm25Search(docsSf, Queries.bm25QueryTerms(docsSf)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val snips = Queries.searchSnippetsQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getString(5)))
+    assert(snips.map(s => (s._1, s._2)).toSet == hits, "one snippet per hit, no extras")
+    assert(snips.forall(s => s._3 >= 1L && s._4.nonEmpty))
+  }
+
   test("hardNegatives: positives excluded BEFORE ranking; equals wide-k bm25 minus the positive set") {
     import org.apache.spark.sql.functions.col
     val base = TextOps.readDocs(spark, sfDir)
