@@ -401,6 +401,15 @@ object Queries {
     graft.ops.SearchOps.searchSnippets(docs, bm25QueryTerms(docs))
   }
 
+  /** Pseudo-relevance-feedback expanded retrieval (see
+    * [[graft.ops.SearchOps.prfSearch]]): the original bm25 query
+    * re-ranked under the top-3-doc expansion terms.
+    */
+  def bm25PrfQ(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.readDocs(s, d)
+    graft.ops.SearchOps.prfSearch(docs, bm25QueryTerms(docs))
+  }
+
   /** DPR-style hard-negative mining over the near-dup-augmented
     * corpus: top-k BM25 per query EXCLUDING the query doc and its
     * near-duplicates BEFORE ranking (see

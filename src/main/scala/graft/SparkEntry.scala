@@ -47,6 +47,7 @@ object SparkEntry {
     "bm25_search" -> (Queries.bm25SearchQ _),
     "hard_negatives" -> (Queries.hardNegativesQ _),
     "search_snippets" -> (Queries.searchSnippetsQ _),
+    "bm25_prf" -> (Queries.bm25PrfQ _),
     "phrase_search" -> (Queries.phraseSearchQ _),
     "bm25_serve" -> (Queries.bm25ServeQ _),
     "bm25_delete" -> (Queries.bm25DeleteQ _),
@@ -581,7 +582,9 @@ object SparkEntry {
     */
   private def bm25SqlWith(survPred: Option[String],
                           corpusCte: Option[String] = None,
-                          exclCtes: Option[String] = None): String = {
+                          exclCtes: Option[String] = None,
+                          preCtes: Option[String] = None,
+                          qBody: Option[String] = None): String = {
     // the INDEXED corpus (scal + p CTEs) shrinks to the survivors; the
     // query batch (q) stays over ALL documents — deleting a doc from
     // the index must not delete its queries. survPred=None generates
@@ -609,15 +612,22 @@ object SparkEntry {
           "  WHERE e.query_id = sc.query_id AND e.doc_id = sc.doc_id)) sc")
       case None => ("", "sc")
     }
+    // preCtes injects helper CTEs between scal and q (bm25_prf's
+    // feedback/mining chain); qBody replaces the q CTE's inner SELECT
+    // (bm25_prf queries with the EXPANDED term set). Both default
+    // branches are byte-identical to the historical template.
+    val pre = preCtes.map(p => s"$p,\n").getOrElse("")
+    val qSel = qBody.getOrElse(
+      "  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term\n" +
+        "  FROM documents,\n" +
+        "    UNNEST(list_distinct(string_split(text, ' ')[2:6])) AS u(term)\n" +
+        "  WHERE doc_id % 101 = 0")
     s"""$head
       |  SELECT CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl
       |  FROM $corpus),
-      |q AS (
-      |  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term
-      |  FROM documents,
-      |    UNNEST(list_distinct(string_split(text, ' ')[2:6])) AS u(term)
-      |  WHERE doc_id % 101 = 0),
+      |${pre}q AS (
+      |$qSel),
       |p AS (
       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
       |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -642,6 +652,46 @@ object SparkEntry {
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** bm25_prf mirror: the SAME template queried with the EXPANDED
+    * term set — the feedback ranking embeds bm25Sql as a derived
+    * table filtered to the top PrfFeedbackK (a prefix of the same
+    * top-10 ordering), mining sums tf over feedback-doc postings
+    * excluding original query terms (ties to the smaller term), and
+    * the q CTE becomes q0 UNION expansion. A bm25 scoring or PRF
+    * default change hits this row.
+    */
+  // lazy: embeds bm25Sql, which is declared below (object-val order)
+  private lazy val prfSql: String = bm25SqlWith(None,
+    preCtes = Some(
+      s"""hits0 AS (SELECT query_id, doc_id FROM ($bm25Sql) fb
+         |  WHERE rank <= ${graft.ops.SearchOps.PrfFeedbackK}),
+         |q0 AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS query_id, u.term
+         |  FROM documents,
+         |    UNNEST(list_distinct(string_split(text, ' ')[2:6])) AS u(term)
+         |  WHERE doc_id % 101 = 0),
+         |posts AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, u.term
+         |        FROM documents, UNNEST(string_split(text, ' ')) AS u(term)) dd
+         |  WHERE doc_id IN (SELECT doc_id FROM hits0)
+         |  GROUP BY doc_id, term),
+         |cand AS (
+         |  SELECT h.query_id, p2.term, CAST(sum(p2.tf) AS BIGINT) AS s
+         |  FROM hits0 h JOIN posts p2 USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM q0
+         |    WHERE q0.query_id = h.query_id AND q0.term = p2.term)
+         |  GROUP BY h.query_id, p2.term),
+         |expn AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT query_id, term,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, term) AS rn
+         |    FROM cand) t WHERE rn <= ${graft.ops.SearchOps.PrfExpandN})""".stripMargin),
+    qBody = Some(
+      "  SELECT query_id, term FROM q0\n" +
+        "  UNION\n" +
+        "  SELECT query_id, term FROM expn"))
 
   /** hard_negatives mirror: the bm25 template re-corpused to the
     * near-dup-augmented corpus, with the capped neardup band/verify
@@ -1194,6 +1244,9 @@ object SparkEntry {
     // DPR-style hard-negative mining: the bm25 template over the
     // near-dup corpus with near-dup + self positives excluded pre-rank
     "hard_negatives" -> hardNegativesSql,
+    // PRF expansion: the same template queried with q0 UNION the
+    // mined feedback terms (preCtes/qBody params)
+    "bm25_prf" -> prfSql,
     // best query-term-dense window per bm25 hit (the bm25 mirror as a
     // derived table; candidate begins = matched positions — the
     // argmax-preserving reduction documented in SearchOps)

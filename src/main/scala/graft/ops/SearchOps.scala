@@ -351,6 +351,46 @@ object SearchOps {
       maxDfPermille, exclude)
   }
 
+  /** PRF defaults: feedback depth (top docs mined for expansion
+    * terms) and expansion width (terms added per query). Public: the
+    * oracle embeds both.
+    */
+  val PrfFeedbackK = 3
+  val PrfExpandN = 2
+
+  /** Pseudo-relevance-feedback query expansion (the RM-family idea,
+    * integer-exact): run the original query, mine the top
+    * [[PrfFeedbackK]] docs for their [[PrfExpandN]] heaviest
+    * non-query terms (summed tf across the feedback docs, ties to
+    * the lexicographically smaller term), append them to the query,
+    * and re-rank — recall recovery for vocabulary-mismatch queries
+    * without a trained model. Both rankings ride the SAME bm25
+    * kernel; the oracle replays feedback, mining and the expanded
+    * ranking end-to-end.
+    *
+    * Scale shape: the feedback leg is a k-doc-per-query bm25; term
+    * mining touches postings of feedback docs only (semi-join
+    * reduced); the expanded query relation stays request-bounded, so
+    * the second ranking has the first's plan shape.
+    */
+  def prfSearch(docs: DataFrame, queryTerms: DataFrame, k: Int = 10): DataFrame = {
+    val q0 = cleanTerms(queryTerms)
+    val fb = bm25Search(docs, q0, PrfFeedbackK)
+      .select(col("query_id"), col("doc_id"))
+    val posts = postingsOf(docs)
+      .join(broadcast(fb.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+    val cand = fb.join(posts, Seq("doc_id"))
+      .join(q0, Seq("query_id", "term"), "left_anti")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).cast("long").as("s"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("term").asc)
+    val expTerms = cand.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= PrfExpandN)
+      .select(col("query_id"), col("term"))
+    bm25Search(docs, q0.unionByName(expTerms).distinct(), k)
+  }
+
   /** Snippet window size in words (public: the oracle embeds it). */
   val SnippetWindow = 8
 

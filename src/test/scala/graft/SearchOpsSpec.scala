@@ -156,6 +156,50 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("prfSearch: recovers a vocabulary-mismatch doc; equals bm25 under the driver-recomputed expansion") {
+    val sp = spark; import sp.implicits._
+    // A matches the query and co-occurs with xx; B speaks only xx —
+    // invisible to the plain query, reachable through feedback
+    val docs = Seq(
+      (1L, "ta xx xx xx f1 f2 f3 f4"),
+      (2L, "xx xx xx g1 g2 g3 g4 g5"),
+      (3L, "h1 h2 h3 h4 h5 h6 h7 h8")).toDF("doc_id", "text")
+    val qterms = Seq((9L, "ta")).toDF("query_id", "term")
+    val plain = SearchOps.bm25Search(docs, qterms).collect().map(_.getLong(2)).toSet
+    assert(plain == Set(1L), "plain query must see only the matching doc")
+    val prf = SearchOps.prfSearch(docs, qterms).collect().map(_.getLong(2)).toSet
+    assert(prf == Set(1L, 2L), s"expansion must recover the xx-only doc: $prf")
+    // sf corpus: differential against a driver-recomputed expansion
+    val docsSf = TextOps.readDocs(spark, sfDir)
+    val q0 = Queries.bm25QueryTerms(docsSf)
+    val fb = SearchOps.bm25Search(docsSf, q0, k = SearchOps.PrfFeedbackK).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val q0set = q0.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val posts = SearchOps.postingsOf(docsSf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(3))).toMap
+    val exp = fb.groupBy(_._1).toSeq.flatMap { case (q, hits) =>
+      val sums = scala.collection.mutable.Map.empty[String, Long]
+      hits.foreach { case (_, d) =>
+        posts.keys.filter(_._1 == d).foreach { k =>
+          if (!q0set.contains((q, k._2))) sums(k._2) = sums.getOrElse(k._2, 0L) + posts(k)
+        }
+      }
+      sums.toSeq.sortBy { case (t, s) => (-s, t) }.take(SearchOps.PrfExpandN)
+        .map { case (t, _) => (q, t) }
+    }
+    val q1 = (q0set ++ exp).toSeq.toDF("query_id", "term")
+    val expect = SearchOps.bm25Search(docsSf, q1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = Queries.bm25PrfQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // teeth: the expansion changes at least one query's result set
+    val plainSf = Queries.bm25SearchQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got.map(r => (r._1, r._3)).toSet != plainSf,
+      "PRF degenerated to the plain ranking on every query")
+  }
+
   test("searchSnippets: hand-computed best windows (clustered tail, tie to earliest); sf hits all covered") {
     val sp = spark; import sp.implicits._
     // doc 1: query terms clustered at the tail — the window must jump
