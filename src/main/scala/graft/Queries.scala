@@ -653,6 +653,14 @@ object Queries {
   def oovRatioQ(s: SparkSession, d: String): DataFrame =
     TextOps.oovRatio(TextOps.readDocs(s, d))
 
+  /** Per-language type-token-ratio census; see [[TextOps.ttrCensus]]. */
+  def ttrCensusQ(s: SparkSession, d: String): DataFrame =
+    TextOps.ttrCensus(TextOps.readDocs(s, d))
+
+  /** Top-50 word-frequency head with ppm; see [[TextOps.zipfCensus]]. */
+  def zipfCensusQ(s: SparkSession, d: String): DataFrame =
+    TextOps.zipfCensus(TextOps.readDocs(s, d))
+
   /** Bigram-LM fluency permille (self-trained, integer-exact) — the
     * CCNet-perplexity-filter analog; see [[TextOps.lmScore]].
     */

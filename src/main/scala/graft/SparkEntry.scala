@@ -64,6 +64,8 @@ object SparkEntry {
     "host_cap" -> (Queries.hostCapQ _),
     "pii_scrub" -> (Queries.piiScrubQ _),
     "oov_ratio" -> (Queries.oovRatioQ _),
+    "ttr_census" -> (Queries.ttrCensusQ _),
+    "zipf_census" -> (Queries.zipfCensusQ _),
     "lm_score" -> (Queries.lmScoreQ _),
     "ppl_buckets" -> (Queries.pplBucketsQ _),
     "gopher_rep" -> (Queries.gopherRepQ _),
@@ -1403,6 +1405,27 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(dirty, '${graft.ops.TextOps.EmailPattern}')) AS BIGINT) AS n_redactions,
          |  regexp_replace(dirty, '${graft.ops.TextOps.EmailPattern}', '<EMAIL>', 'g') AS clean_text
          |FROM d ORDER BY doc_id""".stripMargin,
+    // per-language lexical diversity (type-token ratio, permille)
+    "ttr_census" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+        |  CAST(count(DISTINCT term) * 1000 // count(*) AS BIGINT) AS ttr_permille
+        |FROM (SELECT lang, u.term
+        |      FROM documents, UNNEST(string_split(text, ' ')) AS u(term)) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Zipf head: top-50 words with dense rank (count desc, term asc)
+    // and ppm frequency over the total token mass
+    "zipf_census" ->
+      """WITH c AS (
+        |  SELECT u.term, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+        |  GROUP BY u.term),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT term, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT rank, term, n, CAST(n * 1000000 // total AS BIGINT) AS freq_ppm
+        |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
     // OOV rate vs the corpus's own top-K vocabulary (deterministic
     // count-desc/word-asc ties on both engines)
     "oov_ratio" ->

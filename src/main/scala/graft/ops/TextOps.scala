@@ -2206,6 +2206,49 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Type-token-ratio census per language — the lexical-diversity
+    * number a corpus analyst reads next to the quality permilles
+    * (template-heavy or looped corpora show depressed TTR long before
+    * a human spots the repetition). Integer permille, truncating.
+    *
+    * Scale shape: one (lang, word) partial-aggregated shuffle for the
+    * distinct-type count riding the same exchange as the token sum;
+    * output is #langs rows.
+    */
+  def ttrCensus(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("term")).cast("long").as("n_types"))
+      .withColumn("ttr_permille", expr("n_types * 1000 DIV n_tokens").cast("long"))
+      .orderBy(col("lang"))
+
+  /** Top-of-the-Zipf-curve census: the `topK` most frequent corpus
+    * words with dense rank (count desc, ties to the smaller word) and
+    * parts-per-million frequency — the head a stopword list, a
+    * hot-term df cap (SearchOps.maxDfPermille) or a tokenizer vocab
+    * is tuned against. Integer-exact on both engines.
+    *
+    * Scale shape: one word-census shuffle with map-side combine, then
+    * a K-row global top-k — the ngram_census machinery's unigram
+    * little sibling, census-sized all the way after the first
+    * aggregate.
+    */
+  def zipfCensus(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("n"))
+    val total = counts.agg(sum(col("n")).cast("long")).collect()(0).getLong(0)
+    // top-k via distributed TakeOrdered (never a full-vocabulary
+    // single-partition window); the rank window then runs over K rows
+    val top = counts.orderBy(col("n").desc, col("term").asc).limit(topK)
+    val w = Window.partitionBy().orderBy(col("n").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("freq_ppm", expr(s"n * 1000000 DIV ${total}L").cast("long"))
+      .select(col("rank"), col("term"), col("n"), col("freq_ppm"))
+      .orderBy(col("rank"))
+  }
+
   /** UniMax per-language epoch cap (public: the mirror embeds it). */
   val UniMaxEpochCap = 2L
 

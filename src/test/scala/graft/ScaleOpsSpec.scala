@@ -413,6 +413,30 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2048L, 2L, 4096L, 0L)))     // 2048 exact + 5000 clipped, zero pad
   }
 
+  test("ttrCensus / zipfCensus equal driver-recomputed references") {
+    val docs = TextOps.readDocs(spark, sfDir)
+    val rows = docs.select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val expTtr = rows.groupBy(_._1).map { case (l, xs) =>
+      val toks = xs.flatMap(_._2)
+      (l, toks.length.toLong, toks.distinct.length.toLong,
+        toks.distinct.length.toLong * 1000L / toks.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val gotTtr = TextOps.ttrCensus(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotTtr == expTtr)
+    val allToks = rows.flatMap(_._2)
+    val expTop = allToks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(50)
+    val gotZipf = TextOps.zipfCensus(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // the synthetic vocabulary can be smaller than K — ranks stay dense
+    assert(gotZipf.map(_._1) == (1L to expTop.length.toLong), "ranks dense")
+    assert(gotZipf.map(z => (z._2, z._3)) == expTop)
+    val total = allToks.length.toLong
+    gotZipf.foreach { case (_, _, n, ppm) => assert(ppm == n * 1000000L / total) }
+  }
+
   test("tfidfTopTerms: frequent-here-rare-elsewhere wins; deterministic ties") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
