@@ -977,6 +977,22 @@ private[graft] object OracleSqlGen {
        |FROM (SELECT DISTINCT cluster_id, cluster_size FROM ($dupCluster) t) c
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** Per-host duplication mirror: the full dup_cluster mirror as a
+    * derived table, restricted to BASE docs (< 1e6 — the mutant ids
+    * carry no host), host via the hid arithmetic, dup = member of a
+    * multi-doc cluster.
+    */
+  val hostDupCensus: String =
+    s"""SELECT host_id, n_docs, n_duped,
+       |  CAST(n_duped * 1000 // n_docs AS BIGINT) AS dup_permille
+       |FROM (
+       |  SELECT host_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duped
+       |  FROM (SELECT ${hidOfSql("doc_id")} AS host_id, cluster_size
+       |        FROM ($dupCluster) t WHERE doc_id < 1000000) h
+       |  GROUP BY host_id) g
+       |ORDER BY host_id""".stripMargin
+
   /** Repeat-aware downweighting mirror: the full dup_cluster mirror
     * as a derived table, weight_micro = 10^6 truncating-divided by
     * the cluster size (positive sizes — truncation equals floor on

@@ -263,6 +263,28 @@ object Queries {
   def dupWeights(s: SparkSession, d: String): DataFrame =
     TextOps.dupWeightsFrom(dupCluster(s, d))
 
+  /** Per-host duplication census: for every host, the fraction of its
+    * BASE docs living in multi-doc duplicate clusters (permille) —
+    * the crawl-scheduler signal host_scorecard lacks (a mirror-heavy
+    * host wastes crawl budget even when its quality permille looks
+    * fine). Self-contained over the dup_cluster relation for the
+    * stateless-oracle reason of dup_stats; at 100 TB it is one
+    * host-keyed aggregate over the PERSISTED clustering table. The
+    * planted dup chains ride even doc ids only, so the census
+    * correctly concentrates the duplication mass on host 0 — the
+    * skewed shape real mirror farms produce.
+    */
+  def hostDupCensus(s: SparkSession, d: String): DataFrame =
+    dupCluster(s, d)
+      .filter(col("doc_id") < 1000000L)
+      .withColumn("host_id", graft.ops.GraphOps.hostIdCol(col("doc_id")))
+      .groupBy(col("host_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("cluster_size") > 1L, 1L).otherwise(0L))
+          .cast("long").as("n_duped"))
+      .withColumn("dup_permille", expr("n_duped * 1000 DIV n_docs").cast("long"))
+      .orderBy(col("host_id"))
+
   def splitLeakfree(s: SparkSession, d: String): DataFrame =
     TextOps.splitFrom(dupCluster(s, d))
       .groupBy(col("split"))

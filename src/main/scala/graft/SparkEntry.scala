@@ -36,6 +36,7 @@ object SparkEntry {
     "dup_stats" -> (Queries.dupStats _),
     "dup_best" -> (Queries.dupBest _),
     "dup_weights" -> (Queries.dupWeights _),
+    "host_dup_census" -> (Queries.hostDupCensus _),
     "split_leakfree" -> (Queries.splitLeakfree _),
     "curate_funnel" -> (Queries.curateFunnelQ _),
     "curate_funnel_auth" -> (Queries.curateFunnelAuthQ _),
@@ -1539,6 +1540,10 @@ object SparkEntry {
     // repeat-aware soft dedup: 10^6 DIV cluster_size per doc over the
     // same clustering mirror
     "dup_weights" -> OracleSqlGen.dupWeights,
+    // per-host duplication permille over the same clustering mirror +
+    // the hid arithmetic (crawl-budget signal; mass on host 0 by
+    // construction — planted chains ride even ids)
+    "host_dup_census" -> OracleSqlGen.hostDupCensus,
     "split_leakfree" -> OracleSqlGen.splitLeakfree,
     // the production funnel (CurateJob.funnel) end-to-end: url-revisit
     // dedup → quality gate → exact+MinHash CC → sample → shard-pack

@@ -260,6 +260,26 @@ class NearDupSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       clusters.count(), "histogram doc mass must cover the corpus")
   }
 
+  test("hostDupCensus: covers every base doc once; dup mass lands on host 0; permilles recompute") {
+    val census = Queries.hostDupCensus(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = TextOps.readDocs(spark, sfDir).count()
+    assert(census.map(_._2).sum == base, "every base doc in exactly one host row")
+    census.foreach { case (_, n, d, pm) =>
+      assert(d <= n && pm == d * 1000L / n)
+    }
+    // planted dup chains ride EVEN doc ids → host 0 carries them
+    val h0 = census.find(_._1 == 0L).get
+    assert(h0._4 > 0L, "host 0 must show duplication mass")
+    // differential: recompute host 0's duped count from the clustering
+    val clusters = Queries.dupCluster(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val expectDuped = clusters.count { case (id, size) =>
+      id < 1000000L && id % 2 == 0 && size > 1L
+    }.toLong
+    assert(h0._3 == expectDuped)
+  }
+
   test("dupWeightsFrom: weight is 10^6 DIV cluster_size per doc; duplicates genuinely downweighted") {
     val clusters = Queries.dupCluster(spark, sfDir)
     val byDoc = clusters.collect()
