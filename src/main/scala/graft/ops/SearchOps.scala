@@ -309,18 +309,26 @@ object SearchOps {
     * path (tokens read from the positional postings artifact), so both
     * check against the same oracle SQL.
     */
-  private[graft] def phraseFrom(toks: DataFrame, q: DataFrame, k: Int,
+  private[graft] def phraseFrom(toks: DataFrame, q0: DataFrame, k: Int,
                                 broadcastProbes: Boolean): DataFrame = {
     def hint(df: DataFrame): DataFrame =
       if (broadcastProbes) broadcast(df) else df
+    // Duplicate request rows are collapsed ONCE on the tiny request
+    // relation instead of via a distinct-aggregate over the matched
+    // token stream: with q distinct, a group (query, doc, anchor) can
+    // contain each `off` at most once (the token at anchor+off has ONE
+    // term, and only one (query, off, term) row can match it), so
+    // count(1) == countDistinct(off) — proven, and it removes the
+    // two-phase distinct aggregation from the corpus-sized side.
+    val q = q0.distinct()
     val plen = q.groupBy(col("query_id"))
       .agg(countDistinct(col("off")).as("plen"))
     val occ = toks
       .join(hint(q), Seq("term"))
       .select(col("query_id"), col("doc_id"),
-        (col("pos") - col("off")).as("anchor"), col("off"))
+        (col("pos") - col("off")).as("anchor"))
       .groupBy(col("query_id"), col("doc_id"), col("anchor"))
-      .agg(countDistinct(col("off")).as("n_off"))
+      .agg(count(lit(1)).as("n_off"))
       .join(hint(plen), Seq("query_id"))
       .filter(col("n_off") === col("plen"))
     val w = Window.partitionBy(col("query_id"))
@@ -333,11 +341,17 @@ object SearchOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** @param stats precomputed (nDocs, sumDl) — callers that rank the
+    *   SAME corpus more than once (PRF's two rankings) pass the stats
+    *   through instead of paying the corpus-wide scalar pass per
+    *   ranking. Identical results by construction.
+    */
   def bm25Search(docs: DataFrame, queryTerms: DataFrame, k: Int = 10,
                  probeLimit: Long = AnnIndex.BroadcastQueryLimit,
                  maxDfPermille: Long = 1000L,
-                 exclude: Option[DataFrame] = None): DataFrame = {
-    val (nDocs, sumDl) = corpusStats(docs)
+                 exclude: Option[DataFrame] = None,
+                 stats: Option[(Long, Long)] = None): DataFrame = {
+    val (nDocs, sumDl) = stats.getOrElse(corpusStats(docs))
     require(nDocs > 0, "cannot search an empty corpus")
     val qterms = cleanTerms(queryTerms)
     val bounded = isBounded(qterms, probeLimit)
@@ -374,11 +388,23 @@ object SearchOps {
     * the second ranking has the first's plan shape.
     */
   def prfSearch(docs: DataFrame, queryTerms: DataFrame, k: Int = 10): DataFrame = {
-    val q0 = cleanTerms(queryTerms)
-    val fb = bm25Search(docs, q0, PrfFeedbackK)
+    // One corpus-stats pass shared by both rankings, and the feedback
+    // ranking (a full bm25 subtree) is materialized once: it is
+    // consumed three times below (hit-doc semi-join, candidate join,
+    // and transitively the expanded query), so without the checkpoint
+    // the whole first ranking replays per consumer inside one action.
+    val stats = Some(corpusStats(docs))
+    val q0 = cleanTerms(queryTerms).localCheckpoint(false)
+    val fb = bm25Search(docs, q0, PrfFeedbackK, stats = stats)
       .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(false)
+    // No forced broadcast: the feedback doc-id set is k×|queries| and
+    // usually tiny, but an unbounded query batch must not ship an
+    // unbounded build side — the checkpoint gives AQE an exact size,
+    // so it picks BHJ itself whenever the set actually fits (the
+    // bm25Search probe-guard discipline).
     val posts = postingsOf(docs)
-      .join(broadcast(fb.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .join(fb.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val cand = fb.join(posts, Seq("doc_id"))
       .join(q0, Seq("query_id", "term"), "left_anti")
       .groupBy(col("query_id"), col("term"))
@@ -388,7 +414,7 @@ object SearchOps {
     val expTerms = cand.withColumn("rn", row_number().over(win))
       .filter(col("rn") <= PrfExpandN)
       .select(col("query_id"), col("term"))
-    bm25Search(docs, q0.unionByName(expTerms).distinct(), k)
+    bm25Search(docs, q0.unionByName(expTerms).distinct(), k, stats = stats)
   }
 
   /** Snippet window size in words (public: the oracle embeds it). */
@@ -413,11 +439,17 @@ object SearchOps {
   def searchSnippets(docs: DataFrame, queryTerms: DataFrame,
                      k: Int = 10): DataFrame = {
     val w = SnippetWindow
+    // No forced broadcast()s (the ADVICE probe-guard issue): the
+    // hit-doc set is k×|queries| and AQE broadcasts it when it fits,
+    // falling back to a shuffle when a pathological batch would not —
+    // identical results. No checkpoints here: this is a single-action
+    // query whose repeated bm25 subtrees share exchanges via
+    // ReuseExchange (measured: checkpointing cost more than it saved).
     val hits = bm25Search(docs, queryTerms, k)
       .select(col("query_id"), col("rank"), col("doc_id"))
     val hitDocs = hits.select(col("doc_id")).distinct()
     val toks = tokenized(docs)
-      .join(broadcast(hitDocs), Seq("doc_id"), "left_semi")
+      .join(hitDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "term")))
       .withColumn("pos", col("pos").cast("long"))
     val matched = hits.join(toks, Seq("doc_id"))
@@ -436,7 +468,7 @@ object SearchOps {
       .filter(col("rn") === 1)
       .drop("rn")
     val texts = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .join(broadcast(hitDocs), Seq("doc_id"), "left_semi")
+      .join(hitDocs, Seq("doc_id"), "left_semi")
     best.join(hits, Seq("query_id", "doc_id"))
       .join(texts, Seq("doc_id"))
       .withColumn("snippet",

@@ -1255,9 +1255,15 @@ object TextOps {
     * with a negative stop would otherwise count DOWNWARD).
     */
   def ngramArr(n: Int): Column =
-    expr(s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
-            |ELSE transform(sequence(0, size(split(text, ' ')) - $n),
-            |  i -> array_join(slice(split(text, ' '), i + 1, $n), ' ')) END""".stripMargin)
+    // The word array is bound ONCE through a single-element transform
+    // lambda (`ws`): higher-order functions re-evaluate non-lambda
+    // subexpressions per element, so the direct form pays one full
+    // split(text) per GRAM — O(words^2) character work per row. Same
+    // grams, same types; only the evaluation count changes.
+    expr(s"""transform(array(split(text, ' ')), ws ->
+            |  CASE WHEN size(ws) < $n THEN array()
+            |  ELSE transform(sequence(0, size(ws) - $n),
+            |    i -> array_join(slice(ws, i + 1, $n), ' ')) END)[0]""".stripMargin)
 
   /** Benchmark decontamination: flag every training doc that shares at
     * least one word n-gram with the eval set (the standard n-gram
@@ -1320,9 +1326,15 @@ object TextOps {
                          evalPred: Column = col("doc_id") % 50 === 0,
                          fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftExtensions.register(docs.sparkSession)
+    // The eval-gram set is consumed THREE times (sizing count, sketch
+    // build, exact confirm join) — materialize it once with truncated
+    // lineage so the eval-side scan+explode+distinct runs once per
+    // call instead of three times. Eval sets are tiny next to the
+    // corpus (the operator's premise), so the checkpoint is bounded.
     val evalGrams = docs.filter(evalPred)
       .select(explode(array_distinct(ngramArr(n))).as("gram"))
       .distinct()
+      .localCheckpoint(false)
     val evalHashes = evalGrams.select(xxhash64(col("gram")).as("gh"))
     val nEval = evalHashes.count()
     val bits = bloomBitsOf(evalHashes, "gh", nEval, fpp)
@@ -2238,7 +2250,11 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val counts = docs.select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).cast("long").as("n"))
-    val total = counts.agg(sum(col("n")).cast("long")).collect()(0).getLong(0)
+    // coalesce: sum() over an EMPTY census is NULL — fail loud like
+    // corpusStats instead of NPEing on getLong
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    require(total > 0, "cannot census an empty corpus")
     // top-k via distributed TakeOrdered (never a full-vocabulary
     // single-partition window); the rank window then runs over K rows
     val top = counts.orderBy(col("n").desc, col("term").asc).limit(topK)

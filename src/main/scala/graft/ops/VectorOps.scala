@@ -22,12 +22,19 @@ object VectorOps {
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   /** Dot product of two ARRAY<FLOAT> columns in DOUBLE with a fixed
-    * left-to-right fold (deterministic, codegen'd — no UDF).
+    * left-to-right fold (deterministic). Native codegen expression
+    * ([[graft.functions.DotF64]]) — the aggregate-over-zip_with SQL
+    * formulation is CodegenFallback and paid an interpreted fold plus
+    * a zip-array allocation PER CANDIDATE PAIR on every ANN re-rank
+    * path. Bit-identical values (same left fold, same null
+    * semantics — asserted in FunctionsSpec); the DuckDB mirror
+    * (list_reduce over list_prepend) is unchanged.
     */
-  def dot(x: Column, y: Column): Column =
-    aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column = {
+    graft.functions.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("dot_f64", x, y)
+  }
 
   /** L2 norm of an ARRAY<FLOAT> column. Precompute ONCE per vector —
     * cosine per candidate pair is then a single fold + one divide

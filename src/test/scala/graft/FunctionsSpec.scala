@@ -68,4 +68,45 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
   }
+
+  test("dot_f64 is bit-identical to the aggregate-over-zip_with fold") {
+    val s = spark
+    import s.implicits._
+    // cases that pin the exact semantics: the left-to-right DOUBLE fold
+    // order (mixed magnitudes where (a+b)+c != a+(c+b)), empty arrays
+    // (fold initial 0.0), UNEQUAL lengths (zip_with pads with null ->
+    // fold null), null elements, and null arrays
+    val rng = new scala.util.Random(42)
+    val rand = (1 to 50).map(_ =>
+      (Some(Seq.fill(16)(rng.nextFloat() * 2 - 1)), Some(Seq.fill(16)(rng.nextFloat() * 2 - 1))))
+    val edge: Seq[(Option[Seq[Float]], Option[Seq[Float]])] = Seq(
+      (Some(Seq(1e30f, 1f, -1e30f)), Some(Seq(1e8f, 1f, 1e8f))), // order-sensitive
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])),          // empty -> 0.0
+      (Some(Seq(1f, 2f)), Some(Seq(1f))),                        // unequal -> null
+      (Some(Seq(1f)), Some(Seq(1f, 2f))),                        // unequal -> null
+      (None, Some(Seq(1f))),                                     // null array
+      (Some(Seq(1f)), None))
+    val df = (rand ++ edge).toDF("x", "y")
+      .selectExpr("x", "y",
+        "dot_f64(x, y) AS fast",
+        "aggregate(zip_with(x, y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS slow")
+    df.collect().foreach { r =>
+      val (fn, sn) = (r.isNullAt(2), r.isNullAt(3))
+      assert(fn == sn, s"null mismatch: $r")
+      if (!fn) {
+        // bit-identical, not approximately-equal: the DuckDB mirror
+        // replays the same fold, so the doubles must match exactly
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"value mismatch: $r")
+      }
+    }
+    // and the fast path stays inside WholeStageCodegen (parquet-backed:
+    // a local relation constant-folds to LocalTableScan before codegen)
+    val pq = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "dot_f64(embedding, embedding) AS d2")
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("dot_f64")), plan)
+    assert(pq.count() > 0)
+  }
 }
