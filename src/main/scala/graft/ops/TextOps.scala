@@ -965,12 +965,17 @@ object TextOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    // LAZY checkpoints: the first action that touches the frame
+    // materializes it as a side effect, so each round costs ONE job
+    // (the convergence count) instead of an eager-materialize job plus
+    // the count — half the driver round-trips for the same plan
+    // truncation.
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prevCheckpoint: DataFrame = labels
     var iter = 0
     var converged = false
@@ -985,7 +990,7 @@ object TextOps {
         .unionByName(prop)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"), max(col("old_label")).as("old_label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // null old_label = a node first seen via an edge this round (an
       // endpoint missing from `nodes`): it MUST count as changed or the
       // loop can converge before its label propagates back
@@ -1065,17 +1070,20 @@ object TextOps {
         .distinct()
     }
 
+    // LAZY checkpoints (same as connectedComponents): the checksum
+    // action materializes each round's edge set — one job per round
+    // instead of an eager materialize plus the checksum.
     var e = edges
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var sum = checksum(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSum = checksum(next)
       e.unpersist()
       e = next

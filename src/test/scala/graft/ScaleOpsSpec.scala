@@ -1356,4 +1356,43 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       AnnServeJob.run(spark, idxDir, embPath, qPath, tmp("serve-job-bad"), "hnsw")
     }
   }
+
+  test("tiersOf: distributed rank equals the window ntile exactly") {
+    // The scale-safe tiersOf (range partition + local row_number +
+    // driver offsets + closed-form ntile) must reproduce the global
+    // window ntile ROW FOR ROW: planted-rank shapes, heavy rank TIES
+    // (broken by host asc), totals below/above/at multiples of nTiers,
+    // and nTiers = 1.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def reference(ranks: org.apache.spark.sql.DataFrame, n: Int) = ranks
+      .withColumn("tier", ntile(n).over(
+        Window.orderBy(col("rank_milli").desc, col("host").asc)))
+      .select(col("host"), col("tier").cast("long").as("tier"))
+    val shapes = Seq(
+      // heavy ties: ranks collapse to i/10 — tier boundaries cut
+      // mid-tie, which only the host tiebreak resolves
+      (0 until 100).map(i => (f"host$i%03d.example", (i / 10).toLong * 100L)),
+      // fewer rows than tiers
+      (0 until 5).map(i => (s"h$i.example", 1000L - i)),
+      // exact multiple of tiers
+      (0 until 12).map(i => (s"h$i.example", (i % 3).toLong)),
+      // single row
+      Seq(("only.example", 42L)))
+    for (shape <- shapes; n <- Seq(1, 2, 3, 4, 7, 11)) {
+      val ranks = shape.toDF("host", "rank_milli").repartition(5)
+      val got = graft.ops.GraphOps.tiersOf(ranks, n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = reference(ranks, n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want, s"shape=${shape.size} rows, nTiers=$n")
+    }
+    // and the plan must NOT contain a global (unpartitioned) window —
+    // the single-reducer shape this rewrite removes
+    val plan = graft.ops.GraphOps.tiersOf(
+      shapes.head.toDF("host", "rank_milli"), 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), plan)
+  }
 }
