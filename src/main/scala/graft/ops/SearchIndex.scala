@@ -210,8 +210,11 @@ object SearchIndex {
             mutationId: Option[String] = None,
             withPositions: Boolean = false): Unit = {
     import spark.implicits._
-    val (n, sdl) = SearchOps.corpusStats(docs)
-    require(n > 0, "cannot build a lexical index over an empty corpus")
+    // Empty-corpus guard BEFORE any index surgery (cheap limit-1 scan,
+    // not a corpus pass — the full stats now derive from the postings
+    // read-back below).
+    require(docs.limit(1).count() > 0,
+      "cannot build a lexical index over an empty corpus")
     // The log is NOT deleted up front: a crash mid-rebuild must never
     // leave a log-less mixed state a reader would legacy-adopt (new
     // postings scored with old stats). Instead the overwrites run
@@ -229,6 +232,26 @@ object SearchIndex {
         .map(_.getPath).toSeq
     write(clustered(SearchOps.postingsOf(docs)), postingsDir(indexDir),
       SaveMode.Overwrite)
+    // Corpus stats derived from the just-written ARTIFACT instead of a
+    // second full corpus pass (r6: the old corpusStats scalar pass
+    // tokenized the whole corpus again — at index scale that is a
+    // second complete read+split of the input). dl is functionally
+    // determined by doc_id (index contract: unique doc ids, non-null
+    // text — every doc yields >= 1 posting, split('') == ['']), so
+    // distinct (doc_id, dl) pairs reproduce corpusStats exactly —
+    // spec-pinned in SearchOpsSpec incl. empty-string and ragged-
+    // whitespace texts. The read-back touches postings (term-sized),
+    // not the corpus.
+    val statsRow = spark.read.parquet(postingsDir(indexDir))
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sdl")).collect()(0)
+    val (n, sdl) = (statsRow.getLong(0), statsRow.getLong(1))
+    // all-degenerate corpora (e.g. every text NULL) produce no
+    // postings: fail loud — readers then see the documented
+    // crashed-rebuild state (old manifests name overwritten files),
+    // recovery = re-run build over a real corpus
+    require(n > 0, "cannot build a lexical index over an empty corpus")
     write(Seq((n, sdl)).toDF("n_docs", "sum_dl").coalesce(1),
       metaDir(indexDir), SaveMode.Overwrite)
     if (withPositions)

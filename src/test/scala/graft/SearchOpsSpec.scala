@@ -356,6 +356,29 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("build meta derived from postings equals corpusStats (one corpus pass)") {
+    // r6: build no longer runs the corpusStats scalar pass — stats
+    // come from distinct (doc_id, dl) over the written postings. Pin
+    // the equality on the tokenizer's edge shapes: empty string
+    // (split('') == ['']), ragged whitespace (empty tokens KEPT by
+    // dl = size(split)), single-word docs.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, ""),              // dl 1: one empty token
+      (3L, "  double  "),    // dl 5: ragged whitespace
+      (4L, "solo")).toDF("doc_id", "text")
+    val (nRef, sdlRef) = SearchOps.corpusStats(docs)
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-meta").toString
+    SearchIndex.build(spark, docs, dir)
+    val meta = spark.read.parquet(s"$dir/lex_meta").collect()
+    assert(meta.length == 1)
+    assert(meta(0).getLong(0) == nRef && meta(0).getLong(1) == sdlRef,
+      s"meta=${meta(0)} want ($nRef, $sdlRef)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("SearchIndex serve paths agree: IN pushdown, semi-join, shuffle fallback") {
     val (docs, qterms) = docsAndTerms()
     val dir = java.nio.file.Files.createTempDirectory("lexidx-paths").toString
